@@ -1,0 +1,79 @@
+"""Fractional (sub-sample) delays via frequency-domain phase ramps.
+
+TPU-native counterpart of ``fractional_delay`` (reference:
+signal_processing.py:66-80), which FFTs to 2N, multiplies a linear phase
+ramp, inverse transforms and applies ~1% linear fade-in/out ramps.  We use
+rfft/irfft (identical result for real inputs — the phase ramp is Hermitian)
+and additionally provide a *batched* delay-and-sum: the image-source
+simulator needs the sum of many delayed, scaled copies of one base signal
+per mic (reference main.py:104-118 does one FFT⁻¹ per path); since the fade
+window is delay-independent and everything is linear, we sum all paths in
+the frequency domain and inverse-transform once per mic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def fade_window(num_samples: int, fraction: float = 0.01, dtype=None):
+    """Linear fade-in/out ramps over the first/last ``int(fraction*N)``
+    samples (signal_processing.py:75-78).  The Hann window computed at
+    signal_processing.py:74 is unused in the reference — only the ramps
+    apply."""
+    dt = jnp.dtype(dtype) if dtype is not None else jnp.result_type(float)
+    fade_length = int(fraction * num_samples)
+    window = jnp.ones(num_samples, dt)
+    if fade_length > 0:
+        ramp = jnp.linspace(0.0, 1.0, fade_length, dtype=dt)
+        window = window.at[:fade_length].mul(ramp)
+        window = window.at[num_samples - fade_length:].mul(ramp[::-1])
+    return window
+
+
+def _phase_ramp(padded_length: int, delays: jnp.ndarray, fs: float):
+    """exp(-i*2*pi*f*delay) over rfft bins of ``padded_length``; ``delays``
+    may have any batch shape, output gains a trailing frequency axis."""
+    freqs = jnp.fft.rfftfreq(padded_length, d=1.0 / fs)
+    theta = 2 * jnp.pi * freqs * delays[..., None]
+    return jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
+
+
+def fractional_delay(signal: jnp.ndarray, delay, fs: float) -> jnp.ndarray:
+    """Delay one 1-D signal by ``delay`` seconds; matches the reference op
+    including the zero-padding to 2N and the fade ramps."""
+    n = signal.shape[-1]
+    padded = 2 * n
+    spec = jnp.fft.rfft(signal, n=padded)
+    ramp = _phase_ramp(padded, jnp.asarray(delay, signal.dtype), fs)
+    out = jnp.fft.irfft(spec * ramp, n=padded)[..., :n]
+    return out.astype(signal.dtype) * fade_window(n, dtype=signal.dtype)
+
+
+def delay_and_sum(base: jnp.ndarray,
+                  delays: jnp.ndarray,
+                  gains: jnp.ndarray,
+                  fs: float,
+                  apply_fade: bool = True) -> jnp.ndarray:
+    """Batched multipath render: for each output channel m,
+    ``out[m] = fade * sum_p gains[m, p] * delay(base, delays[m, p])``.
+
+    Equivalent to the reference's per-path loop (main.py:104-118) because the
+    fade window does not depend on the delay, but needs only one forward rfft
+    and one irfft per channel.
+
+    base:   (N,) real base signal (already padded to the full render length).
+    delays: (M, P) seconds.
+    gains:  (M, P) linear amplitude per path (0 to disable a path).
+    returns (M, N).
+    """
+    n = base.shape[-1]
+    padded = 2 * n
+    spec = jnp.fft.rfft(base, n=padded)                      # (F,)
+    ramps = _phase_ramp(padded, delays.astype(base.dtype), fs)  # (M, P, F)
+    mixed = jnp.einsum("mp,mpf->mf", gains.astype(ramps.real.dtype), ramps) * spec
+    out = jnp.fft.irfft(mixed, n=padded, axis=-1)[..., :n].astype(base.dtype)
+    if apply_fade:
+        out = out * fade_window(n, dtype=base.dtype)[None, :]
+    return out

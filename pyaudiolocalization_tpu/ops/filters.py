@@ -1,0 +1,274 @@
+"""IIR/FIR noise-reduction filters, TPU-native.
+
+Counterpart of ``noise_reduction`` (reference: signal_processing.py:109-138),
+which uses scipy's butter+filtfilt, firwin+filtfilt, and wiener.  Design
+happens on the host in float64 (coefficients are static data baked into the
+jitted graph); the filtering itself runs on device:
+
+  * IIR ``lfilter`` is a linear state-space recurrence
+    ``z[t] = M z[t-1] + k x[t]``; we evaluate it either with a sequential
+    ``lax.scan`` or (default) a parallel prefix ``lax.associative_scan`` —
+    O(T log T) 10x10 matrix products that XLA maps onto the VPU/MXU instead
+    of an un-parallelizable time loop.
+  * ``filtfilt`` reproduces scipy's default odd-extension padding and
+    steady-state initial conditions (Gustafsson is not used by the
+    reference), so results match the SciPy oracle to fp tolerance.
+  * FIR filtering is a convolution (plus the exact ``zi`` head correction),
+    not a 100-dim state scan.
+
+No code is taken from scipy; the designs are the textbook bilinear-transform
+Butterworth and windowed-sinc constructions, validated against scipy in
+tests/test_filters.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host-side designs (static, float64, numpy only)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def butter_bandpass(order: int, low: float, high: float) -> Tuple[tuple, tuple]:
+    """Digital Butterworth bandpass (b, a), cutoffs normalized to Nyquist
+    (scipy.butter(order, [low, high], btype='band') semantics)."""
+    n = order
+    # Analog lowpass prototype: unit-cutoff Butterworth poles, no zeros, k=1.
+    k_idx = np.arange(1, n + 1)
+    poles = np.exp(1j * np.pi * (2 * k_idx + n - 1) / (2 * n))
+    gain = 1.0
+    # Pre-warp the band edges (bilinear with fs=2).
+    fs = 2.0
+    w1 = 2 * fs * np.tan(np.pi * low / fs)
+    w2 = 2 * fs * np.tan(np.pi * high / fs)
+    bw = w2 - w1
+    wo = np.sqrt(w1 * w2)
+    # Lowpass -> bandpass on the pole set: each pole p maps to the pair
+    # p*bw/2 +/- sqrt((p*bw/2)^2 - wo^2); n zeros appear at s=0.
+    scaled = poles * bw / 2.0
+    root = np.sqrt(scaled ** 2 - wo ** 2)
+    bp_poles = np.concatenate([scaled + root, scaled - root])
+    bp_zeros = np.zeros(n, complex)
+    bp_gain = gain * bw ** n
+    # Bilinear transform to the z-domain.
+    fs2 = 2.0 * fs
+    z_d = (fs2 + bp_zeros) / (fs2 - bp_zeros)
+    p_d = (fs2 + bp_poles) / (fs2 - bp_poles)
+    k_d = bp_gain * np.real(np.prod(fs2 - bp_zeros) / np.prod(fs2 - bp_poles))
+    # Degree deficit -> zeros at z=-1.
+    z_d = np.concatenate([z_d, -np.ones(len(p_d) - len(z_d))])
+    b = np.real(k_d * np.poly(z_d))
+    a = np.real(np.poly(p_d))
+    return tuple(b.tolist()), tuple(a.tolist())
+
+
+@functools.lru_cache(maxsize=64)
+def firwin_bandpass(numtaps: int, low: float, high: float) -> tuple:
+    """Hamming-windowed-sinc bandpass FIR taps
+    (scipy.firwin(numtaps, [low, high], pass_zero=False) semantics)."""
+    m = np.arange(numtaps) - (numtaps - 1) / 2.0
+    h = high * np.sinc(high * m) - low * np.sinc(low * m)
+    win = np.hamming(numtaps)
+    h = h * win
+    # Unit gain at the band center.
+    scale_freq = 0.5 * (low + high)
+    c = np.cos(np.pi * m * scale_freq)
+    h = h / np.sum(h * c)
+    return tuple(h.tolist())
+
+
+def _pad_ba(b, a):
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    n = max(len(b), len(a))
+    b = np.concatenate([b, np.zeros(n - len(b))])
+    a = np.concatenate([a, np.zeros(n - len(a))])
+    b, a = b / a[0], a / a[0]
+    return b, a
+
+
+@functools.lru_cache(maxsize=64)
+def lfilter_zi(b: tuple, a: tuple) -> tuple:
+    """Steady-state initial conditions for a unit-step input (scipy
+    lfilter_zi semantics): solve (I - A) zi = B with A the DF2T state
+    transition and B = b[1:] - a[1:] b[0]."""
+    bb, aa = _pad_ba(b, a)
+    n = len(aa)
+    if n == 1:
+        return ()
+    # DF2T transition: z[t] = M z[t-1] + k x[t] with
+    # M[i, j] = delta_{j, i+1} - a[i+1] delta_{j, 0}.
+    M = np.zeros((n - 1, n - 1))
+    M[:-1, 1:] += np.eye(n - 2)
+    M[:, 0] -= aa[1:]
+    B = bb[1:] - aa[1:] * bb[0]
+    zi = np.linalg.solve(np.eye(n - 1) - M, B)
+    return tuple(zi.tolist())
+
+
+def _df2t_matrices(b: tuple, a: tuple):
+    bb, aa = _pad_ba(b, a)
+    n = len(aa)
+    M = np.zeros((n - 1, n - 1))
+    M[:-1, 1:] += np.eye(n - 2)
+    M[:, 0] -= aa[1:]
+    kvec = bb[1:] - aa[1:] * bb[0]
+    return bb[0], M, kvec
+
+
+# ---------------------------------------------------------------------------
+# Device-side filtering
+# ---------------------------------------------------------------------------
+
+def lfilter(b, a, x: jnp.ndarray, zi: jnp.ndarray | None = None,
+            method: str = "prefix") -> jnp.ndarray:
+    """Direct-form-II-transposed linear filter along the last axis.
+
+    ``b``/``a`` are static coefficient sequences; ``zi`` (optional) has shape
+    ``x.shape[:-1] + (max(len(a), len(b)) - 1,)``.  ``method``:
+      * 'prefix' — parallel prefix over (M, k*x_t) pairs (TPU-friendly);
+      * 'scan'   — sequential lax.scan (reference semantics, low memory).
+    """
+    b = tuple(np.atleast_1d(b).tolist())
+    a = tuple(np.atleast_1d(a).tolist())
+    if len(a) == 1:
+        return _fir_lfilter(b, a[0], x, zi)
+    b0, M, kvec = _df2t_matrices(b, a)
+    dt = x.dtype
+    Mj = jnp.asarray(M, dt)
+    kj = jnp.asarray(kvec, dt)
+    state_dim = M.shape[0]
+    batch_shape = x.shape[:-1]
+    T = x.shape[-1]
+    if zi is None:
+        zi = jnp.zeros(batch_shape + (state_dim,), dt)
+
+    if method == "scan":
+        def step(z, xt):
+            # y_t reads z BEFORE the update (z holds z[t-1]).
+            y = b0 * xt + z[..., 0]
+            z = z @ Mj.T + kvec_outer(xt)
+            return z, y
+
+        def kvec_outer(xt):
+            return xt[..., None] * kj
+
+        xt_seq = jnp.moveaxis(x, -1, 0)
+        _, ys = jax.lax.scan(step, zi, xt_seq)
+        return jnp.moveaxis(ys, 0, -1)
+
+    # Parallel prefix: z[t] = M z[t-1] + k x[t] composes associatively as
+    # (A2, c2) o (A1, c1) = (A2 A1, A2 c1 + c2).
+    A = jnp.broadcast_to(Mj, (T, state_dim, state_dim))
+    c = x[..., :, None] * kj  # (..., T, state_dim)
+    c = jnp.moveaxis(c, -2, 0)  # (T, ..., state_dim)
+
+    def combine(e1, e2):
+        A1, c1 = e1
+        A2, c2 = e2
+        return A2 @ A1, jnp.einsum("t...ij,t...j->t...i", A2, c1) + c2
+
+    A_acc, c_acc = jax.lax.associative_scan(combine, (A, c), axis=0)
+    # z[t] = A_acc[t] @ zi + c_acc[t]; y[t] = b0 x[t] + z[t-1][0].
+    z = jnp.einsum("tij,...j->t...i", A_acc, zi) + c_acc
+    z_prev0 = jnp.concatenate([zi[None, ..., 0], z[:-1, ..., 0]], axis=0)
+    y = b0 * x + jnp.moveaxis(z_prev0, 0, -1)
+    return y
+
+
+def _fir_lfilter(b: tuple, a0: float, x: jnp.ndarray,
+                 zi: jnp.ndarray | None) -> jnp.ndarray:
+    """lfilter with a=[a0]: causal convolution, plus the exact DF2T head
+    correction (y[t] += zi[t] for t < len(b)-1)."""
+    dt = x.dtype
+    taps = jnp.asarray(np.asarray(b, np.float64) / a0, dt)
+    k = taps.shape[0]
+    T = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(k - 1, 0)])
+    # Correlate with reversed taps == causal convolution with taps.
+    y = _conv_valid(xp, taps[::-1])
+    if zi is not None and k > 1:
+        head = jnp.zeros_like(y).at[..., : k - 1].set(
+            zi[..., : min(k - 1, zi.shape[-1])][..., : k - 1])
+        y = y + head
+    return y[..., :T]
+
+
+def _conv_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """'valid' correlation of x with kernel along the last axis, batched."""
+    batch_shape = x.shape[:-1]
+    xin = x.reshape((-1, 1, x.shape[-1]))
+    ker = kernel.reshape((1, 1, kernel.shape[0]))
+    out = jax.lax.conv_general_dilated(
+        xin, ker, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "IOH", "NCH"))
+    return out.reshape(batch_shape + (out.shape[-1],))
+
+
+def _odd_ext(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Odd extension at both ends (scipy.signal.odd_ext semantics)."""
+    left = 2 * x[..., :1] - x[..., n:0:-1]
+    right = 2 * x[..., -1:] - x[..., -2:-(n + 2):-1]
+    return jnp.concatenate([left, x, right], axis=-1)
+
+
+def filtfilt(b, a, x: jnp.ndarray, method: str = "prefix") -> jnp.ndarray:
+    """Zero-phase filtering with scipy's defaults: odd extension of length
+    3*max(len(a), len(b)), steady-state zi scaled by the first sample,
+    forward pass, reversed pass, strip extension."""
+    b = tuple(np.atleast_1d(b).tolist())
+    a = tuple(np.atleast_1d(a).tolist())
+    padlen = 3 * max(len(a), len(b))
+    if x.shape[-1] <= padlen:
+        raise ValueError(
+            f"The length of the input vector must be greater than padlen ({padlen}).")
+    zi = jnp.asarray(lfilter_zi(b, a), x.dtype)
+    ext = _odd_ext(x, padlen)
+    y = lfilter(b, a, ext, zi * ext[..., :1], method=method)
+    y = y[..., ::-1]
+    y = lfilter(b, a, y, zi * y[..., :1], method=method)
+    y = y[..., ::-1]
+    return y[..., padlen:-padlen]
+
+
+def wiener(x: jnp.ndarray, mysize: int = 3) -> jnp.ndarray:
+    """Local-statistics Wiener filter (scipy.signal.wiener 1-D semantics,
+    noise power estimated as the mean local variance)."""
+    ones = jnp.ones(mysize, x.dtype)
+    pad = mysize // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, mysize - 1 - pad)])
+    l_mean = _conv_valid(xp, ones) / mysize
+    xp2 = jnp.pad(x * x, [(0, 0)] * (x.ndim - 1) + [(pad, mysize - 1 - pad)])
+    l_var = _conv_valid(xp2, ones) / mysize - l_mean * l_mean
+    noise = jnp.mean(l_var, axis=-1, keepdims=True)
+    res = l_mean + (x - l_mean) * (1.0 - noise / jnp.where(l_var == 0, 1.0, l_var))
+    return jnp.where(l_var < noise, l_mean, res)
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher (reference signal_processing.py:109-138)
+# ---------------------------------------------------------------------------
+
+def noise_reduction(signal: jnp.ndarray, fs: float, method: str = "butterworth",
+                    lowcut: float = 300.0, highcut: float = 3400.0,
+                    filter_order: int = 101,
+                    lfilter_method: str = "prefix") -> jnp.ndarray:
+    """Bandpass/Wiener noise reduction with the reference's defaults."""
+    nyquist = 0.5 * fs
+    if method == "butterworth":
+        b, a = butter_bandpass(5, lowcut / nyquist, highcut / nyquist)
+        return filtfilt(b, a, signal, method=lfilter_method)
+    if method == "fir":
+        taps = firwin_bandpass(filter_order, lowcut / nyquist, highcut / nyquist)
+        return filtfilt(taps, (1.0,), signal, method=lfilter_method)
+    if method == "wiener":
+        return wiener(signal)
+    raise ValueError(
+        "Unknown filter method. Available methods: 'butterworth', 'fir', 'wiener'")

@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh with
+float64 enabled, so golden tests compare against the NumPy/SciPy oracle at
+full precision (SURVEY.md §4).  The real-TPU path is exercised by bench.py
+and __graft_entry__.py, not the unit suite."""
+
+import os
+
+# The session environment pins JAX_PLATFORMS to the TPU tunnel ('axon');
+# the unit suite must run on the virtual CPU mesh, so override outright.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon plugin rewrites jax_platforms to "axon,cpu" at import time, so the
+# env var alone is not enough — force the config after import.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,168 @@
+"""Golden + physics tests for the GCC-PHAT kernel and TDOA extraction
+(reference: utils.py:108-181)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal
+
+from pyaudiolocalization_tpu.ops import gccphat, peaks as peaks_ops
+from pyaudiolocalization_tpu.models import tdoa
+
+
+def ref_phat(sig1, sig2):
+    n = len(sig1) + len(sig2) - 1
+    S1 = np.fft.fft(sig1, n=n)
+    S2 = np.fft.fft(sig2, n=n)
+    R = S1 * np.conj(S2)
+    R /= np.abs(R) + 1e-10
+    return np.fft.ifft(R).real
+
+
+def ref_get_time_delays(sig1, sig2, fs, num_peaks=1, max_expected_delay=None):
+    """NumPy re-implementation of get_time_delays_phat's ladder
+    (utils.py:121-181) using scipy find_peaks as the oracle."""
+    corr = ref_phat(sig1, sig2)
+    lags = scipy.signal.correlation_lags(len(sig1), len(sig2), mode="full")
+    time_lags = np.concatenate([lags, np.arange(len(corr) - len(lags))]) / fs \
+        if len(lags) < len(corr) else lags[:len(corr)] / fs
+    threshold = np.median(np.abs(corr))
+    dist = int(fs * 0.001)
+    peaks, props = scipy.signal.find_peaks(corr, height=threshold, distance=dist)
+    if len(peaks) == 0:
+        alt = np.mean(np.abs(corr))
+        peaks, props = scipy.signal.find_peaks(corr, height=alt, distance=dist)
+        if len(peaks) == 0:
+            return [time_lags[np.argmax(corr)]]
+    if max_expected_delay is not None:
+        valid = [i for i in range(len(peaks))
+                 if abs(time_lags[peaks[i]]) <= max_expected_delay]
+        if not valid:
+            alt = np.mean(np.abs(corr))
+            peaks, props = scipy.signal.find_peaks(corr, height=alt, distance=dist)
+            valid = [i for i in range(len(peaks))
+                     if abs(time_lags[peaks[i]]) <= max_expected_delay]
+            if not valid:
+                return [time_lags[np.argmax(corr)]]
+        peaks = peaks[valid]
+        props["peak_heights"] = props["peak_heights"][valid]
+    order = np.argsort(props["peak_heights"], kind="stable")[::-1]
+    return list(time_lags[peaks[order][:num_peaks]])
+
+
+def test_phat_correlation_matches_reference(rng):
+    s1 = rng.normal(size=700)
+    s2 = rng.normal(size=650)
+    expected = ref_phat(s1, s2)
+    got = np.asarray(gccphat.phat_correlation(jnp.asarray(s1), jnp.asarray(s2)))
+    np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+def test_all_pairs_matches_single(rng):
+    m, n = 4, 512
+    sigs = rng.normal(size=(m, n))
+    pairs = [(i, j) for i in range(m) for j in range(i + 1, m)]
+    pi = np.array([p[0] for p in pairs])
+    pj = np.array([p[1] for p in pairs])
+    got = np.asarray(gccphat.gcc_phat_all_pairs(jnp.asarray(sigs), pi, pj))
+    for k, (i, j) in enumerate(pairs):
+        np.testing.assert_allclose(got[k], ref_phat(sigs[i], sigs[j]), atol=1e-10)
+
+
+def test_physical_lag_decodes_true_delay(rng):
+    """A known integer delay must decode exactly in physical mode (the
+    reference's mapping is off by n2-1 — SURVEY.md Q1)."""
+    n, d = 800, 20
+    base = rng.normal(size=n)
+    s1 = base
+    s2 = np.roll(base, d)  # s2 delayed by d relative to s1
+    corr = np.asarray(gccphat.phat_correlation(jnp.asarray(s1), jnp.asarray(s2)))
+    k = int(np.argmax(corr))
+    lags_phys = gccphat.lags_physical(n, len(corr))
+    assert lags_phys[k] == -d
+    # reference mapping reports k - (n2-1) instead
+    lags_ref = gccphat.lags_reference(n, n, len(corr))
+    assert lags_ref[k] == k - (n - 1)
+
+
+def test_padded_fft_keeps_peak_location(rng):
+    n, d = 500, 37
+    base = rng.normal(size=n)
+    s2 = np.roll(base, d)
+    exact = np.asarray(gccphat.phat_correlation(jnp.asarray(base), jnp.asarray(s2)))
+    padded = np.asarray(gccphat.phat_correlation(
+        jnp.asarray(base), jnp.asarray(s2), nfft=2048))
+    k_e = np.argmax(exact)
+    k_p = np.argmax(padded)
+    assert gccphat.lags_physical(n, len(exact))[k_e] == \
+        gccphat.lags_physical(n, 2048)[k_p] == -d
+
+
+def test_select_peaks_matches_scipy_find_peaks(rng):
+    x = rng.normal(size=300).cumsum()
+    x = x - np.linspace(0, x[-1], len(x))
+    for threshold in [np.median(np.abs(x)), np.mean(np.abs(x))]:
+        for dist in [1, 5, 20]:
+            ref_peaks, props = scipy.signal.find_peaks(x, height=threshold,
+                                                       distance=dist)
+            pos, heights, keep = peaks_ops.select_peaks(
+                jnp.asarray(x), jnp.asarray(threshold), dist, k=64)
+            got = np.sort(np.asarray(pos)[np.asarray(keep)])
+            np.testing.assert_array_equal(got, ref_peaks)
+
+
+@pytest.mark.parametrize("max_delay", [None, 0.05, 0.001])
+def test_tdoa_ladder_matches_reference(rng, max_delay):
+    fs = 8000.0
+    n = 1200
+    base = rng.normal(size=n)
+    for d in [0, 15, -40]:
+        s1 = base + 0.05 * rng.normal(size=n)
+        s2 = np.roll(base, d) + 0.05 * rng.normal(size=n)
+        expected = ref_get_time_delays(s1, s2, fs, max_expected_delay=max_delay)
+        res = tdoa.get_time_delays_phat(
+            jnp.asarray(s1), jnp.asarray(s2), fs,
+            max_expected_delay=max_delay, lag_mode="reference")
+        got = np.asarray(res.delays)[np.asarray(res.valid)]
+        np.testing.assert_allclose(np.sort(got), np.sort(expected), atol=1e-12)
+
+
+def test_metrics_match_reference(rng):
+    n = 2048
+    s1 = rng.normal(size=n)
+    s2 = np.roll(s1, 10) + 0.1 * rng.normal(size=n)
+    corr = ref_phat(s1, s2)
+    # peak-to-peak
+    ref_ppr = np.max(corr) / abs(np.min(corr))
+    got_ppr = float(tdoa.peak_to_peak_ratio(jnp.asarray(corr)))
+    np.testing.assert_allclose(got_ppr, ref_ppr, rtol=1e-10)
+    # snr (reference utils.py:238-250)
+    peak = np.max(corr)
+    pidx = np.argmax(corr)
+    w = max(1, int(0.01 * len(corr)))
+    start, end = max(0, pidx - w), min(len(corr), pidx + w)
+    noise = np.std(np.concatenate((corr[:start], corr[end:])))
+    ref_snr = peak / noise
+    got_snr = float(tdoa.correlation_snr(jnp.asarray(corr)))
+    np.testing.assert_allclose(got_snr, ref_snr, rtol=1e-8)
+
+
+def test_bootstrap_significance_behaves(rng):
+    """Correlated pair -> peak above null threshold; the threshold itself is
+    a high percentile of the permutation null (can't match the reference's
+    unseeded RNG bitwise, so test the statistics)."""
+    fs = 8000.0
+    n = 1024
+    base = rng.normal(size=n)
+    s1 = base
+    s2 = np.roll(base, 7)
+    thr = float(tdoa.bootstrap_significance(
+        jnp.asarray(s1), jnp.asarray(s2), jax.random.PRNGKey(0),
+        num_bootstrap=200))
+    peak = np.max(ref_phat(s1, s2))
+    assert 0 < thr < peak
+    snr, sig = tdoa.significance_test(
+        jnp.asarray(ref_phat(s1, s2)), jnp.asarray(s1), jnp.asarray(s2),
+        jax.random.PRNGKey(1), num_bootstrap=200)
+    assert bool(sig)
