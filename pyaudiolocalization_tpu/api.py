@@ -1,0 +1,351 @@
+"""Public API: the reference-compatible entry points.
+
+``localize_sound_source(config, ...)`` and
+``simulate_signals_with_multipath(...)`` preserve the reference's call
+shapes and result dict (reference: main.py:66-333); ``run_calibration`` is
+re-exported from models/calibration.  Host code here only orchestrates:
+everything numeric runs inside one jitted estimation core per static
+configuration — the reference's per-pair Python loops (main.py:202-228) and
+per-guess solver restarts (main.py:261-274) are vmapped device axes.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import acoustics
+from .models import solver as solver_ops
+from .models import tdoa as tdoa_ops
+from .models.calibration import run_calibration  # re-export  # noqa: F401
+from .models.simulator import simulate_signals
+from .models.sync import synchronize_signals
+from .ops import gccphat
+from .ops import filters as filter_ops
+from .ops.fftutils import fft_length
+from .utils.audio_io import read_audio_files
+from .utils.config import SceneConfig, LocalizationConfig
+from .utils.materials import MaterialTable, default_table, material_properties
+from .utils import plotting
+
+logger = logging.getLogger(__name__)
+
+
+def simulate_signals_with_multipath(source_pos,
+                                    mic_positions,
+                                    fs,
+                                    c,
+                                    duration: float = 1.0,
+                                    signal_type: str = "sine",
+                                    freq: float = 1000.0,
+                                    reflective_planes=None,
+                                    material_properties: Optional[Mapping] = None,
+                                    max_reflections: int = 2,
+                                    absorption_threshold: float = 0.01,
+                                    trim_to_duration: bool = True,
+                                    key: Optional[jax.Array] = None,
+                                    dtype=None) -> List[np.ndarray]:
+    """Reference-signature wrapper (main.py:66-79): returns a list of per-mic
+    numpy arrays like the reference."""
+    table = MaterialTable.from_dict(material_properties) \
+        if material_properties is not None else default_table()
+    planes = reflective_planes or []
+    coeffs = np.array([p["plane"] for p in planes], float).reshape(len(planes), 4) \
+        if planes else np.zeros((0, 4))
+    mat_ids = np.array([table.id_of(p.get("material", "air"), strict=True)
+                        for p in planes], np.int32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sigs = simulate_signals(
+        source_pos, mic_positions, fs, c, duration, signal_type, freq,
+        coeffs, mat_ids,
+        jnp.asarray(table.absorption), jnp.asarray(table.freq),
+        max_reflections, absorption_threshold, trim_to_duration, key=key,
+        dtype=dtype)
+    return [np.asarray(s) for s in sigs]
+
+
+# ---------------------------------------------------------------------------
+# Jitted estimation core
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "pairs_i", "pairs_j", "nfft", "filter_method",
+                     "lag_mode", "max_expected_delay", "analyze",
+                     "num_bootstrap", "clustering_method", "eps",
+                     "min_samples", "use_calibration"))
+def _estimation_core(signals: jnp.ndarray,
+                     mic_positions: jnp.ndarray,
+                     c: jnp.ndarray,
+                     calib_delays: jnp.ndarray,
+                     key: jax.Array,
+                     *,
+                     fs: float,
+                     pairs_i: Tuple[int, ...],
+                     pairs_j: Tuple[int, ...],
+                     nfft: int,
+                     filter_method: str,
+                     lag_mode: str,
+                     max_expected_delay: Optional[float],
+                     analyze: bool,
+                     num_bootstrap: int,
+                     clustering_method: str,
+                     eps: float,
+                     min_samples: int,
+                     use_calibration: bool) -> Dict[str, jnp.ndarray]:
+    """Filter -> all-pairs GCC-PHAT -> TDOA ladder -> (metrics) -> clustered
+    init -> bounds -> weighted multi-start LM.  One XLA graph."""
+    pi = np.asarray(pairs_i, np.int32)
+    pj = np.asarray(pairs_j, np.int32)
+    n = signals.shape[-1]
+
+    filtered = filter_ops.noise_reduction(signals, fs, method=filter_method)
+
+    corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=nfft)  # (P, nfft)
+    res = tdoa_ops.time_delays_from_corr(
+        corr, n, n, fs, num_peaks=1, max_expected_delay=max_expected_delay,
+        lag_mode=lag_mode)
+    measured = res.delays[..., 0]                                 # (P,)
+    # Physical convention: td = arrival_j - arrival_i = -(peak lag)/fs,
+    # which is what the residual system (d_j - d_i) = c*td expects.
+    td = -measured if lag_mode == "physical" else measured
+    if use_calibration:
+        td = td - (jnp.take(calib_delays, pj) - jnp.take(calib_delays, pi))
+
+    peak_corr = jnp.max(corr, -1)                                 # (P,)
+    num_mics = mic_positions.shape[0]
+    corr_matrix = jnp.zeros((num_mics, num_mics), corr.dtype)
+    corr_matrix = corr_matrix.at[pi, pj].set(peak_corr).at[pj, pi].set(peak_corr)
+
+    k_metrics, k_cluster = jax.random.split(key)
+    if analyze:
+        snr = tdoa_ops.correlation_snr(corr)                      # (P,)
+        ppr = tdoa_ops.peak_to_peak_ratio(corr)
+        thresholds = jax.vmap(
+            lambda s1, s2, k: tdoa_ops.bootstrap_significance(
+                s1, s2, k, num_bootstrap=num_bootstrap, nfft=nfft)
+        )(jnp.take(filtered, pi, 0), jnp.take(filtered, pj, 0),
+          jax.random.split(k_metrics, pi.shape[0]))
+        significant = (peak_corr > thresholds) & (snr > 2.0)
+        # compute_weights (utils.py:484-497): snr normalized by its mean.
+        mean_snr = jnp.mean(snr)
+        weights = jnp.where(mean_snr != 0, snr / jnp.where(mean_snr == 0, 1, mean_snr),
+                            snr)
+    else:
+        snr = ppr = significant = None
+        weights = jnp.ones(pi.shape[0], signals.dtype)
+
+    guesses, _ = solver_ops.heuristic_initial_guesses(
+        mic_positions, pi, pj, td, c, k_cluster,
+        clustering_method=clustering_method, eps=eps, min_samples=min_samples)
+    lower, upper = solver_ops.dynamic_bounds(mic_positions, td, c)
+    guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
+    best = solver_ops.multi_start_lm(
+        guesses, mic_positions, pi, pj, td, c, weights, lower, upper)
+
+    out = {
+        "estimated_position": best.x,
+        "cost": best.cost,
+        "tdoas": td,
+        "measured_delays": measured,
+        "correlation_matrix": corr_matrix,
+        "corr": corr,
+        "weights": weights,
+        "lower": lower,
+        "upper": upper,
+        "initial_guesses": guesses,
+    }
+    if analyze:
+        out.update({"snr": snr, "peak_to_peak_ratio": ppr,
+                    "significant": significant})
+    return out
+
+
+def localize_sound_source(config,
+                          calibration_data=None,
+                          audio_files=None,
+                          use_simulation: bool = True,
+                          show_plots: bool = True,
+                          key: Optional[jax.Array] = None,
+                          dtype=None,
+                          signals: Optional[Sequence] = None) -> Dict[str, Any]:
+    """Full localization pipeline with the reference's public contract
+    (main.py:126-333): same config keys, same result dict keys.
+
+    Extensions: ``config['localization']['lag_mode']`` ('physical' default,
+    'reference' for defect-exact parity), ``sync_mode`` ('reference'
+    default, 'none' to skip the TDOA-cancelling pre-sync — SURVEY.md Q4),
+    ``num_bootstrap``, an explicit PRNG ``key``, and ``signals`` to inject
+    pre-recorded per-mic waveforms directly (bypasses simulation/file I/O).
+    """
+    scene = config if isinstance(config, SceneConfig) else SceneConfig.from_dict(config)
+    loc = scene.localization
+    fs = scene.fs
+    mic_positions = scene.mic_positions
+    num_mics = scene.num_mics
+    if key is None:
+        key = jax.random.PRNGKey(scene.seed)
+    k_sim, k_core, k_de = jax.random.split(key, 3)
+
+    # Calibration-delay vector extraction (main.py:147-157).
+    calib_delays = None
+    if calibration_data is not None:
+        if len(calibration_data) != num_mics:
+            logger.warning(
+                "Number of calibration entries does not match the number of "
+                "microphones. Ignoring calibration for this run.")
+        else:
+            try:
+                calib_delays = np.array(
+                    [d.get("delay", 0.0) for d in calibration_data], float)
+                logger.info("Applying calibration correction.")
+            except Exception as e:  # matches main.py:155-157
+                logger.warning("Error processing calibration data: %s. "
+                               "Ignoring calibration.", e)
+                calib_delays = None
+
+    c = float(acoustics.speed_of_sound(scene.celsius, scene.humidity))
+    logger.info("Computed speed of sound: %.2f m/s", c)
+
+    if signals is not None:
+        if len(signals) != num_mics:
+            raise ValueError(
+                "The number of injected signals must match the number of "
+                "microphones.")
+        signal_list = [jnp.asarray(s, dtype) if dtype else jnp.asarray(s)
+                       for s in signals]
+        logger.info("Using injected signals.")
+    elif use_simulation:
+        if scene.source_position is None:
+            raise ValueError(
+                "source_position must be provided when use_simulation=True.")
+        sigs = simulate_signals(
+            scene.source_position, mic_positions, fs, c, scene.duration,
+            scene.signal_type, scene.freq, scene.plane_coeffs,
+            scene.plane_material_ids,
+            jnp.asarray(scene.materials.absorption),
+            jnp.asarray(scene.materials.freq),
+            loc.max_reflections, loc.absorption_threshold,
+            trim_to_duration=True, key=k_sim, dtype=dtype)
+        signal_list = [sigs[i] for i in range(num_mics)]
+        logger.info("Simulated signals generated.")
+    else:
+        if audio_files is None:
+            raise ValueError(
+                "Audio files must be provided when use_simulation=False.")
+        if len(audio_files) != num_mics:
+            raise ValueError(
+                "The number of audio files must match the number of microphones.")
+        signal_list = read_audio_files(audio_files, fs, dtype=dtype)
+        logger.info("Real audio data loaded.")
+
+    if loc.sync_mode == "reference":
+        signal_list = synchronize_signals(signal_list, fs)
+        logger.info("Signals synchronized.")
+    signals = jnp.stack(signal_list)
+
+    pairs = scene.mic_pairs
+    pairs_i = tuple(p[0] for p in pairs)
+    pairs_j = tuple(p[1] for p in pairs)
+    n = signals.shape[-1]
+    nfft = fft_length(n, n, "exact" if loc.lag_mode == "reference" else "pow2")
+
+    core = _estimation_core(
+        signals, jnp.asarray(mic_positions, signals.dtype),
+        jnp.asarray(c, signals.dtype),
+        jnp.asarray(calib_delays if calib_delays is not None
+                    else np.zeros(num_mics), signals.dtype),
+        k_core,
+        fs=fs, pairs_i=pairs_i, pairs_j=pairs_j, nfft=nfft,
+        filter_method=loc.filter_method, lag_mode=loc.lag_mode,
+        max_expected_delay=loc.max_expected_delay,
+        analyze=loc.analyze_correlation, num_bootstrap=loc.num_bootstrap,
+        clustering_method=loc.clustering_method, eps=loc.clustering_eps,
+        min_samples=loc.clustering_min_samples,
+        use_calibration=calib_delays is not None)
+
+    estimated = np.asarray(core["estimated_position"])
+    cost = float(core["cost"])
+    td_np = np.asarray(core["tdoas"])
+    for (i, j), td in zip(pairs, td_np):
+        logger.info("Time difference for mic pair %d-%d: %.6f s", i + 1, j + 1, td)
+        logger.info("Distance difference for mic pair %d-%d: %.3f m",
+                    i + 1, j + 1, c * td)
+
+    # DE fallback mirrors main.py:276-298: only when LM produced no usable
+    # solution.
+    if not np.isfinite(cost):
+        logger.warning("Least-squares failed, trying differential evolution.")
+        pi = np.asarray(pairs_i, np.int32)
+        pj = np.asarray(pairs_j, np.int32)
+        weights = core["weights"]
+
+        def objective(x):
+            r = solver_ops.tdoa_residuals(
+                x, jnp.asarray(mic_positions, signals.dtype), pi, pj,
+                jnp.asarray(td_np, signals.dtype), c, weights)
+            return jnp.sum(r * r)
+
+        lower, upper = core["lower"], core["upper"]
+
+        def polish(x):
+            res = solver_ops.lm_solve(
+                x, jnp.asarray(mic_positions, signals.dtype), pi, pj,
+                jnp.asarray(td_np, signals.dtype), c, weights, lower, upper)
+            return res.x, res.cost
+
+        de = solver_ops.differential_evolution(
+            objective, lower, upper, k_de, polish_fn=polish)
+        if np.isfinite(float(de.energy)):
+            estimated = np.asarray(de.x)
+            logger.info("Estimated source (differential evolution): %s", estimated)
+        else:
+            logger.error("Differential evolution failed. Falling back to the "
+                         "first initial guess.")
+            estimated = np.asarray(core["initial_guesses"])[0]
+    else:
+        logger.info("Estimated source: (%.3f, %.3f, %.3f) m", *estimated)
+
+    correlation_metrics = None
+    if loc.analyze_correlation:
+        correlation_metrics = {
+            (i, j): {
+                "peak_to_peak_ratio": float(np.asarray(core["peak_to_peak_ratio"])[k]),
+                "snr": float(np.asarray(core["snr"])[k]),
+                "significant": bool(np.asarray(core["significant"])[k]),
+            }
+            for k, (i, j) in enumerate(pairs)
+        }
+        for pair, metrics in correlation_metrics.items():
+            logger.info("Cross-correlation metrics for mic pair %d-%d: %s",
+                        pair[0] + 1, pair[1] + 1, metrics)
+
+    corr_matrix = np.asarray(core["correlation_matrix"])
+    if use_simulation:
+        plotting.plot_localization_3d(mic_positions, scene.source_position,
+                                      estimated, show_plot=show_plots)
+    if loc.visualize_correlation:
+        plotting.plot_correlation_heatmap(
+            corr_matrix, mic_positions, show_plot=show_plots,
+            save_path="heatmap.png")
+        plotting.plot_correlation_3d(
+            [np.asarray(c_) for c_ in core["corr"]], list(pairs), fs,
+            show_plot=show_plots, save_path="correlation_3d.png")
+
+    return {
+        "estimated_position": estimated,
+        "actual_position": scene.source_position if use_simulation else None,
+        "mic_positions": mic_positions,
+        "correlation_metrics": correlation_metrics,
+        "correlation_matrix": corr_matrix if loc.visualize_correlation else None,
+        "calibration_data": calibration_data,
+        # Rebuild extensions (not in the reference dict):
+        "tdoas": td_np,
+        "cost": cost,
+    }

@@ -1,0 +1,134 @@
+"""Multipath scene simulator: one frequency-domain render per mic.
+
+Counterpart of ``simulate_signals_with_multipath`` (reference:
+main.py:66-124), which loops fractional_delay per (mic, path) — one 2N FFT
+pair per path.  Here all paths render as phase ramps against a single base
+spectrum and sum in the frequency domain (ops/delay.delay_and_sum), then
+per-mic normalize + compress, matching the reference's output bit-for-fp.
+
+Two entry points:
+  * ``render_scene`` — fully jitted, static total_samples, masked paths;
+    vmappable over scene batches for the Monte-Carlo sweep.
+  * ``simulate_signals`` — host wrapper with the reference's data-dependent
+    padding rule total = int((duration + max_delay)*fs) for concrete scenes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import signal as sig_ops
+from ..ops.delay import delay_and_sum
+from . import acoustics
+
+AIR_ID = 0  # MaterialTable guarantees the fallback material at row 0.
+
+
+class ScenePaths(NamedTuple):
+    delays: jnp.ndarray   # (M, 1 + I) seconds; column 0 = direct path
+    gains: jnp.ndarray    # (M, 1 + I) attenuation * acceptance mask
+
+
+def scene_paths(source: jnp.ndarray,
+                mic_positions: jnp.ndarray,
+                c,
+                frequency,
+                images: acoustics.ImageSources,
+                absorption_table: jnp.ndarray,
+                freq_table: jnp.ndarray) -> ScenePaths:
+    """Delay/gain matrix for the direct path + every (masked) image source
+    (reference main.py:104-118 semantics: direct uses 'air', each image its
+    plane's material)."""
+    d_direct = jnp.linalg.norm(source[None, :] - mic_positions, axis=-1)  # (M,)
+    a_direct = acoustics.calculate_attenuation(
+        d_direct, AIR_ID, frequency, absorption_table, freq_table)
+    if images.positions.shape[0] == 0:
+        return ScenePaths(d_direct[:, None] / c, a_direct[:, None])
+    d_img = jnp.linalg.norm(
+        images.positions[None, :, :] - mic_positions[:, None, :], axis=-1)  # (M, I)
+    a_img = acoustics.calculate_attenuation(
+        d_img, images.material_ids[None, :], frequency,
+        absorption_table, freq_table)
+    gains_img = a_img * images.accepted[None, :]
+    delays = jnp.concatenate([d_direct[:, None], d_img], 1) / c
+    gains = jnp.concatenate([a_direct[:, None], gains_img], 1)
+    return ScenePaths(delays, gains)
+
+
+@functools.partial(jax.jit, static_argnames=("total_samples", "out_samples"))
+def render_scene(base_signal: jnp.ndarray,
+                 paths_delays: jnp.ndarray,
+                 paths_gains: jnp.ndarray,
+                 fs: float,
+                 total_samples: int,
+                 out_samples: int) -> jnp.ndarray:
+    """Render (M, out_samples) mic signals: pad base to total_samples
+    (main.py:102-103), delay-and-sum all paths, trim (main.py:119-120),
+    normalize + compress per mic (main.py:121-122)."""
+    padded = jnp.zeros(total_samples, base_signal.dtype).at[
+        : base_signal.shape[0]].set(base_signal)
+    sigs = delay_and_sum(padded, paths_delays, paths_gains, fs)
+    sigs = sigs[:, :out_samples]
+    return sig_ops.dynamic_range_compression(sig_ops.normalize_signal(sigs))
+
+
+def simulate_signals(source_pos,
+                     mic_positions,
+                     fs: float,
+                     c: float,
+                     duration: float = 1.0,
+                     signal_type: str = "sine",
+                     freq: float = 1000.0,
+                     plane_coeffs=None,
+                     plane_material_ids=None,
+                     absorption_table=None,
+                     freq_table=None,
+                     max_reflections: int = 2,
+                     absorption_threshold: float = 0.01,
+                     trim_to_duration: bool = True,
+                     key: Optional[jax.Array] = None,
+                     dtype=None) -> jnp.ndarray:
+    """Host-level scene simulation with the reference's concrete padding
+    rule.  Returns (M, samples)."""
+    dt = jnp.dtype(dtype) if dtype is not None else jnp.result_type(float)
+    source = jnp.asarray(np.asarray(source_pos), dt)
+    mics = jnp.asarray(np.asarray(mic_positions), dt)
+    if plane_coeffs is None or np.asarray(plane_coeffs).size == 0:
+        plane_coeffs = jnp.zeros((0, 4), dt)
+        plane_material_ids = jnp.zeros((0,), jnp.int32)
+    else:
+        plane_coeffs = jnp.asarray(np.asarray(plane_coeffs), dt)
+        plane_material_ids = jnp.asarray(np.asarray(plane_material_ids), jnp.int32)
+    if absorption_table is None:
+        from ..utils.materials import default_table
+        table = default_table()
+        absorption_table = jnp.asarray(table.absorption, dt)
+        freq_table = jnp.asarray(table.freq, dt)
+
+    base = sig_ops.generate_signal(signal_type, fs, duration, freq, key=key,
+                                   dtype=dt)
+    images = acoustics.image_sources(
+        source, plane_coeffs, plane_material_ids, mics, freq,
+        absorption_table, freq_table, max_reflections, absorption_threshold)
+    paths = scene_paths(source, mics, c, freq, images,
+                        absorption_table, freq_table)
+
+    # Reference padding rule (main.py:93-103): max delay over *accepted*
+    # image sources and the direct path — data-dependent, resolved here on
+    # the host for concrete scenes.
+    delays = np.asarray(paths.delays)
+    accepted = np.asarray(images.accepted)
+    active = np.concatenate(
+        [np.ones((delays.shape[0], 1), bool),
+         np.broadcast_to(accepted[None, :], (delays.shape[0], accepted.shape[0]))],
+        axis=1)[:, : delays.shape[1]]
+    max_delay = float(np.max(np.where(active, delays, 0.0)))
+    total_samples = int((duration + max_delay) * fs)
+    out_samples = int(duration * fs) if trim_to_duration else total_samples
+    return render_scene(base, paths.delays, paths.gains, fs,
+                        total_samples, out_samples)

@@ -1,0 +1,309 @@
+"""TDOA source-position solvers: weighted residuals, clustering-based
+initialization, bounds, vmapped Levenberg-Marquardt, and an on-device
+differential-evolution population.
+
+Counterpart of the reference's solver stack: the residual system
+(utils.py:384-405), hyperbola-midpoint initial guesses + clustering
+(utils.py:304-362), extended bounds (utils.py:364-382), the scipy
+least_squares restart loop (main.py:261-274) and the differential_evolution
+fallback (main.py:281-292).  TPU-first design: restarts are a vmapped LM
+with a static iteration count; DE is a resident (pop, 3) population evolved
+under lax.scan — no per-candidate host round trips.
+
+Sign convention: residual r = (||x - mic_j|| - ||x - mic_i||) - c * td,
+matching utils.py:398-404.  In 'physical' lag mode the TDOA fed here must be
+td = (arrival_j - arrival_i) = -(peak lag)/fs (see models/tdoa.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cluster as cluster_ops
+
+
+# ---------------------------------------------------------------------------
+# Residual system (utils.py:384-405)
+# ---------------------------------------------------------------------------
+
+def tdoa_residuals(x: jnp.ndarray, mic_positions: jnp.ndarray,
+                   pairs_i: jnp.ndarray, pairs_j: jnp.ndarray,
+                   tdoas: jnp.ndarray, c, weights: jnp.ndarray) -> jnp.ndarray:
+    """r_p = w_p * ((d_j - d_i) - c * td_p) for each pair p; x is (3,)."""
+    d = jnp.linalg.norm(x[None, :] - mic_positions, axis=-1)    # (M,)
+    di = jnp.take(d, pairs_i)
+    dj = jnp.take(d, pairs_j)
+    return weights * ((dj - di) - c * tdoas)
+
+
+def tdoa_residuals_and_jac(x, mic_positions, pairs_i, pairs_j, tdoas, c, weights):
+    """Closed-form residuals + Jacobian (P, 3):
+    dr/dx = w * ((x - mic_j)/d_j - (x - mic_i)/d_i)."""
+    diff = x[None, :] - mic_positions                            # (M, 3)
+    d = jnp.linalg.norm(diff, axis=-1)
+    unit = diff / jnp.maximum(d, 1e-12)[:, None]
+    di = jnp.take(d, pairs_i)
+    dj = jnp.take(d, pairs_j)
+    r = weights * ((dj - di) - c * tdoas)
+    jac = weights[:, None] * (jnp.take(unit, pairs_j, 0) - jnp.take(unit, pairs_i, 0))
+    return r, jac
+
+
+# ---------------------------------------------------------------------------
+# Initialization (utils.py:304-362) and bounds (utils.py:364-382)
+# ---------------------------------------------------------------------------
+
+def pair_guesses(mic_positions: jnp.ndarray, pairs_i: jnp.ndarray,
+                 pairs_j: jnp.ndarray, tdoas: jnp.ndarray, c
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hyperbola-midpoint guess per pair (utils.py:321-334): from the pair
+    midpoint, step (c|td|)/2 along -(mic_j - mic_i) when td > 0, else +.
+    Returns (guesses (P, 3), valid mask) — degenerate pairs (coincident
+    mics) are masked like the reference's `continue`."""
+    mi = jnp.take(mic_positions, pairs_i, 0)
+    mj = jnp.take(mic_positions, pairs_j, 0)
+    direction = mj - mi
+    norm = jnp.linalg.norm(direction, axis=-1)
+    valid = norm > 0
+    unit = direction / jnp.maximum(norm, 1e-300)[:, None]
+    midpoint = (mi + mj) / 2.0
+    offset = (c * jnp.abs(tdoas)) / 2.0
+    sign = jnp.where(tdoas > 0, -1.0, 1.0)
+    return midpoint + sign[:, None] * offset[:, None] * unit, valid
+
+
+def optimal_cluster_count(points: jnp.ndarray, valid: jnp.ndarray,
+                          key: jax.Array, max_clusters: int = 5,
+                          method: str = "kmeans", eps: float = 0.001,
+                          min_samples: int = 2) -> jnp.ndarray:
+    """Silhouette-selected cluster count (utils.py:273-302), branchless:
+    evaluate every k in 2..min(max_clusters, n) and pick the best score
+    (strict improvement, like the reference's `>`)."""
+    n = points.shape[0]
+    n_valid = jnp.sum(valid)
+    if method == "dbscan":
+        res = cluster_ops.dbscan(points, eps, min_samples, valid)
+        labels = jnp.maximum(res.labels, 0)
+        in_cluster = (res.labels >= 0) & valid
+        score = cluster_ops.silhouette_score(points, labels,
+                                             num_clusters=n, valid=in_cluster)
+        enough = jnp.sum(in_cluster) >= 2
+        return jnp.where(enough & (score > 0), res.num_clusters, 1)
+    best_k = jnp.asarray(1)
+    best_score = jnp.asarray(-1.0, points.dtype)
+    upper = min(max_clusters, n)
+    for k in range(2, upper + 1):
+        km = cluster_ops.kmeans(points, k, jax.random.fold_in(key, k),
+                                valid=valid)
+        score = cluster_ops.silhouette_score(points, km.labels, k, valid)
+        feasible = k <= n_valid
+        better = feasible & (score > best_score)
+        best_k = jnp.where(better, k, best_k)
+        best_score = jnp.where(better, score, best_score)
+    return jnp.where(n_valid < 2, 1, best_k)
+
+
+def heuristic_initial_guesses(mic_positions: jnp.ndarray,
+                              pairs_i: jnp.ndarray, pairs_j: jnp.ndarray,
+                              tdoas: jnp.ndarray, c, key: jax.Array,
+                              clustering_method: str = "kmeans",
+                              eps: float = 0.001, min_samples: int = 2,
+                              max_clusters: int = 5
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Clustered initial guesses + the mic centroid
+    (heuristic_initialization_adaptive, utils.py:304-362).
+
+    Returns (guesses, valid) with static shape (G, 3): G = max_clusters + 1
+    for kmeans, P + 1 for dbscan.  Invalid rows are filled with the centroid
+    (harmless duplicate restarts for the solver).
+    """
+    centroid = jnp.mean(mic_positions, 0)
+    points, pvalid = pair_guesses(mic_positions, pairs_i, pairs_j, tdoas, c)
+    n = points.shape[0]
+
+    if clustering_method == "kmeans":
+        num = optimal_cluster_count(points, pvalid, key, max_clusters,
+                                    "kmeans", eps, min_samples)
+        # k is data-dependent: evaluate centers for every k and select.
+        all_centers = []
+        all_valid = []
+        for k in range(1, max_clusters + 1):
+            kmk = cluster_ops.kmeans(points, k, jax.random.fold_in(key, 100 + k),
+                                     valid=pvalid)
+            pad = jnp.tile(centroid[None, :], (max_clusters - k, 1))
+            all_centers.append(jnp.concatenate([kmk.centers, pad], 0))
+            all_valid.append(jnp.arange(max_clusters) < k)
+        stacked = jnp.stack(all_centers)          # (K, max_clusters, 3)
+        stacked_valid = jnp.stack(all_valid)      # (K, max_clusters)
+        sel = jnp.clip(num - 1, 0, max_clusters - 1)
+        guesses = stacked[sel]
+        gvalid = stacked_valid[sel]
+    elif clustering_method == "dbscan":
+        res = cluster_ops.dbscan(points, eps, min_samples, pvalid)
+        # Mean of each cluster (utils.py:348-352); up to P clusters.
+        onehot = ((res.labels[:, None] == jnp.arange(n)[None, :]) &
+                  (res.labels[:, None] >= 0) & pvalid[:, None])
+        counts = jnp.sum(onehot, 0)
+        sums = onehot.T.astype(points.dtype) @ points
+        means = sums / jnp.maximum(counts, 1)[:, None]
+        gvalid = counts > 0
+        guesses = jnp.where(gvalid[:, None], means, centroid[None, :])
+        # Reference: empty clustering -> centroid only (utils.py:353-354).
+    else:
+        # Unknown method -> centroid only (utils.py:355-356).
+        guesses = jnp.tile(centroid[None, :], (1, 1))
+        gvalid = jnp.ones(1, bool)
+
+    # No valid pair guesses at all -> centroid only (utils.py:316-317,336-337).
+    any_pairs = jnp.any(pvalid)
+    guesses = jnp.where(any_pairs, guesses,
+                        jnp.broadcast_to(centroid, guesses.shape))
+    gvalid = jnp.where(any_pairs, gvalid,
+                       jnp.arange(guesses.shape[0]) < 1)
+
+    # Always append the centroid unless already present (utils.py:358-361).
+    present = jnp.any(gvalid & jnp.all(
+        jnp.abs(guesses - centroid[None, :]) <= 1e-6, -1))
+    guesses = jnp.concatenate([guesses, centroid[None, :]], 0)
+    gvalid = jnp.concatenate([gvalid, ~present[None]], 0)
+    guesses = jnp.where(gvalid[:, None], guesses, centroid[None, :])
+    return guesses, gvalid
+
+
+def dynamic_bounds(mic_positions: jnp.ndarray, tdoas: jnp.ndarray, c,
+                   buffer: float = 5.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extended per-axis box (dynamic_bounds_extended, utils.py:364-382):
+    mic min/max -/+ (buffer + max(75th pct of c|td|, 1.0))."""
+    margin_extra = jnp.percentile(c * jnp.abs(tdoas), 75.0)
+    margin = buffer + jnp.maximum(margin_extra, 1.0)
+    lower = jnp.min(mic_positions, 0) - margin
+    upper = jnp.max(mic_positions, 0) + margin
+    return lower, upper
+
+
+# ---------------------------------------------------------------------------
+# Bounded Levenberg-Marquardt, vmapped over restarts (main.py:261-274)
+# ---------------------------------------------------------------------------
+
+class LMResult(NamedTuple):
+    x: jnp.ndarray
+    cost: jnp.ndarray
+
+
+def lm_solve(x0: jnp.ndarray, mic_positions, pairs_i, pairs_j, tdoas, c,
+             weights, lower, upper, iters: int = 60,
+             lam0: float = 1e-3) -> LMResult:
+    """Projected Levenberg-Marquardt on the weighted TDOA system with a
+    static iteration count; cost = 0.5 * sum(r^2) (scipy's convention)."""
+
+    def cost_fn(x):
+        r = tdoa_residuals(x, mic_positions, pairs_i, pairs_j, tdoas, c, weights)
+        return 0.5 * jnp.sum(r * r)
+
+    def step(carry, _):
+        x, lam, cost = carry
+        r, jac = tdoa_residuals_and_jac(
+            x, mic_positions, pairs_i, pairs_j, tdoas, c, weights)
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        A = jtj + lam * jnp.diag(jnp.maximum(jnp.diag(jtj), 1e-12))
+        delta = jnp.linalg.solve(A, -jtr)
+        x_new = jnp.clip(x + delta, lower, upper)
+        new_cost = cost_fn(x_new)
+        accept = new_cost < cost
+        x = jnp.where(accept, x_new, x)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
+                        jnp.minimum(lam * 2.0, 1e12))
+        return (x, lam, cost), None
+
+    x0 = jnp.clip(x0, lower, upper)
+    init = (x0, jnp.asarray(lam0, x0.dtype), cost_fn(x0))
+    (x, _, cost), _ = jax.lax.scan(step, init, None, length=iters)
+    return LMResult(x, cost)
+
+
+def multi_start_lm(guesses: jnp.ndarray, mic_positions, pairs_i, pairs_j,
+                   tdoas, c, weights, lower, upper,
+                   iters: int = 60) -> LMResult:
+    """Vmapped restarts + argmin-cost selection (the reference's restart
+    loop, main.py:261-274)."""
+    solve = jax.vmap(lambda g: lm_solve(
+        g, mic_positions, pairs_i, pairs_j, tdoas, c, weights, lower, upper,
+        iters))
+    res = solve(guesses)
+    best = jnp.argmin(res.cost)
+    return LMResult(res.x[best], res.cost[best])
+
+
+# ---------------------------------------------------------------------------
+# Differential evolution (main.py:281-292), resident on device
+# ---------------------------------------------------------------------------
+
+class DEResult(NamedTuple):
+    x: jnp.ndarray
+    energy: jnp.ndarray
+
+
+def differential_evolution(objective, lower: jnp.ndarray, upper: jnp.ndarray,
+                           key: jax.Array, popsize: int = 15,
+                           maxiter: int = 1000, tol: float = 1e-6,
+                           mutation: Tuple[float, float] = (0.5, 1.0),
+                           recombination: float = 0.7,
+                           polish_fn=None) -> DEResult:
+    """best1bin DE with dithered mutation and latin-hypercube init, matching
+    the reference's scipy parameters (main.py:281-292); the population lives
+    on device and evolves under lax.while_loop with scipy's convergence rule
+    (std(energies) <= atol + tol*|mean(energies)|).
+    """
+    dim = lower.shape[0]
+    pop_n = popsize * dim
+    k_init, k_loop = jax.random.split(key)
+
+    # Latin hypercube init: stratified uniform samples, permuted per dim.
+    segs = (jnp.arange(pop_n) + jax.random.uniform(k_init, (dim, pop_n))) / pop_n
+    perms = jax.vmap(lambda k: jax.random.permutation(k, pop_n))(
+        jax.random.split(jax.random.fold_in(k_init, 1), dim))
+    samples = jnp.take_along_axis(segs, perms, 1).T        # (pop, dim)
+    pop = lower[None, :] + samples * (upper - lower)[None, :]
+    energies = jax.vmap(objective)(pop)
+
+    def converged(state):
+        _, _, energies, it = state
+        mean = jnp.mean(energies)
+        return (jnp.std(energies) <= 1e-8 + tol * jnp.abs(mean)) | (it >= maxiter)
+
+    def body(state):
+        key, pop, energies, it = state
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        best = pop[jnp.argmin(energies)]
+        f = jax.random.uniform(k1, (), minval=mutation[0], maxval=mutation[1])
+        # Two distinct random partners per member (approximate sampling
+        # without replacement via independent draws + reroll-free offset).
+        r1 = jax.random.randint(k2, (pop_n,), 0, pop_n)
+        r2 = (r1 + 1 + jax.random.randint(k3, (pop_n,), 0, pop_n - 1)) % pop_n
+        mutant = best[None, :] + f * (pop[r1] - pop[r2])
+        mutant = jnp.clip(mutant, lower[None, :], upper[None, :])
+        cross = jax.random.uniform(k4, (pop_n, dim)) < recombination
+        # binomial crossover: ensure at least one dim from the mutant.
+        forced = jax.random.randint(jax.random.fold_in(k4, 1), (pop_n,), 0, dim)
+        cross = cross.at[jnp.arange(pop_n), forced].set(True)
+        trial = jnp.where(cross, mutant, pop)
+        trial_e = jax.vmap(objective)(trial)
+        better = trial_e < energies
+        pop = jnp.where(better[:, None], trial, pop)
+        energies = jnp.where(better, trial_e, energies)
+        return (key, pop, energies, it + 1)
+
+    state = (k_loop, pop, energies, jnp.asarray(0))
+    state = jax.lax.while_loop(lambda s: ~converged(s), body, state)
+    _, pop, energies, _ = state
+    best_idx = jnp.argmin(energies)
+    x, e = pop[best_idx], energies[best_idx]
+    if polish_fn is not None:  # scipy polish=True runs L-BFGS-B; we polish
+        x, e = polish_fn(x)    # with the same bounded LM used elsewhere
+    return DEResult(x, e)

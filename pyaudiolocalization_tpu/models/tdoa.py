@@ -51,7 +51,15 @@ def time_delays_from_corr(corr: jnp.ndarray,
     """Extract up to ``num_peaks`` delays per row of ``corr`` (circular-order
     whitened correlation, last axis length n)."""
     n = corr.shape[-1]
-    lags = gccphat.lag_axis(lag_mode, n1, n2, n)
+    if lag_mode == "physical":
+        # Center lag 0 so true peaks near zero delay are interior samples —
+        # on the raw circular array they sit at the edges, where local-maxima
+        # detection (like scipy's, utils.py:152) cannot see them.
+        shift = n // 2
+        corr = jnp.roll(corr, shift, axis=-1)
+        lags = np.arange(n) - shift
+    else:
+        lags = gccphat.lag_axis(lag_mode, n1, n2, n)
     time_lags = jnp.asarray(lags, corr.dtype) / fs
 
     abs_corr = jnp.abs(corr)

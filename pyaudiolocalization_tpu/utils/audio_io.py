@@ -1,0 +1,109 @@
+"""Audio file ingestion (host-side I/O, device-side post-processing).
+
+Counterpart of ``read_audio_files`` (reference: utils.py:459-482), which
+uses soundfile + resampy.  soundfile is not available in this environment,
+so WAV decoding is a small self-contained RIFF parser (PCM 8/16/24/32-bit
+and IEEE float 32/64); if soundfile happens to be importable it is used for
+non-WAV formats.  Resampling uses ops/resample (Kaiser-windowed sinc).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import signal as sig_ops
+from ..ops.resample import resample
+
+try:  # pragma: no cover - optional dependency
+    import soundfile as _soundfile
+except Exception:  # pragma: no cover
+    _soundfile = None
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE file to (samples (frames, channels) float64, fs).
+
+    Supports PCM 8 (unsigned) / 16 / 24 / 32-bit and IEEE float 32/64.
+    Integer formats are scaled to [-1, 1) like soundfile's float output.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise RuntimeError(f"Not a RIFF/WAVE file: {path}")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise RuntimeError(f"Missing fmt/data chunk in WAV: {path}")
+    audio_format, channels, fs, _, block_align, bits = fmt
+    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1  # subformat GUID parsing skipped; PCM assumed
+    if audio_format == 1:  # PCM
+        if bits == 8:
+            raw = np.frombuffer(payload, np.uint8).astype(np.float64)
+            samples = (raw - 128.0) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(payload, "<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+            vals = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8) |
+                    (b[:, 2].astype(np.int32) << 16))
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            samples = vals.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(payload, "<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise RuntimeError(f"Unsupported PCM bit depth {bits} in {path}")
+    elif audio_format == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        samples = np.frombuffer(payload, dt).astype(np.float64)
+    else:
+        raise RuntimeError(f"Unsupported WAV format code {audio_format} in {path}")
+    frames = samples.reshape(-1, channels)
+    return frames, int(fs)
+
+
+def read_audio_file(path: str) -> Tuple[np.ndarray, int]:
+    """Read one audio file to (frames, channels) float64 + sample rate."""
+    if path.lower().endswith(".wav") or _soundfile is None:
+        return read_wav(path)
+    data, fs = _soundfile.read(path, always_2d=True)  # pragma: no cover
+    return np.asarray(data, np.float64), int(fs)
+
+
+def read_audio_files(audio_files: List[str], expected_fs: float,
+                     dtype=None) -> List[jnp.ndarray]:
+    """Read, mono-downmix (channel mean), resample to expected_fs, then
+    normalize + compress — matching utils.py:459-482 including its error
+    contract (FileNotFoundError / RuntimeError)."""
+    signals = []
+    for path in audio_files:
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"Audio file not found: {path}")
+        try:
+            frames, fs = read_audio_file(path)
+            mono = frames.mean(axis=1) if frames.shape[1] > 1 else frames[:, 0]
+            sig = jnp.asarray(mono, dtype) if dtype else jnp.asarray(mono)
+            if fs != expected_fs:
+                sig = resample(sig, fs, expected_fs)
+            sig = sig_ops.dynamic_range_compression(sig_ops.normalize_signal(sig))
+            signals.append(sig)
+        except FileNotFoundError:
+            raise
+        except Exception as e:
+            raise RuntimeError(f"Error reading audio file '{path}': {e}") from e
+    return signals

@@ -1,0 +1,168 @@
+"""End-to-end pipeline tests (reference main.py:126-347 behavior).
+
+Small scenes (8 kHz, 0.25 s) keep compile + run times reasonable on CPU;
+BASELINE config-1 physics (tetrahedral sine, free field) is covered both in
+compat ('reference') mode — where the equidistant default source must land
+on the circumcenter — and in physical mode, where off-center sources must
+actually localize (the reference cannot do this, SURVEY.md Q1/Q4/Q5).
+"""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+import pyaudiolocalization_tpu as pal
+from pyaudiolocalization_tpu.models.calibration import (
+    analyze_calibration, generate_calibration_signal, full_cross_correlation)
+from pyaudiolocalization_tpu.models.sync import synchronize_signals
+
+import jax.numpy as jnp
+import scipy.signal
+
+
+def small_config(**loc_overrides):
+    cfg = copy.deepcopy(pal.DEFAULT_CONFIG)
+    cfg["fs"] = 8000
+    cfg["duration"] = 0.25
+    loc = cfg["localization"]
+    loc["analyze_correlation"] = False
+    loc["visualize_correlation"] = False
+    loc.update(loc_overrides)
+    return cfg
+
+
+def test_default_scene_reference_mode():
+    """Compat mode on the default scene: at 8 kHz the defective reference
+    ladder yields garbage TDOAs for everyone (tests/test_reference_parity.py
+    proves ours are bit-identical to the reference's) — here we only check
+    the pipeline contract: finite cost, estimate within bounds, result keys."""
+    cfg = small_config(lag_mode="reference", sync_mode="reference")
+    res = pal.localize_sound_source(cfg, use_simulation=True, show_plots=False)
+    assert np.isfinite(res["cost"])
+    assert res["estimated_position"].shape == (3,)
+    assert res["actual_position"] is not None
+    assert res["correlation_metrics"] is None
+    assert res["correlation_matrix"] is None
+
+
+@pytest.mark.parametrize("source", [[0.2, 0.7, 0.4], [0.8, 0.3, 0.6]])
+def test_offcenter_source_physical_mode(source):
+    """Physical mode must localize off-center sources — the reference
+    collapses these to the circumcenter (SURVEY.md Q1/Q4/Q5)."""
+    cfg = small_config(lag_mode="physical", sync_mode="none",
+                       filter_method="wiener", max_expected_delay=0.05)
+    cfg["source_position"] = source
+    cfg["signal_type"] = "noise"
+    res = pal.localize_sound_source(cfg, use_simulation=True, show_plots=False,
+                                    key=jax.random.PRNGKey(7))
+    err = np.linalg.norm(res["estimated_position"] - np.array(source))
+    assert err < 0.1, f"err={err} for {source}"
+
+
+def test_analyze_correlation_metrics():
+    cfg = small_config(analyze_correlation=True, num_bootstrap=50)
+    res = pal.localize_sound_source(cfg, use_simulation=True, show_plots=False)
+    metrics = res["correlation_metrics"]
+    assert set(metrics.keys()) == {(i, j) for i in range(4) for j in range(i + 1, 4)}
+    for m in metrics.values():
+        assert set(m.keys()) == {"peak_to_peak_ratio", "snr", "significant"}
+
+
+def test_input_validation():
+    cfg = small_config()
+    cfg["source_position"] = None
+    with pytest.raises(ValueError):
+        pal.localize_sound_source(cfg, use_simulation=True, show_plots=False)
+    cfg2 = small_config()
+    with pytest.raises(ValueError):
+        pal.localize_sound_source(cfg2, use_simulation=False, show_plots=False)
+    with pytest.raises(ValueError):
+        pal.localize_sound_source(cfg2, use_simulation=False,
+                                  audio_files=["a.wav"], show_plots=False)
+
+
+def test_calibration_correction_applied():
+    """Calibration delays shift the TDOAs by calib[j]-calib[i]
+    (main.py:209-214)."""
+    cfg = small_config(lag_mode="physical", sync_mode="none")
+    base = pal.localize_sound_source(cfg, use_simulation=True, show_plots=False)
+    calib = [{"delay": 0.001 * i, "amplitude": 1.0} for i in range(4)]
+    res = pal.localize_sound_source(cfg, calibration_data=calib,
+                                    use_simulation=True, show_plots=False)
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    for k, (i, j) in enumerate(pairs):
+        expected = base["tdoas"][k] - (0.001 * j - 0.001 * i)
+        np.testing.assert_allclose(res["tdoas"][k], expected, atol=1e-9)
+
+
+def test_calibration_length_mismatch_ignored():
+    cfg = small_config()
+    calib = [{"delay": 0.0, "amplitude": 1.0}] * 3  # 3 != 4 mics
+    res = pal.localize_sound_source(cfg, calibration_data=calib,
+                                    use_simulation=True, show_plots=False)
+    assert res["estimated_position"].shape == (3,)
+
+
+def test_simulate_signals_with_multipath_reference_signature():
+    sigs = pal.simulate_signals_with_multipath(
+        [0.5, 0.5, 0.5],
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        8000.0, 343.0, duration=0.25, signal_type="sine", freq=1000,
+        reflective_planes=pal.DEFAULT_CONFIG["reflective_planes"],
+        material_properties=pal.material_properties,
+        max_reflections=3, absorption_threshold=0.01)
+    assert len(sigs) == 4
+    for s in sigs:
+        assert s.shape == (2000,)
+        assert np.max(np.abs(s)) <= 1.0 + 1e-9
+
+
+def test_run_calibration_shape_and_q2():
+    """run_calibration returns per-mic dicts; with default (underflowing)
+    materials the recordings are noise (SURVEY.md Q2) so estimated delays
+    are artifacts — large vs the true ~1-5 ms."""
+    cfg = copy.deepcopy(pal.DEFAULT_CONFIG)
+    cfg["fs"] = 8000
+    cfg["duration"] = 0.25
+    results, calib_signal, recordings = pal.run_calibration(cfg)
+    assert len(results) == 4
+    assert calib_signal.shape == (2000,)
+    assert np.asarray(recordings).shape == (4, 2000)
+    for r in results:
+        assert set(r.keys()) == {"delay", "amplitude"}
+
+
+def test_analyze_calibration_recovers_known_delay():
+    """With sane attenuation the correlation analysis must recover an
+    integer-sample delay exactly (calibration.py:42-51 semantics)."""
+    fs = 8000.0
+    calib = generate_calibration_signal(fs, 0.25)
+    delayed = jnp.roll(calib, 20)
+    res = analyze_calibration(delayed[None, :], calib, fs)
+    np.testing.assert_allclose(np.asarray(res.delays), [20 / fs], atol=1e-9)
+
+
+def test_full_cross_correlation_matches_scipy(rng):
+    a = rng.normal(size=300)
+    b = rng.normal(size=200)
+    ref = scipy.signal.correlate(a, b, mode="full")
+    got = np.asarray(full_cross_correlation(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_synchronize_signals_matches_reference_behavior(rng):
+    """The reference's sync pads the *late* signal even later (verified
+    against /root/reference/utils.py:407-457 this session: a +30-sample
+    delayed copy comes out at relative lag -60, i.e. the delay is doubled,
+    not cancelled — an extension of SURVEY.md Q4).  We reproduce that
+    behavior exactly in sync_mode='reference'."""
+    fs = 8000.0
+    base = rng.normal(size=2000)
+    shifted = np.concatenate([np.zeros(30), base])[:2000]
+    out = synchronize_signals([base, shifted], fs)
+    assert out[0].shape == out[1].shape == (2030,)
+    corr = np.asarray(full_cross_correlation(out[0], out[1]))
+    lag = np.argmax(np.abs(corr)) - (out[1].shape[-1] - 1)
+    assert lag == -60
