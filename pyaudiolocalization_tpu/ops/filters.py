@@ -36,9 +36,8 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def butter_bandpass(order: int, low: float, high: float) -> Tuple[tuple, tuple]:
-    """Digital Butterworth bandpass (b, a), cutoffs normalized to Nyquist
-    (scipy.butter(order, [low, high], btype='band') semantics)."""
+def _butter_bandpass_zpk(order: int, low: float, high: float):
+    """Digital Butterworth bandpass as z-domain zeros/poles/gain."""
     n = order
     # Analog lowpass prototype: unit-cutoff Butterworth poles, no zeros, k=1.
     k_idx = np.arange(1, n + 1)
@@ -64,9 +63,60 @@ def butter_bandpass(order: int, low: float, high: float) -> Tuple[tuple, tuple]:
     k_d = bp_gain * np.real(np.prod(fs2 - bp_zeros) / np.prod(fs2 - bp_poles))
     # Degree deficit -> zeros at z=-1.
     z_d = np.concatenate([z_d, -np.ones(len(p_d) - len(z_d))])
+    return z_d, p_d, float(k_d)
+
+
+@functools.lru_cache(maxsize=64)
+def butter_bandpass(order: int, low: float, high: float) -> Tuple[tuple, tuple]:
+    """Digital Butterworth bandpass (b, a), cutoffs normalized to Nyquist
+    (scipy.butter(order, [low, high], btype='band') semantics).
+
+    NOTE: the single direct-form realization of an order-2n narrowband filter
+    is numerically fragile (poles cluster near the unit circle); prefer
+    ``butter_bandpass_sos`` for actual filtering.
+    """
+    z_d, p_d, k_d = _butter_bandpass_zpk(order, low, high)
     b = np.real(k_d * np.poly(z_d))
     a = np.real(np.poly(p_d))
     return tuple(b.tolist()), tuple(a.tolist())
+
+
+@functools.lru_cache(maxsize=64)
+def butter_bandpass_sos(order: int, low: float, high: float) -> tuple:
+    """Butterworth bandpass as second-order sections.
+
+    Same transfer function as ``butter_bandpass`` but factored into
+    ``order`` biquads — each a conjugate pole pair with one zero at z=+1 and
+    one at z=-1 — with the gain spread evenly across sections.  This is the
+    numerically sound realization: each 2x2 state recurrence is
+    well-conditioned, so both the sequential scan and the parallel-prefix
+    evaluation stay finite in float32 where the order-2n direct form
+    overflows (poles at |p| ~ 0.99 make products of its 2n x 2n companion
+    matrices blow up transiently).  Returns ((b0,b1,b2,a0,a1,a2), ...).
+    """
+    z_d, p_d, k_d = _butter_bandpass_zpk(order, low, high)
+    # Upper-half-plane representative of each conjugate pole pair.  A digital
+    # Butterworth bandpass of analog order n has n such pairs (real poles
+    # only occur for degenerate band edges; pair them together then).
+    tol = 1e-12
+    upper = sorted([p for p in p_d if p.imag > tol], key=lambda p: abs(p))
+    reals = sorted([p.real for p in p_d if abs(p.imag) <= tol])
+    pole_pairs = [(p, np.conj(p)) for p in upper]
+    pole_pairs += [(reals[i], reals[i + 1]) for i in range(0, len(reals) - 1, 2)]
+    if 2 * len(pole_pairs) != len(p_d):
+        raise ValueError("unpaired pole while forming sections")
+    # Zeros are n at z=+1 and n at z=-1: one of each per section keeps every
+    # biquad a bandpass.  Sections ordered with poles closest to the unit
+    # circle last (standard cascade ordering for minimal peak round-off).
+    pole_pairs.sort(key=lambda pq: abs(abs(pq[0]) - 1.0), reverse=True)
+    k_sec = float(np.sign(k_d)) * abs(k_d) ** (1.0 / len(pole_pairs))
+    sos = []
+    for p, q in pole_pairs:
+        b = k_sec * np.poly([1.0, -1.0])          # (z-1)(z+1) = z^2 - 1
+        a = np.real(np.poly([p, q]))
+        sos.append((float(b[0]), float(b[1]), float(b[2]),
+                    float(a[0]), float(a[1]), float(a[2])))
+    return tuple(sos)
 
 
 @functools.lru_cache(maxsize=64)
@@ -120,7 +170,8 @@ def _df2t_matrices(b: tuple, a: tuple):
     M[:-1, 1:] += np.eye(n - 2)
     M[:, 0] -= aa[1:]
     kvec = bb[1:] - aa[1:] * bb[0]
-    return bb[0], M, kvec
+    # Plain float: a numpy f64 scalar would promote f32 signals to f64.
+    return float(bb[0]), M, kvec
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +289,43 @@ def filtfilt(b, a, x: jnp.ndarray, method: str = "prefix") -> jnp.ndarray:
     return y[..., padlen:-padlen]
 
 
+def sosfilt(sos: tuple, x: jnp.ndarray, x0=None,
+            method: str = "prefix") -> jnp.ndarray:
+    """Cascade of biquads along the last axis.  When ``x0`` is given, each
+    section starts from its steady state for a step of amplitude ``x0``
+    scaled by the DC gain of the sections before it (scipy ``sosfilt_zi``
+    semantics) — the cascade equivalent of lfilter's ``zi * x[0]``."""
+    y = x
+    gain_cum = 1.0
+    for sec in sos:
+        b, a = sec[:3], sec[3:]
+        zi = None
+        if x0 is not None:
+            zi = jnp.asarray(lfilter_zi(b, a), x.dtype) * (gain_cum * x0)
+            gain_cum *= sum(b) / sum(a)
+        y = lfilter(b, a, y, zi, method=method)
+    return y
+
+
+def filtfilt_sos(sos: tuple, x: jnp.ndarray,
+                 method: str = "prefix") -> jnp.ndarray:
+    """Zero-phase filtering through a biquad cascade with the same edge
+    protocol as ``filtfilt``: odd extension of 3*(2*nsections+1) samples
+    (== scipy's 3*max(len(a), len(b)) for the composed filter) and
+    steady-state initial conditions scaled by the first sample of each pass.
+    Stable in float32 where the direct-form ``filtfilt`` is not."""
+    padlen = 3 * (2 * len(sos) + 1)
+    if x.shape[-1] <= padlen:
+        raise ValueError(
+            f"The length of the input vector must be greater than padlen ({padlen}).")
+    ext = _odd_ext(x, padlen)
+    y = sosfilt(sos, ext, ext[..., :1], method=method)
+    y = y[..., ::-1]
+    y = sosfilt(sos, y, y[..., :1], method=method)
+    y = y[..., ::-1]
+    return y[..., padlen:-padlen]
+
+
 def wiener(x: jnp.ndarray, mysize: int = 3) -> jnp.ndarray:
     """Local-statistics Wiener filter (scipy.signal.wiener 1-D semantics,
     noise power estimated as the mean local variance)."""
@@ -263,8 +351,8 @@ def noise_reduction(signal: jnp.ndarray, fs: float, method: str = "butterworth",
     """Bandpass/Wiener noise reduction with the reference's defaults."""
     nyquist = 0.5 * fs
     if method == "butterworth":
-        b, a = butter_bandpass(5, lowcut / nyquist, highcut / nyquist)
-        return filtfilt(b, a, signal, method=lfilter_method)
+        sos = butter_bandpass_sos(5, lowcut / nyquist, highcut / nyquist)
+        return filtfilt_sos(sos, signal, method=lfilter_method)
     if method == "fir":
         taps = firwin_bandpass(filter_order, lowcut / nyquist, highcut / nyquist)
         return filtfilt(taps, (1.0,), signal, method=lfilter_method)

@@ -1,0 +1,22 @@
+"""Mesh-parallel scene sweeps (the rebuild's data-parallel axis — the
+reference has no distributed execution at all, SURVEY.md §2.4)."""
+
+from .sweep import (  # noqa: F401
+    SweepSpec,
+    SceneResult,
+    SweepSummary,
+    make_mesh,
+    run_scene,
+    localize_batch,
+    monte_carlo_sweep,
+)
+
+__all__ = [
+    "SweepSpec",
+    "SceneResult",
+    "SweepSummary",
+    "make_mesh",
+    "run_scene",
+    "localize_batch",
+    "monte_carlo_sweep",
+]

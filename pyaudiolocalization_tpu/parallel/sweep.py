@@ -1,0 +1,319 @@
+"""Monte-Carlo scene sweeps: thousands of simulate->localize pipelines as
+one XLA graph, sharded over a TPU mesh.
+
+This subsystem has no counterpart in the reference — it is the rebuild's
+data-parallel axis (SURVEY.md §2.4 item 6, §5.8): the reference is a serial
+single-scene script (main.py:335-347), so scaling it means batching *scenes*
+(randomized source positions, mic-geometry jitter, materials, SNR) with
+``vmap`` and sharding the scene axis over ``jax.sharding.Mesh`` devices with
+``jax.shard_map``.  The only collectives are metric reductions (``psum`` for
+RMSE/hit-rate) — there is no parameter state to synchronize in this
+workload, so everything rides ICI-friendly all-reduces over the scene axis.
+
+Key entry points:
+  * ``SweepSpec`` — static (hashable) scene-distribution description.
+  * ``run_scene`` — ONE fully-jitted simulate+estimate+solve pipeline
+    (the "forward step" of the flagship model).
+  * ``localize_batch`` — estimation-only batch over given signals (the
+    GCC-PHAT -> TDOA -> solver back half), used by bench.py.
+  * ``monte_carlo_sweep`` — the sharded sweep: scenes split over the mesh,
+    per-scene results gathered, summary statistics psum-reduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import acoustics
+from ..models import solver as solver_ops
+from ..models import tdoa as tdoa_ops
+from ..models.simulator import scene_paths, render_scene
+from ..ops import gccphat
+from ..ops import filters as filter_ops
+from ..ops import signal as sig_ops
+from ..ops.fftutils import fft_length
+
+SCENE_AXIS = "scenes"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis_name: str = SCENE_AXIS) -> Mesh:
+    """1-D device mesh over the scene (data-parallel) axis."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def _pairs(num_mics: int) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """All i<j mic pairs in the reference's loop order (main.py:202-203)."""
+    pi, pj = [], []
+    for i in range(num_mics):
+        for j in range(i + 1, num_mics):
+            pi.append(i)
+            pj.append(j)
+    return tuple(pi), tuple(pj)
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepSpec:
+    """Static description of a randomized-scene distribution.
+
+    Everything here determines shapes or is baked into the jitted graph, so
+    the dataclass is hashable and usable as a jit-static argument.  Arrays
+    (mic layout, planes) are stored as nested tuples for hashability.
+    """
+
+    fs: float = 44100.0
+    duration: float = 1.0
+    signal_type: str = "sine"
+    freq: float = 1000.0
+    mic_positions: tuple = (
+        (0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+    # Planes as ((a, b, c, d), ...) + per-plane material ids; empty = free field.
+    plane_coeffs: tuple = ()
+    plane_material_ids: tuple = ()
+    # Material tables (absorption, freq coefficient) indexed by material id.
+    # Defaults are per-meter-sane values (SURVEY.md Q2 rebuild policy), not
+    # the reference's underflowing Hz-scaled ones.
+    material_absorption: tuple = (0.01, 0.05, 0.1)
+    material_freq: tuple = (1e-5, 5e-5, 3e-5)
+    max_reflections: int = 0
+    absorption_threshold: float = 0.01
+    # Scene randomization: source uniform in [box_lo, box_hi]^3, Gaussian mic
+    # jitter, measurement noise at an SNR (dB) drawn uniformly per scene.
+    source_box_lo: tuple = (0.0, 0.0, 0.0)
+    source_box_hi: tuple = (1.0, 1.0, 1.0)
+    mic_jitter: float = 0.0
+    snr_db: Tuple[float, float] = (20.0, 40.0)
+    # Estimation knobs.
+    filter_method: str = "butterworth"
+    nfft_mode: str = "pow2"
+    temperature: float = 20.0
+    humidity: float = 50.0
+    # Extra seconds of propagation headroom baked into the render length; must
+    # cover the longest accepted path delay or that path aliases circularly.
+    delay_budget_s: Optional[float] = None
+
+    # ----- derived static shapes -----
+    @property
+    def num_mics(self) -> int:
+        return len(self.mic_positions)
+
+    @property
+    def num_samples(self) -> int:
+        return int(self.fs * self.duration)
+
+    @property
+    def pairs(self) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+        return _pairs(self.num_mics)
+
+    @property
+    def nfft(self) -> int:
+        return fft_length(self.num_samples, self.num_samples, self.nfft_mode)
+
+    @property
+    def speed_of_sound(self) -> float:
+        # Host-side numpy version of acoustics.speed_of_sound (it stages jnp
+        # constants to tracers when evaluated under an active jit trace).
+        t = 20.0 if not (-50 <= self.temperature <= 50) else self.temperature
+        h = 50.0 if not (0 <= self.humidity <= 100) else self.humidity
+        return 331.0 + 0.6 * t + 0.0124 * h
+
+    @property
+    def delay_budget(self) -> float:
+        """Conservative static bound on the longest path delay (s)."""
+        if self.delay_budget_s is not None:
+            return self.delay_budget_s
+        mics = np.asarray(self.mic_positions, float)
+        lo = np.minimum(np.asarray(self.source_box_lo, float), mics.min(0))
+        hi = np.maximum(np.asarray(self.source_box_hi, float), mics.max(0))
+        diam = float(np.linalg.norm(hi - lo)) + 6.0 * self.mic_jitter
+        reach = 0.0
+        for coeffs in self.plane_coeffs:
+            n = np.asarray(coeffs[:3], float)
+            reach = max(reach, 2.0 * abs(coeffs[3]) / max(np.linalg.norm(n), 1e-9)
+                        + 2.0 * diam)
+        # Each reflection order can at most add one "reach" leg.
+        return (diam + self.max_reflections * reach) / 300.0 + 1.0 / self.fs
+
+    @property
+    def total_samples(self) -> int:
+        return self.num_samples + int(np.ceil(self.delay_budget * self.fs))
+
+
+class SceneResult(NamedTuple):
+    estimate: jnp.ndarray   # (..., 3)
+    source: jnp.ndarray     # (..., 3) ground truth
+    error: jnp.ndarray      # (...,) Euclidean error in meters
+    cost: jnp.ndarray       # (...,) final solver cost
+    tdoas: jnp.ndarray      # (..., P)
+
+
+class SweepSummary(NamedTuple):
+    rmse: jnp.ndarray        # scalar
+    mean_error: jnp.ndarray  # scalar
+    hit_rate: jnp.ndarray    # fraction of scenes with error < hit_threshold
+    results: SceneResult     # per-scene
+
+
+# ---------------------------------------------------------------------------
+# Estimation back half (signals -> position), batched
+# ---------------------------------------------------------------------------
+
+def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
+              c, key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Filter -> all-pairs GCC-PHAT -> physical-lag TDOA -> clustered init ->
+    bounded multi-start LM.  One scene; vmap for batches."""
+    pi = np.asarray(spec.pairs[0], np.int32)
+    pj = np.asarray(spec.pairs[1], np.int32)
+    filtered = filter_ops.noise_reduction(signals, spec.fs,
+                                          method=spec.filter_method)
+    corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft)
+    res = tdoa_ops.time_delays_from_corr(
+        corr, spec.num_samples, spec.num_samples, spec.fs, num_peaks=1,
+        lag_mode="physical")
+    # physical peak lag -> td = arrival_j - arrival_i (models/tdoa.py).
+    td = -res.delays[..., 0]
+    weights = jnp.ones(pi.shape[0], signals.dtype)
+    guesses, _ = solver_ops.heuristic_initial_guesses(
+        mics, pi, pj, td, c, key)
+    lower, upper = solver_ops.dynamic_bounds(mics, td, c)
+    guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
+    best = solver_ops.multi_start_lm(
+        guesses, mics, pi, pj, td, c, weights, lower, upper)
+    return best.x, best.cost, td
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def localize_batch(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
+                   key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Estimation-only batch: signals (B, M, N), shared mic geometry.
+    Returns (estimates (B, 3), costs (B,), tdoas (B, P))."""
+    c = jnp.asarray(spec.speed_of_sound, signals.dtype)
+    keys = jax.random.split(key, signals.shape[0])
+    return jax.vmap(lambda s, k: _estimate(spec, s, mics, c, k))(signals, keys)
+
+
+# ---------------------------------------------------------------------------
+# Full scene pipeline (randomize -> simulate -> estimate)
+# ---------------------------------------------------------------------------
+
+def _random_scene(spec: SweepSpec, key: jax.Array, dtype):
+    k_src, k_mic, k_snr = jax.random.split(key, 3)
+    lo = jnp.asarray(spec.source_box_lo, dtype)
+    hi = jnp.asarray(spec.source_box_hi, dtype)
+    source = jax.random.uniform(k_src, (3,), dtype, lo, hi)
+    mics = jnp.asarray(spec.mic_positions, dtype)
+    if spec.mic_jitter > 0:
+        mics = mics + spec.mic_jitter * jax.random.normal(k_mic, mics.shape, dtype)
+    snr_db = jax.random.uniform(k_snr, (), dtype, spec.snr_db[0], spec.snr_db[1])
+    return source, mics, snr_db
+
+
+def _simulate(spec: SweepSpec, source, mics, c, snr_db, key: jax.Array,
+              dtype) -> jnp.ndarray:
+    """Static-shape multipath render + measurement noise at the drawn SNR."""
+    k_sig, k_noise = jax.random.split(key)
+    base = sig_ops.generate_signal(spec.signal_type, spec.fs, spec.duration,
+                                   spec.freq, key=k_sig, dtype=dtype)
+    absorption = jnp.asarray(spec.material_absorption, dtype)
+    freq_tab = jnp.asarray(spec.material_freq, dtype)
+    if len(spec.plane_coeffs) and spec.max_reflections > 0:
+        coeffs = jnp.asarray(spec.plane_coeffs, dtype)
+        mat_ids = jnp.asarray(spec.plane_material_ids, jnp.int32)
+        images = acoustics.image_sources(
+            source, coeffs, mat_ids, mics, spec.freq, absorption, freq_tab,
+            spec.max_reflections, spec.absorption_threshold)
+    else:
+        images = acoustics.ImageSources(
+            jnp.zeros((0, 3), dtype), jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), bool), jnp.zeros((0,), jnp.int32))
+    paths = scene_paths(source, mics, c, spec.freq, images, absorption, freq_tab)
+    sigs = render_scene(base, paths.delays, paths.gains, spec.fs,
+                        spec.total_samples, spec.num_samples)
+    # Additive white measurement noise at the per-scene SNR (new capability —
+    # the reference simulates noiselessly outside calibration).
+    rms = jnp.sqrt(jnp.mean(sigs * sigs, -1, keepdims=True))
+    sigma = rms * 10.0 ** (-snr_db / 20.0)
+    noise = jax.random.normal(k_noise, sigs.shape, dtype)
+    return sigs + sigma * noise
+
+
+def run_scene(spec: SweepSpec, key: jax.Array, dtype=jnp.float32) -> SceneResult:
+    """ONE randomized simulate->localize pipeline; fully jittable, vmappable
+    over keys.  This is the flagship forward step."""
+    k_scene, k_sim, k_est = jax.random.split(key, 3)
+    c = jnp.asarray(spec.speed_of_sound, dtype)
+    source, mics, snr_db = _random_scene(spec, k_scene, dtype)
+    signals = _simulate(spec, source, mics, c, snr_db, k_sim, dtype)
+    estimate, cost, td = _estimate(spec, signals, mics, c, k_est)
+    error = jnp.linalg.norm(estimate - source)
+    return SceneResult(estimate, source, error, cost, td)
+
+
+def _summary(results: SceneResult, hit_threshold: float,
+             axis_name: Optional[str] = None) -> SweepSummary:
+    err = results.error
+    sq = jnp.mean(err * err)
+    mean = jnp.mean(err)
+    hits = jnp.mean((err < hit_threshold).astype(err.dtype))
+    if axis_name is not None:
+        sq = jax.lax.pmean(sq, axis_name)
+        mean = jax.lax.pmean(mean, axis_name)
+        hits = jax.lax.pmean(hits, axis_name)
+    return SweepSummary(jnp.sqrt(sq), mean, hits, results)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "num_scenes", "hit_threshold",
+                                    "dtype"))
+def _sweep_single(spec: SweepSpec, key: jax.Array, num_scenes: int,
+                  hit_threshold: float, dtype) -> SweepSummary:
+    keys = jax.random.split(key, num_scenes)
+    results = jax.vmap(lambda k: run_scene(spec, k, dtype))(keys)
+    return _summary(results, hit_threshold)
+
+
+def monte_carlo_sweep(spec: SweepSpec,
+                      key: jax.Array,
+                      num_scenes: int,
+                      mesh: Optional[Mesh] = None,
+                      hit_threshold: float = 0.1,
+                      dtype=jnp.float32) -> SweepSummary:
+    """Run ``num_scenes`` randomized scenes; with a mesh, the scene axis is
+    sharded across its devices via ``jax.shard_map`` and summary statistics
+    are psum-reduced over ICI.  Per-scene results come back sharded over the
+    mesh (one gather at host access time, not inside the step)."""
+    if mesh is None:
+        return _sweep_single(spec, key, num_scenes, hit_threshold, dtype)
+
+    (axis_name,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    if num_scenes % n_dev != 0:
+        raise ValueError(
+            f"num_scenes={num_scenes} must be divisible by the mesh size {n_dev}")
+    keys = jax.random.split(key, num_scenes)
+
+    def shard_fn(local_keys):
+        results = jax.vmap(lambda k: run_scene(spec, k, dtype))(local_keys)
+        return _summary(results, hit_threshold, axis_name=axis_name)
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=SweepSummary(P(), P(), P(), SceneResult(
+            P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+            P(axis_name))),
+        # Scan carries inside the solver start replicated and become
+        # device-varying; skip the static varying-axis check.
+        check_vma=False)
+    keys = jax.device_put(keys, NamedSharding(mesh, P(axis_name)))
+    return jax.jit(sharded)(keys)

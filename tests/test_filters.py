@@ -109,3 +109,65 @@ def test_batched_filtfilt(rng):
     for i in range(3):
         np.testing.assert_allclose(y[i], scipy.signal.filtfilt(b, a, x[i]),
                                    rtol=1e-6, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Second-order sections (the float32-stable realization)
+# ---------------------------------------------------------------------------
+
+def test_butter_sos_composes_to_direct_form():
+    """The biquad cascade must multiply out to the same transfer function as
+    the direct-form design."""
+    nyq = 22050.0
+    sos = flt.butter_bandpass_sos(5, 300 / nyq, 3400 / nyq)
+    b_ref, a_ref = scipy.signal.butter(5, [300 / nyq, 3400 / nyq], btype="band")
+    b = np.array([1.0])
+    a = np.array([1.0])
+    for sec in sos:
+        b = np.polymul(b, np.asarray(sec[:3]))
+        a = np.polymul(a, np.asarray(sec[3:]))
+    np.testing.assert_allclose(b, b_ref, atol=1e-12)
+    np.testing.assert_allclose(a, a_ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["prefix", "scan"])
+def test_filtfilt_sos_matches_scipy_long_signal(rng, method):
+    """Full 1 s @ 44.1 kHz — the length at which the order-10 direct form
+    overflows (even in float64 for the prefix evaluation).  The tolerance is
+    bounded by scipy's OWN error: its composed-form zi solve has condition
+    ~1e10, so the scipy oracle itself is only ~1e-6 accurate."""
+    nyq = 22050.0
+    x = rng.standard_normal(44100)
+    b, a = scipy.signal.butter(5, [300 / nyq, 3400 / nyq], btype="band")
+    y_ref = scipy.signal.filtfilt(b, a, x)
+    sos = flt.butter_bandpass_sos(5, 300 / nyq, 3400 / nyq)
+    y = np.asarray(flt.filtfilt_sos(sos, jnp.asarray(x), method=method))
+    np.testing.assert_allclose(y, y_ref, atol=5e-6)
+
+
+@pytest.mark.parametrize("method", ["prefix", "scan"])
+def test_filtfilt_sos_float32_stable(rng, method):
+    """float32 must stay finite and close to the f64 oracle — this is the
+    dtype the TPU path runs in."""
+    nyq = 22050.0
+    x = rng.standard_normal(44100)
+    b, a = scipy.signal.butter(5, [300 / nyq, 3400 / nyq], btype="band")
+    y_ref = scipy.signal.filtfilt(b, a, x)
+    sos = flt.butter_bandpass_sos(5, 300 / nyq, 3400 / nyq)
+    y = np.asarray(flt.filtfilt_sos(sos, jnp.asarray(x, jnp.float32),
+                                    method=method))
+    assert np.all(np.isfinite(y))
+    assert np.max(np.abs(y - y_ref)) < 5e-3
+
+
+def test_noise_reduction_butterworth_uses_sos(rng):
+    """The dispatcher's butterworth branch must match scipy's
+    butter+filtfilt (reference signal_processing.py:124-128) through the SOS
+    path."""
+    fs = 44100.0
+    nyq = fs / 2
+    x = rng.standard_normal(int(fs))
+    got = np.asarray(flt.noise_reduction(jnp.asarray(x), fs))
+    b, a = scipy.signal.butter(5, [300 / nyq, 3400 / nyq], btype="band")
+    ref = scipy.signal.filtfilt(b, a, x)
+    np.testing.assert_allclose(got, ref, atol=5e-6)

@@ -1,0 +1,85 @@
+"""Tests for the mesh-parallel Monte-Carlo sweep (parallel/sweep.py) — the
+rebuild's data-parallel axis (SURVEY.md §2.4/§5.8; the reference has no
+distributed execution, so these follow the §4.4 fake-mesh strategy:
+8 virtual CPU devices via xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyaudiolocalization_tpu.parallel import (
+    SweepSpec, make_mesh, monte_carlo_sweep, run_scene, localize_batch)
+
+SPEC = SweepSpec(fs=16000.0, duration=0.1, signal_type="noise",
+                 source_box_lo=(0.2, 0.2, 0.2), source_box_hi=(0.8, 0.8, 0.8),
+                 snr_db=(25.0, 35.0))
+
+
+def test_run_scene_localizes():
+    res = run_scene(SPEC, jax.random.PRNGKey(3))
+    assert res.estimate.shape == (3,)
+    assert float(res.error) < 0.15
+
+
+def test_sweep_single_device():
+    s = monte_carlo_sweep(SPEC, jax.random.PRNGKey(0), 8)
+    assert s.results.estimate.shape == (8, 3)
+    assert float(s.rmse) < 0.5
+    assert float(s.hit_rate) > 0.5
+    # Summary statistics are consistent with the per-scene results.
+    np.testing.assert_allclose(
+        float(s.rmse), float(jnp.sqrt(jnp.mean(s.results.error ** 2))),
+        rtol=1e-5)
+
+
+def test_sweep_mesh_matches_single_device():
+    """Sharding over the 8-device mesh must not change results: same keys,
+    same per-scene errors, psum-reduced summary equals the local one."""
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(42)
+    single = monte_carlo_sweep(SPEC, key, 16)
+    sharded = monte_carlo_sweep(SPEC, key, 16, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded.results.error),
+                               np.asarray(single.results.error),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(sharded.rmse), float(single.rmse),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(sharded.hit_rate), float(single.hit_rate))
+
+
+def test_sweep_mesh_requires_divisible_batch():
+    with pytest.raises(ValueError, match="divisible"):
+        monte_carlo_sweep(SPEC, jax.random.PRNGKey(0), 9, mesh=make_mesh(8))
+
+
+def test_sweep_multipath_scenes():
+    """Reflective planes + image sources inside the vmapped pipeline."""
+    spec = SweepSpec(
+        fs=16000.0, duration=0.1, signal_type="noise",
+        plane_coeffs=((1.0, 0.0, 0.0, -5.0), (0.0, 1.0, 0.0, -5.0)),
+        plane_material_ids=(1, 2), max_reflections=2,
+        source_box_lo=(0.2, 0.2, 0.2), source_box_hi=(0.8, 0.8, 0.8),
+        snr_db=(25.0, 35.0))
+    s = monte_carlo_sweep(spec, jax.random.PRNGKey(7), 4)
+    assert np.all(np.isfinite(np.asarray(s.results.estimate)))
+    assert float(s.rmse) < 1.0
+
+
+def test_localize_batch_on_given_signals():
+    """Estimation-only batch: simulate two known scenes, stack, localize."""
+    from pyaudiolocalization_tpu.models.simulator import simulate_signals
+    spec = SPEC
+    mics = jnp.asarray(spec.mic_positions)
+    c = spec.speed_of_sound
+    sources = np.array([[0.3, 0.4, 0.5], [0.6, 0.3, 0.4]])
+    sigs = []
+    for i, src in enumerate(sources):
+        s = simulate_signals(src, np.asarray(spec.mic_positions), spec.fs, c,
+                             duration=spec.duration, signal_type="noise",
+                             key=jax.random.PRNGKey(10 + i))
+        sigs.append(s)
+    batch = jnp.stack(sigs)
+    est, cost, td = localize_batch(spec, batch, mics, jax.random.PRNGKey(0))
+    err = np.linalg.norm(np.asarray(est) - sources, axis=-1)
+    assert err.max() < 0.1
