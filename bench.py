@@ -74,7 +74,7 @@ def bench_gcc_phat(batch: int = 256):
     return pairs / dt
 
 
-def bench_localize(batch: int = 32):
+def bench_localize(batch: int = 128):
     """End-to-end estimation (filter -> GCC-PHAT -> TDOA -> clustered init ->
     multi-start LM) on 4-mic scenes at 44.1 kHz x 1 s."""
     spec = SweepSpec(fs=FS, duration=1.0, signal_type="noise",
@@ -91,7 +91,7 @@ def bench_localize(batch: int = 32):
         est, cost, td = localize_batch(spec, sigs, mics, k)
         return est
 
-    dt = _time(step, signals, jax.random.PRNGKey(2), iters=3, warmup=1)
+    dt = _time(step, signals, jax.random.PRNGKey(2), iters=6, warmup=1)
     return batch / dt
 
 

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..ops import gccphat
 from ..ops import peaks as peaks_ops
+from ..ops.quantile import median_nonneg
 
 
 class TdoaResult(NamedTuple):
@@ -67,23 +68,52 @@ def time_delays_from_corr(corr: jnp.ndarray,
         thr_primary = threshold_multiplier * (
             jnp.mean(abs_corr, -1, keepdims=True) + jnp.std(abs_corr, -1, keepdims=True))
     else:  # 'median' and the reference's unknown-method fallback (utils.py:149)
-        thr_primary = threshold_multiplier * jnp.median(abs_corr, -1, keepdims=True)
+        # Exact median via bit-bisection (ops/quantile.py): a reduction pass
+        # instead of sorting the whole (scenes, pairs, n) tensor.
+        thr_primary = threshold_multiplier * median_nonneg(abs_corr)[..., None]
     thr_alt = jnp.mean(abs_corr, -1, keepdims=True)  # utils.py:155
 
     distance = int(fs * 0.001)  # min 1 ms peak spacing (utils.py:151)
-    window_mask = None
-    if max_expected_delay is not None:
-        # Dilated by a few peak-distances so suppressors of in-window
-        # candidates are present in the candidate set (see select_peaks).
-        dilated = max_expected_delay + 4.0 * distance / fs
-        window_mask = jnp.abs(time_lags) <= dilated
-    set_a = peaks_ops.select_peaks(corr, thr_primary, distance, num_candidates,
-                                   window_mask=window_mask)
-    set_b = peaks_ops.select_peaks(corr, thr_alt, distance, num_candidates,
-                                   window_mask=window_mask)
 
-    cnt_a = jnp.sum(set_a[2], -1, keepdims=True)
-    cnt_b = jnp.sum(set_b[2], -1, keepdims=True)
+    if lag_mode == "physical" and max_expected_delay is not None:
+        # Fast path: after centering, the lag window is one contiguous
+        # STATIC slice around n//2 — run candidate selection there instead of
+        # top-k over the full correlation.  Threshold-existence tests
+        # (utils.py:153-160 ladder) still scan the full array (cheap masks),
+        # and the argmax fallback is global, so semantics are preserved.
+        # The slice is dilated by 8 peak-distances so suppression chains of
+        # in-window candidates are present (longer chains of ever-taller
+        # peaks marching out of the window are pathological; documented
+        # approximation).
+        half = int(np.ceil(max_expected_delay * fs)) + 8 * max(distance, 1)
+        c0 = max(0, shift - half)
+        c1 = min(n, shift + half + 1)
+        corr_s = corr[..., c0:c1]
+        lm = peaks_ops.local_maxima(corr)
+        any_a = jnp.any(lm & (corr >= thr_primary), -1, keepdims=True)
+        any_b = jnp.any(lm & (corr >= thr_alt), -1, keepdims=True)
+        sa = peaks_ops.select_peaks(corr_s, thr_primary, distance,
+                                    min(num_candidates, c1 - c0))
+        sb = peaks_ops.select_peaks(corr_s, thr_alt, distance,
+                                    min(num_candidates, c1 - c0))
+        set_a = (sa[0] + c0, sa[1], sa[2])
+        set_b = (sb[0] + c0, sb[1], sb[2])
+        cnt_a = any_a.astype(jnp.int32)
+        cnt_b = any_b.astype(jnp.int32)
+    else:
+        window_mask = None
+        if max_expected_delay is not None:
+            # Dilated by a few peak-distances so suppressors of in-window
+            # candidates are present in the candidate set (see select_peaks).
+            dilated = max_expected_delay + 4.0 * distance / fs
+            window_mask = jnp.abs(time_lags) <= dilated
+        set_a = peaks_ops.select_peaks(corr, thr_primary, distance,
+                                       num_candidates, window_mask=window_mask)
+        set_b = peaks_ops.select_peaks(corr, thr_alt, distance,
+                                       num_candidates, window_mask=window_mask)
+        cnt_a = jnp.sum(set_a[2], -1, keepdims=True)
+        cnt_b = jnp.sum(set_b[2], -1, keepdims=True)
+
     use_a = cnt_a > 0
     stage1 = tuple(jnp.where(use_a, xa, xb) for xa, xb in zip(set_a, set_b))
     # Ladder bottom: neither threshold found peaks -> argmax of corr

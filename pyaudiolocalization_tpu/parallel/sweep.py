@@ -128,6 +128,18 @@ class SweepSpec:
         return 331.0 + 0.6 * t + 0.0124 * h
 
     @property
+    def max_tdoa(self) -> float:
+        """Physical bound on any pairwise TDOA: array diameter over c, with
+        jitter headroom.  Used as the peak-search lag window, which both
+        rejects spurious far-lag peaks and lets the TDOA stage run its
+        static-window fast path (models/tdoa.py)."""
+        mics = np.asarray(self.mic_positions, float)
+        diam = float(np.max(np.linalg.norm(
+            mics[:, None, :] - mics[None, :, :], axis=-1)))
+        diam += 6.0 * self.mic_jitter
+        return 1.25 * diam / self.speed_of_sound
+
+    @property
     def delay_budget(self) -> float:
         """Conservative static bound on the longest path delay (s)."""
         if self.delay_budget_s is not None:
@@ -179,7 +191,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft)
     res = tdoa_ops.time_delays_from_corr(
         corr, spec.num_samples, spec.num_samples, spec.fs, num_peaks=1,
-        lag_mode="physical")
+        max_expected_delay=spec.max_tdoa, lag_mode="physical")
     # physical peak lag -> td = arrival_j - arrival_i (models/tdoa.py).
     td = -res.delays[..., 0]
     weights = jnp.ones(pi.shape[0], signals.dtype)
