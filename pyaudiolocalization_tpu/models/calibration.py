@@ -23,6 +23,7 @@ import numpy as np
 
 from ..ops import signal as sig_ops
 from ..ops.delay import delay_and_sum
+from ..ops.fftutils import rfft_n, irfft_n
 from . import acoustics
 from .simulator import AIR_ID
 
@@ -83,8 +84,7 @@ def full_cross_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     leading axes of ``a``: out[k] = sum_m a[m] b[m - (k - (n_b - 1))]."""
     n1, n2 = a.shape[-1], b.shape[-1]
     n = n1 + n2 - 1
-    circ = jnp.fft.irfft(
-        jnp.fft.rfft(a, n=n) * jnp.conj(jnp.fft.rfft(b, n=n)), n=n)
+    circ = irfft_n(rfft_n(a, n) * jnp.conj(rfft_n(b, n)), n)
     return jnp.roll(circ, n2 - 1, axis=-1).astype(a.dtype)
 
 

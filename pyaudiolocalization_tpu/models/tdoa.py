@@ -25,6 +25,7 @@ import numpy as np
 from ..ops import gccphat
 from ..ops import peaks as peaks_ops
 from ..ops.quantile import median_nonneg
+from ..ops.fftutils import rfft_n, irfft_n
 
 
 class TdoaResult(NamedTuple):
@@ -212,7 +213,7 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
     """
     n1, n2 = sig1.shape[-1], sig2.shape[-1]
     n = nfft if nfft is not None else n1 + n2 - 1
-    s1 = jnp.fft.rfft(sig1, n=n)
+    s1 = rfft_n(sig1, n)
 
     def resample(k):
         if bootstrap_mode == "permutation":
@@ -231,10 +232,10 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
 
     def peak_of(k):
         shuf = resample(k)
-        s2 = jnp.fft.rfft(shuf, n=n)
+        s2 = rfft_n(shuf, n)
         r = s1 * jnp.conj(s2)
         r = r / (jnp.abs(r) + gccphat.PHAT_EPS)
-        return jnp.max(jnp.fft.irfft(r, n=n))
+        return jnp.max(irfft_n(r, n))
 
     num_chunks = -(-num_bootstrap // chunk)
     keys = jax.random.split(key, num_chunks * chunk).reshape(num_chunks, chunk, -1)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from .fftutils import rfft_n, irfft_n
 
 
 def fade_window(num_samples: int, fraction: float = 0.01, dtype=None):
@@ -45,9 +46,9 @@ def fractional_delay(signal: jnp.ndarray, delay, fs: float) -> jnp.ndarray:
     including the zero-padding to 2N and the fade ramps."""
     n = signal.shape[-1]
     padded = 2 * n
-    spec = jnp.fft.rfft(signal, n=padded)
+    spec = rfft_n(signal, padded)
     ramp = _phase_ramp(padded, jnp.asarray(delay, signal.dtype), fs)
-    out = jnp.fft.irfft(spec * ramp, n=padded)[..., :n]
+    out = irfft_n(spec * ramp, padded)[..., :n]
     return out.astype(signal.dtype) * fade_window(n, dtype=signal.dtype)
 
 
@@ -70,10 +71,10 @@ def delay_and_sum(base: jnp.ndarray,
     """
     n = base.shape[-1]
     padded = 2 * n
-    spec = jnp.fft.rfft(base, n=padded)                      # (F,)
+    spec = rfft_n(base, padded)                              # (F,)
     ramps = _phase_ramp(padded, delays.astype(base.dtype), fs)  # (M, P, F)
     mixed = jnp.einsum("mp,mpf->mf", gains.astype(ramps.real.dtype), ramps) * spec
-    out = jnp.fft.irfft(mixed, n=padded, axis=-1)[..., :n].astype(base.dtype)
+    out = irfft_n(mixed, padded)[..., :n].astype(base.dtype)
     if apply_fade:
         out = out * fade_window(n, dtype=base.dtype)[None, :]
     return out

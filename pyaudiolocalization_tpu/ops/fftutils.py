@@ -1,12 +1,28 @@
-"""FFT length helpers.
+"""FFT length helpers and arbitrary-length transforms for TPU.
 
-The reference always transforms at exactly n1+n2-1 samples (utils.py:112-114),
-a large odd length that XLA's TPU FFT handles via Bluestein.  The performance
-path pads to the next power of two instead (friendly radix for the TPU FFT);
-compat/parity paths keep the exact length.
+The reference always transforms at exactly n1+n2-1 samples (utils.py:112-114)
+and fractional delays at exactly 2N (signal_processing.py:69) — large
+non-power-of-2 lengths.  CPU FFT libraries handle any length, but XLA's TPU
+FFT only lowers friendly radices efficiently; other lengths become a dense
+DFT *matmul* (an n x n matrix — 31 GB for n = 88422), which is unusable.
+
+Two tools here:
+  * ``fft_length`` — pick pow2 lengths on the performance paths;
+  * ``rfft_n`` / ``irfft_n`` — exact-length transforms everywhere else: on
+    CPU they call the native FFT; on TPU, non-pow2 lengths go through a
+    Bluestein chirp-z transform built from power-of-2 FFTs (3 transforms of
+    M = next_pow2(2n-1)), with all chirp phases precomputed host-side in
+    exact integer-mod arithmetic (m^2 mod 2n stays exact where float64 m^2
+    would lose the low bits that determine the phase).
 """
 
 from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
 
 
 def next_pow2(n: int) -> int:
@@ -26,3 +42,90 @@ def fft_length(n1: int, n2: int, mode: str = "pow2") -> int:
     if mode == "pow2":
         return next_pow2(n)
     raise ValueError(f"unknown fft length mode {mode!r}")
+
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
+
+def _use_bluestein(n: int) -> bool:
+    if _is_pow2(n):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.lru_cache(maxsize=32)
+def _bluestein_consts(n: int, forward: bool):
+    """Host-precomputed chirp constants for a length-n DFT (inverse when
+    ``forward`` is False, without the 1/n factor).
+
+    Returns (M, u_phase (n,), v_spec (M,), k_phase (n,)) as complex128 numpy;
+    cast to the working precision at trace time.
+    """
+    M = next_pow2(2 * n - 1)
+    m = np.arange(n, dtype=np.int64)
+    # W^(m^2/2) with W = exp(-+2i pi / n): angle = -+pi * (m^2 mod 2n) / n,
+    # the modulus taken in exact integer arithmetic.
+    sq = (m * m) % (2 * n)
+    ang = np.pi * sq.astype(np.float64) / n
+    sign = -1.0 if forward else 1.0
+    u_phase = np.exp(sign * 1j * ang)         # multiply input
+    k_phase = u_phase                          # multiply output (same chirp)
+    v = np.exp(-sign * 1j * ang)               # conv kernel W^(-m^2/2)
+    v_pad = np.zeros(M, np.complex128)
+    v_pad[:n] = v
+    v_pad[M - n + 1:] = v[1:][::-1]            # kernel at negative offsets
+    v_spec = np.fft.fft(v_pad)
+    return M, u_phase, v_spec, k_phase
+
+
+def _czt(x: jnp.ndarray, n: int, forward: bool) -> jnp.ndarray:
+    """Length-n DFT (or unnormalized inverse) of the last axis of complex
+    ``x`` (length <= n; zero-padded), via Bluestein on pow2 FFTs."""
+    M, u_np, v_np, k_np = _bluestein_consts(n, forward)
+    cdt = x.dtype
+    rdt = jnp.float32 if cdt == jnp.complex64 else jnp.float64
+
+    def put(z):
+        # Host->device transfer of complex constants is unimplemented on the
+        # TPU tunnel backend; ship real/imag planes and combine on device.
+        return jax.lax.complex(jnp.asarray(np.real(z), rdt),
+                               jnp.asarray(np.imag(z), rdt))
+
+    u = put(u_np)
+    v = put(v_np)
+    kp = put(k_np)
+    if x.shape[-1] < n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    a = x[..., :n] * u
+    A = jnp.fft.fft(a, n=M)
+    conv = jnp.fft.ifft(A * v)[..., :n]
+    return conv * kp
+
+
+def rfft_n(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """``jnp.fft.rfft(x, n=n)`` that stays off the TPU's dense-DFT fallback
+    for non-power-of-2 n."""
+    if not _use_bluestein(n):
+        return jnp.fft.rfft(x, n=n)
+    cdt = jnp.complex64 if jnp.dtype(x.dtype).itemsize <= 4 else jnp.complex128
+    full = _czt(x.astype(cdt), n, forward=True)
+    return full[..., : n // 2 + 1]
+
+
+def irfft_n(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    """``jnp.fft.irfft(spec, n=n)`` with the same TPU-safe dispatch."""
+    if not _use_bluestein(n):
+        return jnp.fft.irfft(spec, n=n)
+    # Rebuild the full Hermitian spectrum, inverse-DFT via Bluestein.
+    nb = n // 2 + 1
+    spec = spec[..., :nb]
+    tail = jnp.conj(spec[..., 1: n - nb + 1])[..., ::-1]
+    full = jnp.concatenate([spec, tail], axis=-1)
+    out = _czt(full, n, forward=False) / n
+    rdt = jnp.float32 if spec.dtype == jnp.complex64 else jnp.float64
+    return jnp.real(out).astype(rdt)

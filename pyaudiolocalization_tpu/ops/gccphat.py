@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fftutils import fft_length
+from .fftutils import fft_length, rfft_n, irfft_n
 from . import pallas_kernels
 
 PHAT_EPS = 1e-10
@@ -54,10 +54,10 @@ def phat_correlation(sig1: jnp.ndarray, sig2: jnp.ndarray,
     """
     n1, n2 = sig1.shape[-1], sig2.shape[-1]
     n = nfft if nfft is not None else fft_length(n1, n2, "exact")
-    s1 = jnp.fft.rfft(sig1, n=n)
-    s2 = jnp.fft.rfft(sig2, n=n)
+    s1 = rfft_n(sig1, n)
+    s2 = rfft_n(sig2, n)
     r = _whiten(s1 * jnp.conj(s2), eps, use_pallas)
-    return jnp.fft.irfft(r, n=n).astype(sig1.dtype)
+    return irfft_n(r, n).astype(sig1.dtype)
 
 
 def gcc_phat_all_pairs(signals: jnp.ndarray,
@@ -74,11 +74,11 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
     """
     n_samp = signals.shape[-1]
     n = nfft if nfft is not None else fft_length(n_samp, n_samp, "exact")
-    spec = jnp.fft.rfft(signals, n=n)                      # (..., M, F)
+    spec = rfft_n(signals, n)                              # (..., M, F)
     cross = jnp.take(spec, pairs_i, axis=-2) * jnp.conj(
         jnp.take(spec, pairs_j, axis=-2))                  # (..., P, F)
     white = _whiten(cross, eps, use_pallas)
-    return jnp.fft.irfft(white, n=n).astype(signals.dtype)
+    return irfft_n(white, n).astype(signals.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from .fftutils import rfft_n, irfft_n
 import numpy as np
 
 
@@ -88,11 +90,11 @@ def pink_noise(key: jax.Array, fs: float, num_samples: int,
     normalized + compressed (signal_processing.py:11-23)."""
     dt = _float_dtype(dtype)
     white = jax.random.normal(key, (num_samples,), dt)
-    spec = jnp.fft.rfft(white)
+    spec = rfft_n(white, num_samples)
     freqs = jnp.fft.rfftfreq(num_samples, d=1.0 / fs).astype(dt)
     scaling = jnp.where(freqs > 0, 1.0 / jnp.sqrt(jnp.where(freqs > 0, freqs, 1.0)),
                         0.0)
-    pink = jnp.fft.irfft(spec * scaling, n=num_samples).astype(dt)
+    pink = irfft_n(spec * scaling, num_samples).astype(dt)
     return dynamic_range_compression(normalize_signal(pink))
 
 
