@@ -105,12 +105,15 @@ def _estimation_core(signals: jnp.ndarray,
     pj = np.asarray(pairs_j, np.int32)
     n = signals.shape[-1]
 
-    filtered = filter_ops.noise_reduction(signals, fs, method=filter_method)
+    with jax.named_scope("filter"):
+        filtered = filter_ops.noise_reduction(signals, fs, method=filter_method)
 
-    corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=nfft)  # (P, nfft)
-    res = tdoa_ops.time_delays_from_corr(
-        corr, n, n, fs, num_peaks=1, max_expected_delay=max_expected_delay,
-        lag_mode=lag_mode)
+    with jax.named_scope("gccphat"):
+        corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=nfft)  # (P, nfft)
+    with jax.named_scope("tdoa"):
+        res = tdoa_ops.time_delays_from_corr(
+            corr, n, n, fs, num_peaks=1, max_expected_delay=max_expected_delay,
+            lag_mode=lag_mode)
     measured = res.delays[..., 0]                                 # (P,)
     # Physical convention: td = arrival_j - arrival_i = -(peak lag)/fs,
     # which is what the residual system (d_j - d_i) = c*td expects.
@@ -141,13 +144,14 @@ def _estimation_core(signals: jnp.ndarray,
         snr = ppr = significant = None
         weights = jnp.ones(pi.shape[0], signals.dtype)
 
-    guesses, _ = solver_ops.heuristic_initial_guesses(
-        mic_positions, pi, pj, td, c, k_cluster,
-        clustering_method=clustering_method, eps=eps, min_samples=min_samples)
-    lower, upper = solver_ops.dynamic_bounds(mic_positions, td, c)
-    guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
-    best = solver_ops.multi_start_lm(
-        guesses, mic_positions, pi, pj, td, c, weights, lower, upper)
+    with jax.named_scope("solver"):
+        guesses, _ = solver_ops.heuristic_initial_guesses(
+            mic_positions, pi, pj, td, c, k_cluster,
+            clustering_method=clustering_method, eps=eps, min_samples=min_samples)
+        lower, upper = solver_ops.dynamic_bounds(mic_positions, td, c)
+        guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
+        best = solver_ops.multi_start_lm(
+            guesses, mic_positions, pi, pj, td, c, weights, lower, upper)
 
     out = {
         "estimated_position": best.x,

@@ -33,7 +33,7 @@ def kth_smallest_nonneg(x: jnp.ndarray, k, axis: int = -1) -> jnp.ndarray:
 
     def body(i, state):
         lo, hi = state
-        mid = (lo + hi) >> 1
+        mid = lo + ((hi - lo) >> 1)  # (lo+hi)>>1 overflows int64
         cnt = jnp.sum(bits <= mid[..., None], axis=-1)
         ge = cnt >= k
         return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)

@@ -1,6 +1,11 @@
 """Mesh-parallel scene sweeps (the rebuild's data-parallel axis — the
 reference has no distributed execution at all, SURVEY.md §2.4)."""
 
+from .checkpoint import (  # noqa: F401
+    run_sweep_checkpointed,
+    save_checkpoint,
+    load_checkpoint,
+)
 from .sweep import (  # noqa: F401
     SweepSpec,
     SceneResult,
@@ -12,6 +17,9 @@ from .sweep import (  # noqa: F401
 )
 
 __all__ = [
+    "run_sweep_checkpointed",
+    "save_checkpoint",
+    "load_checkpoint",
     "SweepSpec",
     "SceneResult",
     "SweepSummary",

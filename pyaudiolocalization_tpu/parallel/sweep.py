@@ -264,9 +264,12 @@ def run_scene(spec: SweepSpec, key: jax.Array, dtype=jnp.float32) -> SceneResult
     over keys.  This is the flagship forward step."""
     k_scene, k_sim, k_est = jax.random.split(key, 3)
     c = jnp.asarray(spec.speed_of_sound, dtype)
-    source, mics, snr_db = _random_scene(spec, k_scene, dtype)
-    signals = _simulate(spec, source, mics, c, snr_db, k_sim, dtype)
-    estimate, cost, td = _estimate(spec, signals, mics, c, k_est)
+    with jax.named_scope("scene_sample"):
+        source, mics, snr_db = _random_scene(spec, k_scene, dtype)
+    with jax.named_scope("simulate"):
+        signals = _simulate(spec, source, mics, c, snr_db, k_sim, dtype)
+    with jax.named_scope("estimate"):
+        estimate, cost, td = _estimate(spec, signals, mics, c, k_est)
     error = jnp.linalg.norm(estimate - source)
     return SceneResult(estimate, source, error, cost, td)
 

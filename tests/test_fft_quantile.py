@@ -1,0 +1,90 @@
+"""Golden tests for the Bluestein transforms (ops/fftutils.py) and the
+sort-free exact order statistics (ops/quantile.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyaudiolocalization_tpu.ops import fftutils as fu
+from pyaudiolocalization_tpu.ops.quantile import kth_smallest_nonneg, median_nonneg
+
+
+@pytest.fixture
+def force_bluestein(monkeypatch):
+    """On CPU the dispatcher uses the native FFT; force the chirp-z path so
+    tests exercise what the TPU runs."""
+    monkeypatch.setattr(fu, "_use_bluestein", lambda n: not fu._is_pow2(n))
+
+
+@pytest.mark.parametrize("n_in,n", [(100, 173), (50, 64), (44100, 88199),
+                                    (44100, 88200), (333, 999)])
+def test_bluestein_rfft_matches_numpy(rng, force_bluestein, n_in, n):
+    x = rng.standard_normal((3, n_in))
+    got = np.asarray(fu.rfft_n(jnp.asarray(x), n))
+    ref = np.fft.rfft(x, n=n)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-10 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("n", [173, 88199, 999])
+def test_bluestein_irfft_roundtrip(rng, force_bluestein, n):
+    x = rng.standard_normal((2, n))
+    spec = jnp.asarray(np.fft.rfft(x, n=n))
+    got = np.asarray(fu.irfft_n(spec, n))
+    np.testing.assert_allclose(got, x, atol=1e-10)
+
+
+def test_bluestein_float32_accuracy(rng, force_bluestein):
+    """f32 chirp-z error stays ~1e-6 relative — the TPU working precision."""
+    x = rng.standard_normal(44100).astype(np.float32)
+    got = np.asarray(fu.rfft_n(jnp.asarray(x), 88199))
+    ref = np.fft.rfft(x.astype(np.float64), n=88199)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 3e-6
+
+
+def test_fft_length_modes():
+    assert fu.fft_length(44100, 44100, "exact") == 88199
+    assert fu.fft_length(44100, 44100, "pow2") == 131072
+    with pytest.raises(ValueError):
+        fu.fft_length(4, 4, "bogus")
+
+
+# ---------------------------------------------------------------------------
+# quantile
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [1, 2, 7, 8, 1001, 4096])
+def test_median_matches_numpy(rng, n):
+    x = np.abs(rng.standard_normal((4, n)))
+    got = np.asarray(median_nonneg(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.median(x, -1))
+
+
+def test_median_float32_exact(rng):
+    x = np.abs(rng.standard_normal((2, 1000))).astype(np.float32)
+    got = np.asarray(median_nonneg(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.median(x, -1).astype(np.float32))
+
+
+def test_median_with_duplicates_and_zeros():
+    x = np.array([[0.0, 0.0, 1.0, 1.0, 2.0, 2.0],
+                  [5.0, 5.0, 5.0, 5.0, 5.0, 5.0]])
+    got = np.asarray(median_nonneg(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.median(x, -1))
+
+
+def test_kth_smallest(rng):
+    x = np.abs(rng.standard_normal((3, 101)))
+    s = np.sort(x, -1)
+    for k in [1, 5, 50, 101]:
+        got = np.asarray(kth_smallest_nonneg(jnp.asarray(x), k))
+        np.testing.assert_array_equal(got, s[:, k - 1])
+
+
+def test_kth_smallest_broadcast_k(rng):
+    """Per-row k (used nowhere yet but part of the contract)."""
+    x = np.abs(rng.standard_normal((3, 11)))
+    s = np.sort(x, -1)
+    ks = np.array([1, 6, 11])
+    got = np.asarray(kth_smallest_nonneg(jnp.asarray(x), jnp.asarray(ks)))
+    np.testing.assert_array_equal(got, s[np.arange(3), ks - 1])
