@@ -81,6 +81,81 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
     return irfft_n(white, n).astype(signals.dtype)
 
 
+def gcc_phat_streaming(signals: jnp.ndarray,
+                       pairs_i: np.ndarray,
+                       pairs_j: np.ndarray,
+                       frame: int = 8192,
+                       hop: Optional[int] = None,
+                       max_lag: Optional[int] = None,
+                       eps: float = PHAT_EPS,
+                       window: str = "hann",
+                       use_pallas: str = "auto") -> Tuple[jnp.ndarray, np.ndarray]:
+    """Blockwise GCC-PHAT for long recordings (SURVEY.md §5.7).
+
+    The reference transforms at the full signal length (utils.py:112-114) —
+    O(T) memory per pair and a single giant FFT.  For long captures this
+    framing estimator accumulates Welch-averaged cross-power spectra over
+    windowed frames and whitens the AVERAGE — O(frame) memory per pair,
+    pow2 FFTs that tile perfectly on TPU, and statistically a *better*
+    TDOA estimator than one long correlation (averaging suppresses
+    noise-induced phase jitter).  Physical lags only (there is no reference
+    semantics to mirror — this subsystem is new design space).
+
+    signals: (..., M, T); frame must be a power of two; hop defaults to
+    frame//2.  Returns (corr (..., P, 2*max_lag+1), lags (2*max_lag+1,))
+    with lag 0 centered; max_lag defaults to frame//4 and must satisfy
+    max_lag <= frame//2 (beyond that, circular aliasing).
+    """
+    if frame & (frame - 1):
+        raise ValueError("frame must be a power of two")
+    hop = frame // 2 if hop is None else hop
+    max_lag = frame // 4 if max_lag is None else max_lag
+    if not 0 < max_lag <= frame // 2:
+        raise ValueError("max_lag must be in (0, frame//2]")
+    t = signals.shape[-1]
+    if t < frame:
+        raise ValueError("signal shorter than one frame")
+    num_frames = 1 + (t - frame) // hop
+    starts = np.arange(num_frames) * hop
+
+    if window == "hann":
+        n_ = jnp.arange(frame, dtype=signals.dtype)
+        win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n_ / frame)
+    elif window == "rect":
+        win = jnp.ones(frame, signals.dtype)
+    else:
+        raise ValueError("window must be 'hann' or 'rect'")
+
+    # (..., M, F, frame) frames; static frame count keeps this one gather.
+    idx = starts[:, None] + np.arange(frame)[None, :]
+    frames = jnp.take(signals, jnp.asarray(idx), axis=-1) * win
+    spec = jnp.fft.rfft(frames, n=frame)                    # (..., M, F, bins)
+    cross = jnp.mean(
+        jnp.take(spec, pairs_i, axis=-3) *
+        jnp.conj(jnp.take(spec, pairs_j, axis=-3)), axis=-2)  # (..., P, bins)
+    white = _whiten(cross, eps, use_pallas)
+    corr = jnp.fft.irfft(white, n=frame).astype(signals.dtype)
+    # Circular order -> centered slice of +-max_lag.
+    centered = jnp.roll(corr, max_lag, axis=-1)[..., : 2 * max_lag + 1]
+    lags = np.arange(-max_lag, max_lag + 1)
+    return centered, lags
+
+
+def tdoa_from_streaming(corr: jnp.ndarray, lags: np.ndarray, fs: float):
+    """Peak lag (seconds) of a centered streaming correlation, with
+    parabolic sub-sample refinement."""
+    idx = jnp.argmax(corr, axis=-1)
+    i = jnp.clip(idx, 1, corr.shape[-1] - 2)
+    ym = jnp.take_along_axis(corr, (i - 1)[..., None], -1)[..., 0]
+    y0 = jnp.take_along_axis(corr, i[..., None], -1)[..., 0]
+    yp = jnp.take_along_axis(corr, (i + 1)[..., None], -1)[..., 0]
+    denom = ym - 2.0 * y0 + yp
+    frac = jnp.where(jnp.abs(denom) > 1e-12,
+                     0.5 * (ym - yp) / jnp.where(denom == 0, 1.0, denom), 0.0)
+    base = jnp.take(jnp.asarray(lags, corr.dtype), idx)
+    return (base + jnp.where(idx == i, frac, 0.0)) / fs
+
+
 # ---------------------------------------------------------------------------
 # Lag conventions
 # ---------------------------------------------------------------------------

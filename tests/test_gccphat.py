@@ -166,3 +166,69 @@ def test_bootstrap_significance_behaves(rng):
         jnp.asarray(ref_phat(s1, s2)), jnp.asarray(s1), jnp.asarray(s2),
         jax.random.PRNGKey(1), num_bootstrap=200)
     assert bool(sig)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (blockwise) GCC-PHAT — SURVEY.md §5.7, new design space
+# ---------------------------------------------------------------------------
+
+def test_streaming_gcc_phat_recovers_tdoa(rng):
+    """A 10 s recording pair with a known fractional delay: the streaming
+    estimator must localize the peak to sub-sample accuracy."""
+    import jax
+    from pyaudiolocalization_tpu.ops.delay import fractional_delay
+    fs = 16000.0
+    t = int(10 * fs)
+    sig = jnp.asarray(rng.standard_normal(t))
+    delay_s = 23.4 / fs
+    delayed = fractional_delay(sig, delay_s, fs)
+    stack = jnp.stack([sig, delayed])
+    pi = np.array([0], np.int32)
+    pj = np.array([1], np.int32)
+    corr, lags = gccphat.gcc_phat_streaming(stack, pi, pj, frame=4096, max_lag=256)
+    assert corr.shape == (1, 513)
+    td = gccphat.tdoa_from_streaming(corr, lags, fs)
+    # peak lag = -(arrival_2 - arrival_1) => negate.
+    assert abs(float(-td[0]) - delay_s) * fs < 0.5
+
+
+def test_streaming_matches_fullres_peak(rng):
+    """Streaming and full-length PHAT agree on the integer peak lag."""
+    fs = 8000.0
+    t = int(4 * fs)
+    sig = jnp.asarray(rng.standard_normal(t))
+    delayed = jnp.roll(sig, 17)
+    stack = jnp.stack([sig, delayed])
+    pi = np.array([0], np.int32)
+    pj = np.array([1], np.int32)
+    corr_s, lags = gccphat.gcc_phat_streaming(stack, pi, pj, frame=2048,
+                                          max_lag=128)
+    peak_stream = int(lags[int(np.argmax(np.asarray(corr_s[0])))])
+    corr_f = gccphat.phat_correlation(sig, delayed)
+    lags_f = gccphat.lags_physical(t, corr_f.shape[-1])
+    peak_full = int(lags_f[int(np.argmax(np.asarray(corr_f)))])
+    assert peak_stream == peak_full == -17
+
+
+def test_streaming_validation(rng):
+    stack = jnp.asarray(rng.standard_normal((2, 4096)))
+    pi = np.array([0], np.int32)
+    pj = np.array([1], np.int32)
+    with pytest.raises(ValueError, match="power of two"):
+        gccphat.gcc_phat_streaming(stack, pi, pj, frame=3000)
+    with pytest.raises(ValueError, match="max_lag"):
+        gccphat.gcc_phat_streaming(stack, pi, pj, frame=2048, max_lag=2048)
+    with pytest.raises(ValueError, match="shorter"):
+        gccphat.gcc_phat_streaming(stack[..., :100], pi, pj, frame=2048)
+
+
+def test_all_pairs_64_mic_array(rng):
+    """BASELINE config 5 scale: 64 mics -> 2016 pairs in one graph."""
+    m = 64
+    n = 512
+    sigs = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    pi, pj = np.triu_indices(m, 1)
+    corr = gccphat.gcc_phat_all_pairs(sigs, pi.astype(np.int32),
+                                      pj.astype(np.int32), nfft=1024)
+    assert corr.shape == (2016, 1024)
+    assert bool(jnp.all(jnp.isfinite(corr)))

@@ -165,3 +165,20 @@ def test_de_recovers_source():
         objective, lower, upper, jax.random.PRNGKey(2), maxiter=300)
     err = np.linalg.norm(np.asarray(res.x) - src)
     assert err < 0.05, f"err={err}"
+
+
+def test_differential_evolution_large_population():
+    """BASELINE config 4: a 1024-member on-device DE population."""
+    import jax
+    lower = jnp.array([-2.0, -2.0, -2.0])
+    upper = jnp.array([2.0, 2.0, 2.0])
+    target = jnp.array([0.7, -0.3, 1.1])
+
+    def objective(x):
+        return jnp.sum((x - target) ** 2)
+
+    res = solver.differential_evolution(
+        objective, lower, upper, jax.random.PRNGKey(0),
+        popsize=342, maxiter=200)  # 342 * 3 dims = 1026 members
+    assert float(res.energy) < 1e-3
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(target), atol=0.05)
