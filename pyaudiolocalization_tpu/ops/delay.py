@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from .fftutils import rfft_n, irfft_n
+from .fftutils import next_pow2, rfft_n, irfft_n
 
 
 def fade_window(num_samples: int, fraction: float = 0.01, dtype=None):
@@ -56,7 +56,8 @@ def delay_and_sum(base: jnp.ndarray,
                   delays: jnp.ndarray,
                   gains: jnp.ndarray,
                   fs: float,
-                  apply_fade: bool = True) -> jnp.ndarray:
+                  apply_fade: bool = True,
+                  pad_mode: str = "exact") -> jnp.ndarray:
     """Batched multipath render: for each output channel m,
     ``out[m] = fade * sum_p gains[m, p] * delay(base, delays[m, p])``.
 
@@ -67,10 +68,14 @@ def delay_and_sum(base: jnp.ndarray,
     base:   (N,) real base signal (already padded to the full render length).
     delays: (M, P) seconds.
     gains:  (M, P) linear amplitude per path (0 to disable a path).
+    pad_mode: 'exact' uses the reference's 2N transform length (Bluestein on
+    TPU when 2N is not a power of two); 'pow2' rounds up — the periodic-sinc
+    interpolant differs at ~1e-3 waveform level from the reference's, which
+    is irrelevant for the physical sweep path and ~6x cheaper on TPU.
     returns (M, N).
     """
     n = base.shape[-1]
-    padded = 2 * n
+    padded = 2 * n if pad_mode == "exact" else next_pow2(2 * n)
     spec = rfft_n(base, padded)                              # (F,)
     ramps = _phase_ramp(padded, delays.astype(base.dtype), fs)  # (M, P, F)
     mixed = jnp.einsum("mp,mpf->mf", gains.astype(ramps.real.dtype), ramps) * spec

@@ -65,12 +65,22 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
                        pairs_j: np.ndarray,
                        nfft: Optional[int] = None,
                        eps: float = PHAT_EPS,
-                       use_pallas: str = "auto") -> jnp.ndarray:
+                       use_pallas: str = "auto",
+                       band: Optional[Tuple[float, float]] = None,
+                       fs: Optional[float] = None) -> jnp.ndarray:
     """GCC-PHAT for every mic pair at once.
 
     signals: (..., M, N); pairs_i/pairs_j: static int arrays of length P
     (i < j, reference loop order main.py:202-203).  Returns (..., P, n).
     One rfft batch of M transforms replaces the reference's 3 FFTs per pair.
+
+    ``band=(lo_hz, hi_hz)`` (with ``fs``) enables band-limited PHAT: bins
+    outside the band are zeroed after whitening.  After bandpass filtering,
+    out-of-band bins hold only filter transients / noise that are common
+    across channels; plain PHAT boosts them to unit weight, planting a
+    spurious peak at lag 0 (the reference's defect Q5, SURVEY.md).  Band
+    limiting is the physically-correct estimator and is used by the sweep
+    path; the reference-parity path leaves it off.
     """
     n_samp = signals.shape[-1]
     n = nfft if nfft is not None else fft_length(n_samp, n_samp, "exact")
@@ -78,6 +88,13 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
     cross = jnp.take(spec, pairs_i, axis=-2) * jnp.conj(
         jnp.take(spec, pairs_j, axis=-2))                  # (..., P, F)
     white = _whiten(cross, eps, use_pallas)
+    if band is not None:
+        if fs is None:
+            raise ValueError("band-limited PHAT requires fs")
+        freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+        mask = jnp.asarray((freqs >= band[0]) & (freqs <= band[1]),
+                           signals.dtype)
+        white = white * mask
     return irfft_n(white, n).astype(signals.dtype)
 
 

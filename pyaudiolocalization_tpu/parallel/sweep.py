@@ -95,6 +95,8 @@ class SweepSpec:
     snr_db: Tuple[float, float] = (20.0, 40.0)
     # Estimation knobs.
     filter_method: str = "butterworth"
+    lowcut: float = 300.0
+    highcut: float = 3400.0
     nfft_mode: str = "pow2"
     temperature: float = 20.0
     humidity: float = 50.0
@@ -187,8 +189,15 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
     filtered = filter_ops.noise_reduction(signals, spec.fs,
-                                          method=spec.filter_method)
-    corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft)
+                                          method=spec.filter_method,
+                                          lowcut=spec.lowcut,
+                                          highcut=spec.highcut)
+    # Band-limit the whitening for bandpass front-ends: plain PHAT over a
+    # bandpassed pair plants a spurious lag-0 peak (reference defect Q5).
+    band = (spec.lowcut, spec.highcut) \
+        if spec.filter_method in ("butterworth", "fir") else None
+    corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
+                                      band=band, fs=spec.fs)
     res = tdoa_ops.time_delays_from_corr(
         corr, spec.num_samples, spec.num_samples, spec.fs, num_peaks=1,
         max_expected_delay=spec.max_tdoa, lag_mode="physical")
@@ -250,7 +259,7 @@ def _simulate(spec: SweepSpec, source, mics, c, snr_db, key: jax.Array,
             jnp.zeros((0,), bool), jnp.zeros((0,), jnp.int32))
     paths = scene_paths(source, mics, c, spec.freq, images, absorption, freq_tab)
     sigs = render_scene(base, paths.delays, paths.gains, spec.fs,
-                        spec.total_samples, spec.num_samples)
+                        spec.total_samples, spec.num_samples, pad_mode="pow2")
     # Additive white measurement noise at the per-scene SNR (new capability —
     # the reference simulates noiselessly outside calibration).
     rms = jnp.sqrt(jnp.mean(sigs * sigs, -1, keepdims=True))

@@ -83,3 +83,17 @@ def test_localize_batch_on_given_signals():
     est, cost, td = localize_batch(spec, batch, mics, jax.random.PRNGKey(0))
     err = np.linalg.norm(np.asarray(est) - sources, axis=-1)
     assert err.max() < 0.1
+
+
+def test_sweep_bandpass_front_end_accurate():
+    """Band-limited PHAT must defeat reference defect Q5: with a Butterworth
+    front-end the reference's estimates collapse to the array circumcenter
+    (SURVEY.md, 0.37-6.3 m error); the physical sweep path stays centimeter
+    accurate."""
+    spec = SweepSpec(fs=16000.0, duration=0.25, signal_type="noise",
+                     filter_method="butterworth",
+                     source_box_lo=(0.1, 0.1, 0.1),
+                     source_box_hi=(0.9, 0.9, 0.9), snr_db=(25.0, 35.0))
+    s = monte_carlo_sweep(spec, jax.random.PRNGKey(11), 8)
+    assert float(s.rmse) < 0.05
+    assert float(s.hit_rate) == 1.0
