@@ -79,6 +79,40 @@ def render_scene(base_signal: jnp.ndarray,
     return sig_ops.dynamic_range_compression(sig_ops.normalize_signal(sigs))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_reflections", "absorption_threshold"))
+def _scene_geometry(source, mics, plane_coeffs, plane_material_ids,
+                    absorption_table, freq_table, freq, c, *,
+                    max_reflections: int, absorption_threshold: float):
+    """Image sources + path delays/gains + the reference's max active path
+    delay (main.py:93-101) in ONE device call — the previous eager version
+    paid a tunnel round trip per op."""
+    images = acoustics.image_sources(
+        source, plane_coeffs, plane_material_ids, mics, freq,
+        absorption_table, freq_table, max_reflections, absorption_threshold)
+    paths = scene_paths(source, mics, c, freq, images,
+                        absorption_table, freq_table)
+    m = mics.shape[0]
+    if images.positions.shape[0]:
+        active = jnp.concatenate(
+            [jnp.ones((m, 1), bool),
+             jnp.broadcast_to(images.accepted[None, :],
+                              (m, images.accepted.shape[0]))], 1)
+    else:
+        active = jnp.ones((m, 1), bool)
+    active = active[:, : paths.delays.shape[1]]
+    max_delay = jnp.max(jnp.where(active, paths.delays, 0.0))
+    return paths.delays, paths.gains, max_delay
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("signal_type", "fs", "duration", "dtype"))
+def _base_signal(key, freq, *, signal_type: str, fs: float, duration: float,
+                 dtype):
+    return sig_ops.generate_signal(signal_type, fs, duration, freq, key=key,
+                                   dtype=dtype)
+
+
 def simulate_signals(source_pos,
                      mic_positions,
                      fs: float,
@@ -112,25 +146,21 @@ def simulate_signals(source_pos,
         absorption_table = jnp.asarray(table.absorption, dt)
         freq_table = jnp.asarray(table.freq, dt)
 
-    base = sig_ops.generate_signal(signal_type, fs, duration, freq, key=key,
-                                   dtype=dt)
-    images = acoustics.image_sources(
-        source, plane_coeffs, plane_material_ids, mics, freq,
-        absorption_table, freq_table, max_reflections, absorption_threshold)
-    paths = scene_paths(source, mics, c, freq, images,
-                        absorption_table, freq_table)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    base = _base_signal(key, jnp.asarray(freq, dt), signal_type=signal_type,
+                        fs=fs, duration=duration, dtype=dt)
+    path_delays, path_gains, max_delay_dev = _scene_geometry(
+        source, mics, plane_coeffs, plane_material_ids,
+        absorption_table, freq_table, jnp.asarray(freq, dt),
+        jnp.asarray(c, dt), max_reflections=max_reflections,
+        absorption_threshold=absorption_threshold)
 
     # Reference padding rule (main.py:93-103): max delay over *accepted*
-    # image sources and the direct path — data-dependent, resolved here on
-    # the host for concrete scenes.
-    delays = np.asarray(paths.delays)
-    accepted = np.asarray(images.accepted)
-    active = np.concatenate(
-        [np.ones((delays.shape[0], 1), bool),
-         np.broadcast_to(accepted[None, :], (delays.shape[0], accepted.shape[0]))],
-        axis=1)[:, : delays.shape[1]]
-    max_delay = float(np.max(np.where(active, delays, 0.0)))
+    # image sources and the direct path — data-dependent, so ONE scalar
+    # fetch resolves the concrete render length on the host.
+    max_delay = float(max_delay_dev)
     total_samples = int((duration + max_delay) * fs)
     out_samples = int(duration * fs) if trim_to_duration else total_samples
-    return render_scene(base, paths.delays, paths.gains, fs,
+    return render_scene(base, path_delays, path_gains, fs,
                         total_samples, out_samples)

@@ -8,13 +8,17 @@ check and a 50 ms plausibility window, then pad-align.
 SURVEY.md Q4: this step *cancels the TDOAs* the pipeline then measures; it
 is part of the reference's observable behavior, so sync_mode='reference'
 reproduces it and sync_mode='none' (the physically sane choice) skips it.
-The output padding is data-dependent, so this runs at the host level using
-jitted correlation/refinement kernels on concrete scenes; the fully-jitted
-batched sweep path uses sync_mode='none'.
+
+Design: ALL numerics — energies, the (M, 2N-1) correlation batch, peak
+picking, spline refinement, the confidence/plausibility gates — run in one
+jitted call; exactly one scalar batch crosses back to the host (the per-mic
+shifts), which then drives the data-dependent pad-align.  The previous
+per-signal host loop cost seconds in tunnel round trips alone.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import jax
@@ -25,42 +29,57 @@ from ..ops.interp import refine_peak_cubic
 from .calibration import full_cross_correlation
 
 
+@functools.partial(jax.jit, static_argnames=("fs", "use_interpolation"))
+def _sync_shifts(signals: jnp.ndarray, fs: float,
+                 use_interpolation: bool) -> jnp.ndarray:
+    """Per-signal shifts (samples, float) vs the highest-energy reference.
+
+    signals: (M, N) — equal length (callers zero-pad; trailing zeros extend
+    the correlation but leave peak positions and the lag origin unchanged).
+    """
+    m, n = signals.shape
+    energies = jnp.sum(signals * signals, -1)
+    ref_idx = jnp.argmax(energies)
+    reference = jnp.take(signals, ref_idx, axis=0)
+
+    corr = full_cross_correlation(signals, reference)      # (M, 2N-1)
+    abs_corr = jnp.abs(corr)
+    peak_idx = jnp.argmax(abs_corr, -1)
+    peak_val = jnp.take_along_axis(abs_corr, peak_idx[:, None], -1)[:, 0]
+    ref_peak = peak_val[ref_idx]  # autocorrelation peak of the reference
+
+    if use_interpolation:
+        def refine(row, idx):
+            window = jax.lax.dynamic_slice(row, (idx - 2,), (5,))
+            return refine_peak_cubic(window, idx.astype(row.dtype))
+
+        interior = (peak_idx > 1) & (peak_idx < corr.shape[-1] - 2)
+        safe_idx = jnp.clip(peak_idx, 2, corr.shape[-1] - 3)
+        refined = jax.vmap(refine)(corr, safe_idx)
+        confident = peak_val >= 0.3 * ref_peak             # utils.py:428-430
+        refined = jnp.where(confident & interior, refined,
+                            peak_idx.astype(corr.dtype))
+    else:
+        refined = peak_idx.astype(corr.dtype)
+
+    shift = refined - (n - 1)
+    max_shift = fs * 0.05                                  # utils.py:421
+    shift = jnp.where(jnp.abs(shift) > max_shift, 0.0, shift)
+    return shift.at[ref_idx].set(0.0)
+
+
 def synchronize_signals(signals, fs: float, use_interpolation: bool = True):
-    """Host-level port-of-behavior of utils.py:407-457 over a list/stack of
-    equal- or unequal-length 1-D signals.  Returns a list of jnp arrays."""
+    """Behavior-port of utils.py:407-457 over a list/stack of equal- or
+    unequal-length 1-D signals.  Returns a list of jnp arrays."""
     signals = [jnp.asarray(s) for s in signals]
-    energies = [float(jnp.sum(s * s)) for s in signals]
-    ref_idx = int(np.argmax(energies))
-    reference = signals[ref_idx]
-    ref_corr = full_cross_correlation(reference, reference)
-    ref_peak = float(jnp.max(jnp.abs(ref_corr)))
-    max_shift = int(fs * 0.05)  # 50 ms plausibility gate (utils.py:421)
+    max_in = max(s.shape[-1] for s in signals)
+    stacked = jnp.stack([jnp.pad(s, (0, max_in - s.shape[-1]))
+                         for s in signals])
+    shifts = np.asarray(_sync_shifts(stacked, fs, use_interpolation))
 
-    shifts: List[float] = []
-    for idx, sig in enumerate(signals):
-        if idx == ref_idx:
-            shifts.append(0.0)
-            continue
-        corr = full_cross_correlation(sig, reference)
-        peak_index = int(jnp.argmax(jnp.abs(corr)))
-        peak_val = float(jnp.abs(corr[peak_index]))
-        if peak_val < 0.3 * ref_peak:
-            # Low-confidence peak: skip refinement (utils.py:428-430);
-            # only the plausibility gate below may still zero the shift.
-            refined = float(peak_index)
-        elif use_interpolation and 1 < peak_index < corr.shape[-1] - 2:
-            window = jax.lax.dynamic_slice(corr, (peak_index - 2,), (5,))
-            refined = float(refine_peak_cubic(window, peak_index))
-        else:
-            refined = float(peak_index)
-        shift = refined - (reference.shape[-1] - 1)
-        if abs(shift) > max_shift:
-            shift = 0.0  # implausible shift -> 0 (utils.py:443-445)
-        shifts.append(shift)
-
-    min_shift = min(shifts)
+    min_shift = float(shifts.min())
     adjusted = []
-    for sig, shift in zip(signals, shifts):
+    for sig, shift in zip(signals, shifts.tolist()):
         pad_left = max(0, int(round(shift - min_shift)))
         adjusted.append(jnp.pad(sig, (pad_left, 0)))
     max_len = max(s.shape[-1] for s in adjusted)
