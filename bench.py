@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyaudiolocalization_tpu.ops import gccphat
-from pyaudiolocalization_tpu.parallel import SweepSpec, localize_batch
+from pyaudiolocalization_tpu.parallel import (SweepSpec, localize_batch,
+                                              monte_carlo_sweep)
 
 BASELINE_PAIRS_PER_SEC = 23.3   # BASELINE.md row 1
 BASELINE_SCENES_PER_SEC = 1.23  # BASELINE.md row 3
@@ -95,9 +96,32 @@ def bench_localize(batch: int = 128):
     return batch / dt
 
 
+def bench_full_sweep(batch: int = 256):
+    """FULL pipeline throughput: randomized scene -> multipath simulate ->
+    filter -> GCC-PHAT -> TDOA -> solve, all on device (44.1 kHz x 1 s,
+    4 mics).  The reference needs 0.485 s (simulate) + 0.814 s (localize)
+    per scene serially."""
+    spec = SweepSpec(fs=FS, duration=1.0, signal_type="noise",
+                     source_box_lo=(0.1, 0.1, 0.1),
+                     source_box_hi=(0.9, 0.9, 0.9), snr_db=(20.0, 40.0))
+
+    def step(i):
+        return monte_carlo_sweep(spec, jax.random.PRNGKey(i), batch)
+
+    out = step(0)
+    _sync(out.rmse)
+    t0 = time.perf_counter()
+    iters = 3
+    outs = [step(1 + i) for i in range(iters)]
+    _sync(outs[-1].rmse)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, float(outs[-1].rmse)
+
+
 def main():
     pairs_per_sec = bench_gcc_phat()
     scenes_per_sec = bench_localize()
+    sweep_per_sec, sweep_rmse = bench_full_sweep()
     print(json.dumps({
         "metric": "gccphat_pairs_per_sec_44k1x1s",
         "value": round(pairs_per_sec, 1),
@@ -107,6 +131,8 @@ def main():
             "localize_scenes_per_sec": round(scenes_per_sec, 2),
             "localize_vs_baseline": round(
                 scenes_per_sec / BASELINE_SCENES_PER_SEC, 1),
+            "full_sweep_scenes_per_sec": round(sweep_per_sec, 2),
+            "full_sweep_rmse_m": round(sweep_rmse, 4),
             "device": str(jax.devices()[0]),
         },
     }))
