@@ -79,7 +79,7 @@ def simulate_signals_with_multipath(source_pos,
     static_argnames=("fs", "pairs_i", "pairs_j", "nfft", "filter_method",
                      "lag_mode", "max_expected_delay", "analyze",
                      "num_bootstrap", "clustering_method", "eps",
-                     "min_samples", "use_calibration"))
+                     "min_samples", "use_calibration", "phat_band"))
 def _estimation_core(signals: jnp.ndarray,
                      mic_positions: jnp.ndarray,
                      c: jnp.ndarray,
@@ -98,7 +98,9 @@ def _estimation_core(signals: jnp.ndarray,
                      clustering_method: str,
                      eps: float,
                      min_samples: int,
-                     use_calibration: bool) -> Dict[str, jnp.ndarray]:
+                     use_calibration: bool,
+                     phat_band: Optional[Tuple[float, float]] = None
+                     ) -> Dict[str, jnp.ndarray]:
     """Filter -> all-pairs GCC-PHAT -> TDOA ladder -> (metrics) -> clustered
     init -> bounds -> weighted multi-start LM.  One XLA graph."""
     pi = np.asarray(pairs_i, np.int32)
@@ -109,7 +111,8 @@ def _estimation_core(signals: jnp.ndarray,
         filtered = filter_ops.noise_reduction(signals, fs, method=filter_method)
 
     with jax.named_scope("gccphat"):
-        corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=nfft)  # (P, nfft)
+        corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=nfft,
+                                          band=phat_band, fs=fs)  # (P, nfft)
     with jax.named_scope("tdoa"):
         res = tdoa_ops.time_delays_from_corr(
             corr, n, n, fs, num_peaks=1, max_expected_delay=max_expected_delay,
@@ -140,10 +143,7 @@ def _estimation_core(signals: jnp.ndarray,
         )(jnp.take(filtered, pi, 0), jnp.take(filtered, pj, 0),
           jax.random.split(k_metrics, pi.shape[0]))
         significant = (peak_corr > thresholds) & (snr > 2.0)
-        # compute_weights (utils.py:484-497): snr normalized by its mean.
-        mean_snr = jnp.mean(snr)
-        weights = jnp.where(mean_snr != 0, snr / jnp.where(mean_snr == 0, 1, mean_snr),
-                            snr)
+        weights = tdoa_ops.compute_weights(snr)
     else:
         snr = ppr = significant = None
         weights = jnp.ones(pi.shape[0], signals.dtype)
@@ -173,6 +173,19 @@ def _estimation_core(signals: jnp.ndarray,
         out.update({"snr": snr, "peak_to_peak_ratio": ppr,
                     "significant": significant})
     return out
+
+
+def _resolve_phat_band(loc: LocalizationConfig):
+    """Band-limited PHAT whitening (SURVEY.md Q5 fix) in physical mode:
+    'auto' follows the bandpass front-end's passband; None = reference
+    behavior (whiten every bin)."""
+    band = loc.phat_band
+    if band == "auto":
+        if loc.lag_mode == "physical" and loc.filter_method in ("butterworth",
+                                                                "fir"):
+            return (300.0, 3400.0)  # noise_reduction's default passband
+        return None
+    return tuple(band) if band is not None else None
 
 
 def localize_sound_source(config,
@@ -276,7 +289,8 @@ def localize_sound_source(config,
         analyze=loc.analyze_correlation, num_bootstrap=loc.num_bootstrap,
         clustering_method=loc.clustering_method, eps=loc.clustering_eps,
         min_samples=loc.clustering_min_samples,
-        use_calibration=calib_delays is not None)
+        use_calibration=calib_delays is not None,
+        phat_band=_resolve_phat_band(loc))
 
     estimated = np.asarray(core["estimated_position"])
     cost = float(core["cost"])

@@ -61,6 +61,20 @@ def calculate_attenuation(dist, material_id, frequency,
     return (1.0 / d) * jnp.exp(-fcoeff * frequency * d) * jnp.exp(-absorption * d)
 
 
+def log_attenuation(dist, material_id, frequency,
+                    absorption_table: jnp.ndarray,
+                    freq_table: jnp.ndarray):
+    """log(calculate_attenuation(...)): exact in float32 where the linear
+    form underflows (exp(-90) flushes to zero under XLA's FTZ — SURVEY.md
+    Q2 distances do this for the reference's default materials; the
+    reference survives only because float64 NumPy keeps ~1e-40 subnormals
+    that per-mic normalization then rescales)."""
+    d = jnp.maximum(dist, 0.1)
+    absorption = jnp.take(absorption_table, material_id)
+    fcoeff = jnp.take(freq_table, material_id)
+    return -jnp.log(d) - fcoeff * frequency * d - absorption * d
+
+
 # ---------------------------------------------------------------------------
 # Static reflection tree
 # ---------------------------------------------------------------------------
@@ -149,13 +163,21 @@ def image_sources(source: jnp.ndarray,
     material_ids = jnp.take(plane_material_ids, node_plane)
 
     # Attenuation acceptance rule: mean over mics > thr AND min > thr/2
-    # (utils.py:97-99), with each node's own material.
+    # (utils.py:97-99), with each node's own material — evaluated in log
+    # space (stable logsumexp mean) so float32 runs don't flush the
+    # reference-scale exp(-90) attenuations to zero (SURVEY.md Q2).
     dists = jnp.linalg.norm(
         positions[:, None, :] - mic_positions[None, :, :], axis=-1)  # (I, M)
-    att = calculate_attenuation(dists, material_ids[:, None], frequency,
-                                absorption_table, freq_table)
-    att_ok = (jnp.mean(att, -1) > absorption_threshold) & (
-        jnp.min(att, -1) > absorption_threshold / 2.0)
+    la = log_attenuation(dists, material_ids[:, None], frequency,
+                         absorption_table, freq_table)
+    if absorption_threshold > 0:
+        log_thr = float(np.log(absorption_threshold))
+        k = jnp.max(la, -1)
+        log_mean = k + jnp.log(jnp.mean(jnp.exp(la - k[:, None]), -1))
+        att_ok = (log_mean > log_thr) & (
+            jnp.min(la, -1) > float(np.log(absorption_threshold / 2.0)))
+    else:  # non-positive threshold accepts everything (attenuation > 0)
+        att_ok = jnp.ones(num_nodes, bool)
 
     # Sequential BFS-order dedupe against previously ACCEPTED nodes and the
     # true source, by equality of 6-decimal-rounded coordinates

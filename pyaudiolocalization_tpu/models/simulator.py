@@ -34,6 +34,12 @@ class ScenePaths(NamedTuple):
     gains: jnp.ndarray    # (M, 1 + I) attenuation * acceptance mask
 
 
+# float64's smallest normal is ~2.2e-308; a channel whose strongest path is
+# below that is all-zero for the float64 reference too (normalize passes
+# silent signals through, signal_processing.py:82-86).
+_F64_LOG_TINY = -708.0
+
+
 def scene_paths(source: jnp.ndarray,
                 mic_positions: jnp.ndarray,
                 c,
@@ -43,21 +49,37 @@ def scene_paths(source: jnp.ndarray,
                 freq_table: jnp.ndarray) -> ScenePaths:
     """Delay/gain matrix for the direct path + every (masked) image source
     (reference main.py:104-118 semantics: direct uses 'air', each image its
-    plane's material)."""
+    plane's material).
+
+    Gains are computed in LOG space and rescaled per mic so the strongest
+    path has gain 1: the reference's default materials give attenuations of
+    ~exp(-90) (SURVEY.md Q2) that flush to zero in float32 and silence whole
+    channels; its float64 NumPy survives only because per-mic normalization
+    (main.py:121) rescales ~1e-40 waveforms afterwards.  Per-mic rescaling
+    before the render is mathematically identical after that normalization,
+    and exact in float32.  Channels whose strongest path underflows even
+    float64 stay zero, matching the reference's observable output.
+    """
     d_direct = jnp.linalg.norm(source[None, :] - mic_positions, axis=-1)  # (M,)
-    a_direct = acoustics.calculate_attenuation(
+    la_direct = acoustics.log_attenuation(
         d_direct, AIR_ID, frequency, absorption_table, freq_table)
     if images.positions.shape[0] == 0:
-        return ScenePaths(d_direct[:, None] / c, a_direct[:, None])
-    d_img = jnp.linalg.norm(
-        images.positions[None, :, :] - mic_positions[:, None, :], axis=-1)  # (M, I)
-    a_img = acoustics.calculate_attenuation(
-        d_img, images.material_ids[None, :], frequency,
-        absorption_table, freq_table)
-    gains_img = a_img * images.accepted[None, :]
-    delays = jnp.concatenate([d_direct[:, None], d_img], 1) / c
-    gains = jnp.concatenate([a_direct[:, None], gains_img], 1)
-    return ScenePaths(delays, gains)
+        la_all = la_direct[:, None]
+        delays = d_direct[:, None] / c
+    else:
+        d_img = jnp.linalg.norm(
+            images.positions[None, :, :] - mic_positions[:, None, :], axis=-1)
+        la_img = acoustics.log_attenuation(
+            d_img, images.material_ids[None, :], frequency,
+            absorption_table, freq_table)
+        la_img = jnp.where(images.accepted[None, :], la_img, -jnp.inf)
+        la_all = jnp.concatenate([la_direct[:, None], la_img], 1)  # (M, 1+I)
+        delays = jnp.concatenate([d_direct[:, None], d_img], 1) / c
+    ref = jnp.max(la_all, axis=1, keepdims=True)                   # (M, 1)
+    alive = ref > _F64_LOG_TINY
+    gains = jnp.where(jnp.isfinite(la_all),
+                      jnp.exp(la_all - jnp.where(alive, ref, 0.0)), 0.0)
+    return ScenePaths(delays, jnp.where(alive, gains, 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("total_samples", "out_samples", "pad_mode"))

@@ -269,3 +269,11 @@ def cross_correlation_metrics(corr: jnp.ndarray, sig1: jnp.ndarray,
     snr, significant = significance_test(
         corr, sig1, sig2, key, alpha=alpha, num_bootstrap=num_bootstrap, nfft=nfft)
     return {"peak_to_peak_ratio": ppr, "snr": snr, "significant": significant}
+
+
+def compute_weights(snr: jnp.ndarray) -> jnp.ndarray:
+    """Per-pair solver weights: each pair's SNR metric normalized by the
+    mean weight (compute_weights, reference utils.py:484-497; missing
+    metrics default to 1.0 upstream)."""
+    mean = jnp.mean(snr)
+    return jnp.where(mean != 0, snr / jnp.where(mean == 0, 1, mean), snr)

@@ -107,3 +107,31 @@ def read_audio_files(audio_files: List[str], expected_fs: float,
         except Exception as e:
             raise RuntimeError(f"Error reading audio file '{path}': {e}") from e
     return signals
+
+
+def write_wav(path: str, samples, fs: float, bits: int = 16) -> None:
+    """Write (frames,) or (frames, channels) samples in [-1, 1] as a RIFF
+    WAV: 16-bit PCM (default) or 32-bit IEEE float.  Companion to
+    ``read_wav`` (the reference has no writer — soundfile covers it there)."""
+    arr = np.asarray(samples, np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    frames, channels = arr.shape
+    if bits == 16:
+        fmt_code, bytes_per = 1, 2
+        payload = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(
+            "<i2").tobytes()
+    elif bits == 32:
+        fmt_code, bytes_per = 3, 4
+        payload = arr.astype("<f4").tobytes()
+    else:
+        raise ValueError("bits must be 16 (PCM) or 32 (IEEE float)")
+    byte_rate = int(fs) * channels * bytes_per
+    block_align = channels * bytes_per
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, int(fs), byte_rate,
+                      block_align, bits)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(payload)) + payload)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(chunks)) + chunks)

@@ -71,6 +71,10 @@ class LocalizationConfig:
     # Bootstrap resamples for the significance test (reference hardcodes 1000,
     # utils.py:186).
     num_bootstrap: int = 1000
+    # PHAT whitening band (Hz): 'auto' band-limits to the noise-reduction
+    # passband in physical lag mode (fixes the reference's bandpass+PHAT
+    # lag-0 artifact, SURVEY.md Q5), None disables, or an explicit (lo, hi).
+    phat_band: Any = "auto"
 
     @staticmethod
     def from_dict(d: Mapping[str, Any] | None) -> "LocalizationConfig":
@@ -89,6 +93,7 @@ class LocalizationConfig:
             lag_mode=d.get("lag_mode", "physical"),
             sync_mode=d.get("sync_mode", "reference"),
             num_bootstrap=int(d.get("num_bootstrap", 1000)),
+            phat_band=d.get("phat_band", "auto"),
         )
 
 
