@@ -41,6 +41,13 @@ def fft_length(n1: int, n2: int, mode: str = "pow2") -> int:
         return n
     if mode == "pow2":
         return next_pow2(n)
+    if mode == "circular":
+        # next_pow2(max(n1, n2)): the correlation is circular — lag l
+        # aliases with l -/+ nfft.  For whitened (PHAT) correlations the
+        # aliased background is noise-level, so windowed peak picking at
+        # small |l| is unaffected while the FFTs halve in size.  Physical
+        # mode only; never used for reference parity.
+        return next_pow2(max(n1, n2))
     raise ValueError(f"unknown fft length mode {mode!r}")
 
 
