@@ -38,6 +38,12 @@ import numpy as np
 @functools.lru_cache(maxsize=64)
 def _butter_bandpass_zpk(order: int, low: float, high: float):
     """Digital Butterworth bandpass as z-domain zeros/poles/gain."""
+    if not 0.0 < low < high < 1.0:
+        # scipy.butter's contract: normalized critical frequencies in (0, 1).
+        raise ValueError(
+            "Digital filter critical frequencies must be 0 < low < high < 1 "
+            f"(got low={low}, high={high}; frequencies are in units of the "
+            "Nyquist rate)")
     n = order
     # Analog lowpass prototype: unit-cutoff Butterworth poles, no zeros, k=1.
     k_idx = np.arange(1, n + 1)
