@@ -1,0 +1,133 @@
+"""SRP-PHAT: steered-response-power localization over a candidate grid.
+
+No reference counterpart (the reference only solves TDOA least squares) —
+this is the standard robust alternative: for every candidate position x,
+sum each pair's whitened correlation at that position's expected lag
+
+    SRP(x) = sum_p corr_p[ round(fs * (|x - mic_j| - |x - mic_i|) / c) ]
+
+and take the argmax.  No initialization, no convergence failures, and
+naturally robust to multipath/outlier pairs (a bad pair adds noise to the
+map instead of biasing a solver).  TPU-first shape: the whole grid
+evaluates as one gather + reduction; scenes/pairs batch with vmap; a second
+fine stage re-grids around the coarse peak, then an optional quadratic
+refinement interpolates sub-cell.
+
+Operates on circular-order correlations exactly as ``gcc_phat_all_pairs``
+returns them (lag 0 at index 0, negative lags wrapped), so no roll/copy is
+needed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SrpResult(NamedTuple):
+    position: jnp.ndarray   # (..., 3)
+    power: jnp.ndarray      # (...,) SRP value at the estimate
+    coarse: jnp.ndarray     # (..., 3) stage-1 cell center (diagnostics)
+
+
+def _axis_grid(lo, hi, n: int, dtype):
+    steps = (jnp.arange(n, dtype=dtype) + 0.5) / n
+    return lo + steps * (hi - lo)
+
+
+def _grid_points(lo: jnp.ndarray, hi: jnp.ndarray, n: int, dtype):
+    """(n^3, 3) cell-center lattice over the box [lo, hi]^3."""
+    ax = [_axis_grid(lo[d], hi[d], n, dtype) for d in range(3)]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    return jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
+
+
+def srp_map(corr: jnp.ndarray, points: jnp.ndarray, mic_positions: jnp.ndarray,
+            pairs_i: np.ndarray, pairs_j: np.ndarray, fs: float, c
+            ) -> jnp.ndarray:
+    """SRP value for each candidate point.
+
+    corr: (P, nfft) circular-order whitened correlations; points: (G, 3).
+    Returns (G,).  Fractional expected lags are linearly interpolated
+    between neighboring correlation samples.
+    """
+    nfft = corr.shape[-1]
+    d = jnp.linalg.norm(points[:, None, :] - mic_positions[None, :, :],
+                        axis=-1)                                   # (G, M)
+    # Peak sits at lag -(arrival_j - arrival_i) (see models/tdoa.py).
+    tau = -(jnp.take(d, pairs_j, 1) - jnp.take(d, pairs_i, 1)) / c  # (G, P)
+    lag = tau * fs
+    lag0 = jnp.floor(lag)
+    frac = lag - lag0
+    i0 = jnp.mod(lag0.astype(jnp.int32), nfft)
+    i1 = jnp.mod(i0 + 1, nfft)
+    p_idx = jnp.arange(pairs_i.shape[0])[None, :]
+    v0 = corr[p_idx, i0]
+    v1 = corr[p_idx, i1]
+    return jnp.sum(v0 * (1.0 - frac) + v1 * frac, axis=-1)        # (G,)
+
+
+def srp_phat_locate(corr: jnp.ndarray,
+                    mic_positions: jnp.ndarray,
+                    pairs_i: np.ndarray,
+                    pairs_j: np.ndarray,
+                    fs: float,
+                    c,
+                    lower: jnp.ndarray,
+                    upper: jnp.ndarray,
+                    coarse_n: int = 24,
+                    fine_n: int = 12,
+                    refine: bool = True) -> SrpResult:
+    """Two-stage SRP-PHAT grid search over the box [lower, upper].
+
+    Stage 1: coarse_n^3 lattice over the box; stage 2: fine_n^3 lattice over
+    the +-1-coarse-cell neighborhood of the peak; optional per-axis
+    quadratic interpolation of the fine peak.  Everything is one jitted
+    graph; vmap over a leading scene axis for batches.
+    """
+    dtype = corr.dtype
+    pi = np.asarray(pairs_i, np.int32)
+    pj = np.asarray(pairs_j, np.int32)
+
+    coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
+    coarse_val = srp_map(corr, coarse_pts, mic_positions, pi, pj, fs, c)
+    best = jnp.argmax(coarse_val)
+    center = coarse_pts[best]
+    cell = (upper - lower) / coarse_n
+
+    f_lo = center - 1.5 * cell
+    f_hi = center + 1.5 * cell
+    fine_pts = _grid_points(f_lo, f_hi, fine_n, dtype)
+    fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c)
+    fbest = jnp.argmax(fine_val)
+    pos = fine_pts[fbest]
+    power = fine_val[fbest]
+
+    if refine:
+        # Per-axis quadratic fit through (pos - h, pos, pos + h).
+        h = (f_hi - f_lo) / fine_n
+
+        def axis_refine(carry, d):
+            p, _ = carry
+            e = jnp.zeros(3, dtype).at[d].set(1.0)
+            step = h[d]
+            vm = srp_map(corr, (p - step * e)[None], mic_positions, pi, pj,
+                         fs, c)[0]
+            v0 = srp_map(corr, p[None], mic_positions, pi, pj, fs, c)[0]
+            vp = srp_map(corr, (p + step * e)[None], mic_positions, pi, pj,
+                         fs, c)[0]
+            denom = vm - 2.0 * v0 + vp
+            delta = jnp.where(jnp.abs(denom) > 1e-12,
+                              0.5 * (vm - vp) / jnp.where(denom == 0, 1.0,
+                                                          denom), 0.0)
+            delta = jnp.clip(delta, -1.0, 1.0) * step
+            return (p + delta * e, v0), None
+
+        (pos, _), _ = jax.lax.scan(axis_refine, (pos, power), jnp.arange(3))
+        pos = jnp.clip(pos, lower, upper)
+        power = srp_map(corr, pos[None], mic_positions, pi, pj, fs, c)[0]
+
+    return SrpResult(pos, power, center)

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import acoustics
 from ..models import solver as solver_ops
+from ..models import srp as srp_ops
 from ..models import tdoa as tdoa_ops
 from ..models.simulator import scene_paths, render_scene
 from ..ops import gccphat
@@ -93,7 +94,11 @@ class SweepSpec:
     source_box_hi: tuple = (1.0, 1.0, 1.0)
     mic_jitter: float = 0.0
     snr_db: Tuple[float, float] = (20.0, 40.0)
-    # Estimation knobs.
+    # Estimation knobs.  solver: 'lm' (clustered multi-start
+    # Levenberg-Marquardt on the measured TDOAs, the reference's approach),
+    # 'srp' (initialization-free SRP-PHAT grid search over the source box),
+    # or 'srp+lm' (SRP coarse fix appended to the LM restart set).
+    solver: str = "lm"
     filter_method: str = "butterworth"
     lowcut: float = 300.0
     highcut: float = 3400.0
@@ -207,8 +212,23 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     # physical peak lag -> td = arrival_j - arrival_i (models/tdoa.py).
     td = -res.delays[..., 0]
     weights = jnp.ones(pi.shape[0], signals.dtype)
+
+    if spec.solver in ("srp", "srp+lm"):
+        # Search box: the scene's source prior, expanded 20% (static).
+        blo = np.asarray(spec.source_box_lo, float)
+        bhi = np.asarray(spec.source_box_hi, float)
+        margin = 0.2 * (bhi - blo) + 1e-3
+        srp = srp_ops.srp_phat_locate(
+            corr, mics, pi, pj, spec.fs, c,
+            jnp.asarray(blo - margin, signals.dtype),
+            jnp.asarray(bhi + margin, signals.dtype))
+        if spec.solver == "srp":
+            return srp.position, -srp.power, td
+
     guesses, _ = solver_ops.heuristic_initial_guesses(
         mics, pi, pj, td, c, key)
+    if spec.solver == "srp+lm":
+        guesses = jnp.concatenate([guesses, srp.position[None, :]], 0)
     lower, upper = solver_ops.dynamic_bounds(mics, td, c)
     guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
     best = solver_ops.multi_start_lm(

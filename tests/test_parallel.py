@@ -97,3 +97,16 @@ def test_sweep_bandpass_front_end_accurate():
     s = monte_carlo_sweep(spec, jax.random.PRNGKey(11), 8)
     assert float(s.rmse) < 0.05
     assert float(s.hit_rate) == 1.0
+
+
+@pytest.mark.parametrize("solver", ["srp", "srp+lm"])
+def test_sweep_srp_solvers(solver):
+    """SRP-PHAT grid localization (models/srp.py): initialization-free and
+    as accurate as the LM path on clean scenes."""
+    spec = SweepSpec(fs=16000.0, duration=0.1, signal_type="noise",
+                     solver=solver,
+                     source_box_lo=(0.1, 0.1, 0.1),
+                     source_box_hi=(0.9, 0.9, 0.9), snr_db=(25.0, 35.0))
+    s = monte_carlo_sweep(spec, jax.random.PRNGKey(5), 8)
+    assert float(s.rmse) < 0.05
+    assert float(s.hit_rate) == 1.0
