@@ -218,17 +218,27 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         blo = np.asarray(spec.source_box_lo, float)
         bhi = np.asarray(spec.source_box_hi, float)
         margin = 0.2 * (bhi - blo) + 1e-3
+        coarse_n = 24
         srp = srp_ops.srp_phat_locate(
             corr, mics, pi, pj, spec.fs, c,
             jnp.asarray(blo - margin, signals.dtype),
-            jnp.asarray(bhi + margin, signals.dtype))
+            jnp.asarray(bhi + margin, signals.dtype), coarse_n=coarse_n)
         if spec.solver == "srp":
             return srp.position, -srp.power, td
+        # 'srp+lm': polish the SRP fix with LM on the measured TDOAs, but
+        # only accept the polish if it stays within one coarse cell — in
+        # reverberant scenes the TDOAs themselves can be wrong (reflection
+        # peaks), and an unconstrained LM walks far from the SRP optimum.
+        lower, upper = solver_ops.dynamic_bounds(mics, td, c)
+        lm = solver_ops.lm_solve(srp.position, mics, pi, pj, td, c, weights,
+                                 lower, upper)
+        cell = float(np.linalg.norm((bhi - blo + 2 * margin) / coarse_n))
+        near = jnp.linalg.norm(lm.x - srp.position) <= cell
+        return (jnp.where(near, lm.x, srp.position),
+                jnp.where(near, lm.cost, -srp.power), td)
 
     guesses, _ = solver_ops.heuristic_initial_guesses(
         mics, pi, pj, td, c, key)
-    if spec.solver == "srp+lm":
-        guesses = jnp.concatenate([guesses, srp.position[None, :]], 0)
     lower, upper = solver_ops.dynamic_bounds(mics, td, c)
     guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
     best = solver_ops.multi_start_lm(

@@ -110,3 +110,21 @@ def test_sweep_srp_solvers(solver):
     s = monte_carlo_sweep(spec, jax.random.PRNGKey(5), 8)
     assert float(s.rmse) < 0.05
     assert float(s.hit_rate) == 1.0
+
+
+def test_srp_beats_lm_in_reverb():
+    """In reverberant scenes the TDOA-LM path picks reflection peaks on a
+    fraction of scenes (reference-style failure); SRP-PHAT stays robust."""
+    planes = ((1.0, 0, 0, 0.5), (1.0, 0, 0, -5.5), (0, 1.0, 0, 0.5),
+              (0, 1.0, 0, -6.5), (0, 0, 1.0, 0.5), (0, 0, 1.0, -3.0))
+    mats = (1, 1, 2, 2, 1, 1)
+    common = dict(fs=16000.0, duration=0.25, signal_type="noise",
+                  plane_coeffs=planes, plane_material_ids=mats,
+                  max_reflections=2, source_box_lo=(0.1, 0.1, 0.1),
+                  source_box_hi=(0.9, 0.9, 0.9), snr_db=(10.0, 25.0))
+    srp = monte_carlo_sweep(SweepSpec(solver="srp", **common),
+                            jax.random.PRNGKey(0), 16)
+    lm = monte_carlo_sweep(SweepSpec(solver="lm", **common),
+                           jax.random.PRNGKey(0), 16)
+    assert float(srp.hit_rate) >= float(lm.hit_rate)
+    assert float(srp.rmse) < 0.5
