@@ -254,7 +254,8 @@ def differential_evolution(objective, lower: jnp.ndarray, upper: jnp.ndarray,
                            maxiter: int = 1000, tol: float = 1e-6,
                            mutation: Tuple[float, float] = (0.5, 1.0),
                            recombination: float = 0.7,
-                           polish_fn=None) -> DEResult:
+                           polish_fn=None,
+                           init: Optional[jnp.ndarray] = None) -> DEResult:
     """best1bin DE with dithered mutation and latin-hypercube init, matching
     the reference's scipy parameters (main.py:281-292); the population lives
     on device and evolves under lax.while_loop with scipy's convergence rule
@@ -270,6 +271,14 @@ def differential_evolution(objective, lower: jnp.ndarray, upper: jnp.ndarray,
         jax.random.split(jax.random.fold_in(k_init, 1), dim))
     samples = jnp.take_along_axis(segs, perms, 1).T        # (pop, dim)
     pop = lower[None, :] + samples * (upper - lower)[None, :]
+    if init is not None:
+        # Seed the population with caller-provided candidates (clipped into
+        # bounds), e.g. the clustering-based heuristic guesses — TDOA
+        # landscapes have competitive far-field basins that a pure
+        # latin-hypercube start frequently converges into (as does scipy's,
+        # tol=0.01 — the reference's DE fallback shares the failure mode).
+        k = min(init.shape[0], pop_n)
+        pop = pop.at[:k].set(jnp.clip(init[:k], lower[None, :], upper[None, :]))
     energies = jax.vmap(objective)(pop)
 
     def converged(state):

@@ -97,8 +97,12 @@ class SweepSpec:
     # Estimation knobs.  solver: 'lm' (clustered multi-start
     # Levenberg-Marquardt on the measured TDOAs, the reference's approach),
     # 'srp' (initialization-free SRP-PHAT grid search over the source box),
-    # or 'srp+lm' (SRP coarse fix appended to the LM restart set).
+    # 'srp+lm' (SRP fix polished by LM, gated to the SRP cell), or 'de'
+    # (on-device differential evolution over the TDOA objective —
+    # BASELINE config 4; population = de_popsize * 3).
     solver: str = "lm"
+    de_popsize: int = 15
+    de_maxiter: int = 200
     filter_method: str = "butterworth"
     lowcut: float = 300.0
     highcut: float = 3400.0
@@ -236,6 +240,24 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         near = jnp.linalg.norm(lm.x - srp.position) <= cell
         return (jnp.where(near, lm.x, srp.position),
                 jnp.where(near, lm.cost, -srp.power), td)
+
+    if spec.solver == "de":
+        k_guess, k_de = jax.random.split(key)
+        lower, upper = solver_ops.dynamic_bounds(mics, td, c)
+        guesses, _ = solver_ops.heuristic_initial_guesses(
+            mics, pi, pj, td, c, k_guess)
+
+        def objective(x):
+            r = solver_ops.tdoa_residuals(x, mics, pi, pj, td, c, weights)
+            return jnp.sum(r * r)
+
+        de = solver_ops.differential_evolution(
+            objective, lower, upper, k_de, popsize=spec.de_popsize,
+            maxiter=spec.de_maxiter, init=guesses,
+            polish_fn=lambda x: (lambda r: (r.x, r.cost))(
+                solver_ops.lm_solve(x, mics, pi, pj, td, c, weights,
+                                    lower, upper)))
+        return de.x, de.energy, td
 
     guesses, _ = solver_ops.heuristic_initial_guesses(
         mics, pi, pj, td, c, key)

@@ -128,3 +128,14 @@ def test_srp_beats_lm_in_reverb():
                            jax.random.PRNGKey(0), 16)
     assert float(srp.hit_rate) >= float(lm.hit_rate)
     assert float(srp.rmse) < 0.5
+
+
+def test_sweep_de_solver():
+    """On-device differential evolution as the sweep solver (BASELINE
+    config 4); vmapped population per scene under lax.while_loop."""
+    spec = SweepSpec(fs=16000.0, duration=0.1, signal_type="noise",
+                     solver="de", de_popsize=32, de_maxiter=150,
+                     source_box_lo=(0.2, 0.2, 0.2),
+                     source_box_hi=(0.8, 0.8, 0.8), snr_db=(25.0, 35.0))
+    s = monte_carlo_sweep(spec, jax.random.PRNGKey(9), 4)
+    assert float(s.rmse) < 0.1
