@@ -269,6 +269,11 @@ def localize_sound_source(config,
     if loc.sync_mode == "reference":
         signal_list = synchronize_signals(signal_list, fs)
         logger.info("Signals synchronized.")
+    # sync_mode='none' still needs equal lengths: trailing zero-pad like the
+    # reference's pad-align (utils.py:448-456) without the shifting.
+    max_len = max(int(s.shape[-1]) for s in signal_list)
+    signal_list = [jnp.pad(s, (0, max_len - s.shape[-1]))
+                   if s.shape[-1] < max_len else s for s in signal_list]
     signals = jnp.stack(signal_list)
 
     pairs = scene.mic_pairs

@@ -53,8 +53,9 @@ def silhouette_score(x: jnp.ndarray, labels: jnp.ndarray, num_clusters: int,
     other_mask = (jnp.arange(num_clusters)[None, :] != labels[:, None]) & (
         counts[None, :] > 0)
     b = jnp.min(jnp.where(other_mask, mean_other, jnp.inf), 1)
-    s = jnp.where(own_count > 1, (b - a) / jnp.maximum(jnp.maximum(a, b), 1e-300),
-                  0.0)
+    # Guard representable in float32 (1e-300 flushes to zero under XLA).
+    denom_ab = jnp.maximum(jnp.maximum(a, b), 1e-30)
+    s = jnp.where(own_count > 1, (b - a) / denom_ab, 0.0)
     denom = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(jnp.where(valid, s, 0.0)) / denom
 
@@ -83,7 +84,7 @@ def kmeans(x: jnp.ndarray, k: int, key: jax.Array, iters: int = 25,
         d2 = jnp.min(jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, -1)
                      + jnp.where(jnp.arange(k)[None, :] < i, 0.0, jnp.inf), 1)
         d2 = jnp.where(valid, d2, 0.0)
-        logits = jnp.where(valid & (d2 > 0), jnp.log(jnp.maximum(d2, 1e-300)),
+        logits = jnp.where(valid & (d2 > 0), jnp.log(jnp.maximum(d2, 1e-30)),
                            -jnp.inf)
         # If every remaining point coincides with a center, fall back to
         # uniform choice over valid points.

@@ -69,7 +69,9 @@ def pair_guesses(mic_positions: jnp.ndarray, pairs_i: jnp.ndarray,
     direction = mj - mi
     norm = jnp.linalg.norm(direction, axis=-1)
     valid = norm > 0
-    unit = direction / jnp.maximum(norm, 1e-300)[:, None]
+    # Guard must be representable in float32 (1e-300 flushes to 0 -> 0/0
+    # NaN poisons every downstream consumer of the masked row).
+    unit = direction / jnp.where(valid, norm, 1.0)[:, None]
     midpoint = (mi + mj) / 2.0
     offset = (c * jnp.abs(tdoas)) / 2.0
     sign = jnp.where(tdoas > 0, -1.0, 1.0)
@@ -85,6 +87,9 @@ def optimal_cluster_count(points: jnp.ndarray, valid: jnp.ndarray,
     (strict improvement, like the reference's `>`)."""
     n = points.shape[0]
     n_valid = jnp.sum(valid)
+    if method not in ("kmeans", "dbscan"):
+        # Reference raises for unknown methods (utils.py:298-302).
+        raise ValueError("Unknown clustering method. Use 'kmeans' or 'dbscan'.")
     if method == "dbscan":
         res = cluster_ops.dbscan(points, eps, min_samples, valid)
         labels = jnp.maximum(res.labels, 0)
@@ -126,17 +131,29 @@ def heuristic_initial_guesses(mic_positions: jnp.ndarray,
     n = points.shape[0]
 
     if clustering_method == "kmeans":
-        num = optimal_cluster_count(points, pvalid, key, max_clusters,
-                                    "kmeans", eps, min_samples)
-        # k is data-dependent: evaluate centers for every k and select.
+        # One kmeans run per k serves BOTH the silhouette-based k selection
+        # (optimal_cluster_count semantics, utils.py:273-302) and the center
+        # extraction — k is data-dependent, so every k's centers are
+        # evaluated and the winner selected by mask.
+        n_valid = jnp.sum(pvalid)
+        upper_k = min(max_clusters, n)
+        best_k = jnp.asarray(1)
+        best_score = jnp.asarray(-1.0, points.dtype)
         all_centers = []
         all_valid = []
         for k in range(1, max_clusters + 1):
-            kmk = cluster_ops.kmeans(points, k, jax.random.fold_in(key, 100 + k),
+            kmk = cluster_ops.kmeans(points, k, jax.random.fold_in(key, k),
                                      valid=pvalid)
             pad = jnp.tile(centroid[None, :], (max_clusters - k, 1))
             all_centers.append(jnp.concatenate([kmk.centers, pad], 0))
             all_valid.append(jnp.arange(max_clusters) < k)
+            if 2 <= k <= upper_k:
+                score = cluster_ops.silhouette_score(points, kmk.labels, k,
+                                                     pvalid)
+                better = (k <= n_valid) & (score > best_score)
+                best_k = jnp.where(better, k, best_k)
+                best_score = jnp.where(better, score, best_score)
+        num = jnp.where(n_valid < 2, 1, best_k)
         stacked = jnp.stack(all_centers)          # (K, max_clusters, 3)
         stacked_valid = jnp.stack(all_valid)      # (K, max_clusters)
         sel = jnp.clip(num - 1, 0, max_clusters - 1)
@@ -236,8 +253,11 @@ def multi_start_lm(guesses: jnp.ndarray, mic_positions, pairs_i, pairs_j,
         g, mic_positions, pairs_i, pairs_j, tdoas, c, weights, lower, upper,
         iters))
     res = solve(guesses)
-    best = jnp.argmin(res.cost)
-    return LMResult(res.x[best], res.cost[best])
+    # NaN-safe selection: a poisoned restart (NaN cost) must lose, not win
+    # (jnp.argmin propagates NaN as the minimum).
+    cost = jnp.where(jnp.isnan(res.cost), jnp.inf, res.cost)
+    best = jnp.argmin(cost)
+    return LMResult(res.x[best], cost[best])
 
 
 # ---------------------------------------------------------------------------

@@ -53,11 +53,16 @@ def time_delays_from_corr(corr: jnp.ndarray,
     """Extract up to ``num_peaks`` delays per row of ``corr`` (circular-order
     whitened correlation, last axis length n)."""
     n = corr.shape[-1]
+    num_candidates = min(num_candidates, n)  # top_k requires k <= length
     if lag_mode == "physical":
         # Center lag 0 so true peaks near zero delay are interior samples —
         # on the raw circular array they sit at the edges, where local-maxima
         # detection (like scipy's, utils.py:152) cannot see them.
-        shift = n // 2
+        # Alias-free transforms (n >= n1+n2-1) hold linear lags in
+        # [-(n2-1), n1-1]: rolling by n2-1 labels every index exactly (n//2
+        # would mislabel unequal-length pairs whose |lag| exceeds n//2).
+        # Shorter (circular-mode) transforms wrap, so split symmetrically.
+        shift = n2 - 1 if n >= n1 + n2 - 1 else n // 2
         corr = jnp.roll(corr, shift, axis=-1)
         lags = np.arange(n) - shift
     else:

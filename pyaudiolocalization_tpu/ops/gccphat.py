@@ -127,14 +127,16 @@ def gcc_phat_streaming(signals: jnp.ndarray,
     signals: (..., M, T); frame must be a power of two; hop defaults to
     frame//2.  Returns (corr (..., P, 2*max_lag+1), lags (2*max_lag+1,))
     with lag 0 centered; max_lag defaults to frame//4 and must satisfy
-    max_lag <= frame//2 (beyond that, circular aliasing).
+    max_lag < frame//2 (beyond that, circular aliasing).
     """
     if frame & (frame - 1):
         raise ValueError("frame must be a power of two")
     hop = frame // 2 if hop is None else hop
     max_lag = frame // 4 if max_lag is None else max_lag
-    if not 0 < max_lag <= frame // 2:
-        raise ValueError("max_lag must be in (0, frame//2]")
+    if not 0 < max_lag < frame // 2:
+        # < frame//2: the centered slice needs 2*max_lag+1 <= frame, and at
+        # exactly frame//2 the +max_lag label would alias -max_lag.
+        raise ValueError("max_lag must be in (0, frame//2)")
     t = signals.shape[-1]
     if t < frame:
         raise ValueError("signal shorter than one frame")

@@ -107,7 +107,10 @@ def realistic_speech(key: jax.Array, fs: float, num_samples: int, duration: floa
     f = jnp.array([800.0, 1150.0, 2900.0], dt)
     a = jnp.array([1.0, 0.8, 0.5], dt)
     phi = jnp.array([0.0, jnp.pi / 4, jnp.pi / 2], dt)
-    window = jnp.hanning(num_samples).astype(dt)  # scipy get_window('hann')
+    # scipy get_window('hann') defaults to fftbins=True — the PERIODIC Hann
+    # (cos over N), unlike np/jnp.hanning's symmetric cos over N-1.
+    n_idx = jnp.arange(num_samples, dtype=dt)
+    window = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n_idx / num_samples)
     s_formant = jnp.sum(
         a[:, None] * jnp.sin(2 * jnp.pi * f[:, None] * t[None, :] + phi[:, None]),
         axis=0) * window

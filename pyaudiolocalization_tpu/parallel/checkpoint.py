@@ -45,13 +45,14 @@ def save_checkpoint(path: str, spec: SweepSpec, seed: int,
 
 
 def load_checkpoint(path: str):
-    """Returns (completed_chunks, chunk_scenes, seed, SceneResult) or None."""
+    """Returns (completed_chunks, chunk_scenes, seed, spec_repr,
+    SceneResult) or None."""
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
         results = SceneResult(*(z[f] for f in _FIELDS))
         return (int(z["completed_chunks"]), int(z["chunk_scenes"]),
-                int(z["seed"]), results)
+                int(z["seed"]), str(z["spec_repr"]), results)
 
 
 def _concat(a: SceneResult, b: SceneResult) -> SceneResult:
@@ -82,8 +83,11 @@ def run_sweep_checkpointed(spec: SweepSpec,
     if resume:
         state = load_checkpoint(checkpoint_path)
         if state is not None:
-            done, saved_chunk, saved_seed, results = state
-            if saved_chunk == chunk_scenes and saved_seed == seed:
+            done, saved_chunk, saved_seed, saved_spec, results = state
+            # A checkpoint from a different spec/seed/chunking must not be
+            # continued — mixed-sweep results would be silently wrong.
+            if (saved_chunk == chunk_scenes and saved_seed == seed
+                    and saved_spec == repr(dataclasses.asdict(spec))):
                 start = done
                 accumulated = results
                 if log_fn:

@@ -37,6 +37,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         raise RuntimeError(f"Not a RIFF/WAVE file: {path}")
     pos = 12
     fmt = None
+    fmt_body = None
     payload = None
     while pos + 8 <= len(data):
         chunk_id = data[pos:pos + 4]
@@ -44,14 +45,21 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             payload = body
         pos += 8 + size + (size & 1)
     if fmt is None or payload is None:
         raise RuntimeError(f"Missing fmt/data chunk in WAV: {path}")
     audio_format, channels, fs, _, block_align, bits = fmt
-    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # subformat GUID parsing skipped; PCM assumed
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # Resolve the real format from the SubFormat GUID's leading code
+        # (bytes 24-25 of the fmt chunk): 1 = PCM, 3 = IEEE float.
+        if fmt_body is not None and len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            raise RuntimeError(
+                f"Extensible WAV without a SubFormat GUID: {path}")
     if audio_format == 1:  # PCM
         if bits == 8:
             raw = np.frombuffer(payload, np.uint8).astype(np.float64)

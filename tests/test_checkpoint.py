@@ -20,8 +20,9 @@ def test_checkpointed_sweep_runs_and_persists(tmp_path):
     assert out.results.estimate.shape == (8, 3)
     state = load_checkpoint(path)
     assert state is not None
-    done, chunk, seed, results = state
+    done, chunk, seed, spec_repr, results = state
     assert (done, chunk, seed) == (2, 4, 7)
+    assert "16000.0" in spec_repr
     np.testing.assert_array_equal(results.error, np.asarray(out.results.error))
 
 
@@ -46,7 +47,7 @@ def test_checkpointed_sweep_resumes_bit_identical(tmp_path):
 
 
 def test_checkpoint_mismatched_params_restart(tmp_path):
-    """A checkpoint from different chunking/seed is ignored, not misused."""
+    """A checkpoint from a different chunking/seed/spec is ignored."""
     path = str(tmp_path / "sweep.npz")
     run_sweep_checkpointed(SPEC, seed=1, num_scenes=4, chunk_scenes=4,
                            checkpoint_path=path)
@@ -55,6 +56,14 @@ def test_checkpoint_mismatched_params_restart(tmp_path):
                                  checkpoint_path=path, log_fn=logs.append)
     assert not any("resuming" in m for m in logs)
     assert out.results.estimate.shape == (4, 3)
+    # Different SPEC with same seed/chunking must also restart.
+    other = SweepSpec(fs=16000.0, duration=0.05, signal_type="chirp",
+                      source_box_lo=(0.2, 0.2, 0.2),
+                      source_box_hi=(0.8, 0.8, 0.8), snr_db=(25.0, 35.0))
+    logs2 = []
+    run_sweep_checkpointed(other, seed=2, num_scenes=4, chunk_scenes=4,
+                           checkpoint_path=path, log_fn=logs2.append)
+    assert not any("resuming" in m for m in logs2)
 
 
 def test_checkpoint_validation(tmp_path):
