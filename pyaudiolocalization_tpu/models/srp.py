@@ -33,6 +33,11 @@ class SrpResult(NamedTuple):
     coarse: jnp.ndarray     # (..., 3) stage-1 cell center (diagnostics)
 
 
+class MultiSrpResult(NamedTuple):
+    positions: jnp.ndarray  # (..., K, 3) by descending power
+    powers: jnp.ndarray     # (..., K)
+
+
 def _axis_grid(lo, hi, n: int, dtype):
     steps = (jnp.arange(n, dtype=dtype) + 0.5) / n
     return lo + steps * (hi - lo)
@@ -131,3 +136,60 @@ def srp_phat_locate(corr: jnp.ndarray,
         power = srp_map(corr, pos[None], mic_positions, pi, pj, fs, c)[0]
 
     return SrpResult(pos, power, center)
+
+
+def srp_phat_locate_multi(corr: jnp.ndarray,
+                          mic_positions: jnp.ndarray,
+                          pairs_i: np.ndarray,
+                          pairs_j: np.ndarray,
+                          fs: float,
+                          c,
+                          lower: jnp.ndarray,
+                          upper: jnp.ndarray,
+                          num_sources: int,
+                          coarse_n: int = 24,
+                          fine_n: int = 12,
+                          min_separation: Optional[float] = None
+                          ) -> MultiSrpResult:
+    """Localize up to ``num_sources`` simultaneous sources: iteratively take
+    the SRP-map argmax and spatially suppress a ``min_separation``-radius
+    ball around it (default: two coarse cells), then refine each coarse peak
+    with the single-source fine stage.  The static peak count keeps the
+    whole thing one XLA graph; order is descending coarse power.
+
+    No reference counterpart (the reference is strictly single-source);
+    sources must be mutually low-correlated (e.g. independent talkers) for
+    their SRP peaks to separate.
+    """
+    dtype = corr.dtype
+    pi = np.asarray(pairs_i, np.int32)
+    pj = np.asarray(pairs_j, np.int32)
+    pts = _grid_points(lower, upper, coarse_n, dtype)
+    vals = srp_map(corr, pts, mic_positions, pi, pj, fs, c)
+    cell = (upper - lower) / coarse_n
+    # Traced-safe: lower/upper may be tracers inside an outer jit.  Default
+    # 3 coarse cells: the fine stage re-grids +-1.5 cells around each coarse
+    # peak, so smaller radii would let distinct peaks' fine boxes overlap.
+    radius = (3.0 * jnp.max(cell) if min_separation is None
+              else jnp.asarray(min_separation, dtype))
+
+    def pick(carry, _):
+        v = carry
+        idx = jnp.argmax(v)
+        center = pts[idx]
+        close = jnp.linalg.norm(pts - center[None, :], axis=-1) <= radius
+        return jnp.where(close, -jnp.inf, v), (center, v[idx])
+
+    _, (centers, powers) = jax.lax.scan(pick, vals, None, length=num_sources)
+
+    def refine_one(center):
+        f_lo = center - 1.5 * cell
+        f_hi = center + 1.5 * cell
+        fine_pts = _grid_points(f_lo, f_hi, fine_n, dtype)
+        fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c)
+        k = jnp.argmax(fine_val)
+        return fine_pts[k], fine_val[k]
+
+    positions, fine_powers = jax.vmap(refine_one)(centers)
+    return MultiSrpResult(jnp.clip(positions, lower[None, :], upper[None, :]),
+                          fine_powers)
