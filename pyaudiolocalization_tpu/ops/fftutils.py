@@ -124,6 +124,58 @@ def rfft_n(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return full[..., : n // 2 + 1]
 
 
+def _pack_ok(n: int, axis_len: int) -> bool:
+    """Use the packed-pair c2c path: TPU backend, pow2 length, even batch."""
+    if axis_len % 2 or not _is_pow2(n):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def rfft_pack2(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """rfft over the last axis with PAIRS of real rows packed into one
+    complex FFT (second-to-last axis must be even).
+
+    Two real length-n transforms cost one c2c FFT + an elementwise untangle:
+    Z = fft(a + i b) gives A[k] = (Z[k] + conj(Z[-k]))/2 and
+    B[k] = -i (Z[k] - conj(Z[-k]))/2.  Measured on v5e at n=131072, XLA's
+    rfft costs ~1.4x the equivalent packed c2c (and irfft ~2x), so the
+    GCC-PHAT hot path routes through these.
+    """
+    if not _pack_ok(n, x.shape[-2]):
+        return jnp.fft.rfft(x, n=n)
+    shape = x.shape
+    xr = x.reshape(shape[:-2] + (shape[-2] // 2, 2, shape[-1]))
+    z = jax.lax.complex(xr[..., 0, :], xr[..., 1, :])
+    Z = jnp.fft.fft(z, n=n)
+    Zrev = jnp.conj(jnp.roll(Z[..., ::-1], 1, axis=-1))    # conj(Z[-k])
+    nb = n // 2 + 1
+    A = 0.5 * (Z + Zrev)[..., :nb]
+    B = -0.5j * (Z - Zrev)[..., :nb]
+    out = jnp.stack([A, B], axis=-2)
+    return out.reshape(shape[:-2] + (shape[-2], nb))
+
+
+def irfft_pack2(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    """irfft over the last axis with PAIRS of Hermitian half-spectra packed
+    into one complex inverse FFT (second-to-last axis must be even):
+    z[k] = W1full[k] + i W2full[k] -> w1 = Re ifft(z), w2 = Im ifft(z)."""
+    if not _pack_ok(n, spec.shape[-2]):
+        return jnp.fft.irfft(spec, n=n)
+    shape = spec.shape
+    nb = n // 2 + 1
+    s = spec[..., :nb].reshape(shape[:-2] + (shape[-2] // 2, 2, nb))
+    z_head = s[..., 0, :] + 1j * s[..., 1, :]               # k = 0..n/2
+    tail = jnp.conj(s[..., 0, 1:n - nb + 1][..., ::-1]) \
+        + 1j * jnp.conj(s[..., 1, 1:n - nb + 1][..., ::-1])  # k = n/2+1..n-1
+    zfull = jnp.concatenate([z_head, tail], axis=-1)
+    w = jnp.fft.ifft(zfull)
+    out = jnp.stack([jnp.real(w), jnp.imag(w)], axis=-2)
+    return out.reshape(shape[:-2] + (shape[-2], n))
+
+
 def irfft_n(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     """``jnp.fft.irfft(spec, n=n)`` with the same TPU-safe dispatch."""
     if not _use_bluestein(n):

@@ -88,3 +88,35 @@ def test_kth_smallest_broadcast_k(rng):
     ks = np.array([1, 6, 11])
     got = np.asarray(kth_smallest_nonneg(jnp.asarray(x), jnp.asarray(ks)))
     np.testing.assert_array_equal(got, s[np.arange(3), ks - 1])
+
+
+@pytest.fixture
+def force_pack(monkeypatch):
+    monkeypatch.setattr(fu, "_pack_ok",
+                        lambda n, b: b % 2 == 0 and fu._is_pow2(n))
+
+
+@pytest.mark.parametrize("b,n_in,n", [(4, 1000, 1024), (6, 4000, 8192),
+                                      (2, 4096, 4096)])
+def test_rfft_pack2_matches_numpy(rng, force_pack, b, n_in, n):
+    x = rng.standard_normal((3, b, n_in))
+    got = np.asarray(fu.rfft_pack2(jnp.asarray(x), n))
+    np.testing.assert_allclose(got, np.fft.rfft(x, n=n), atol=1e-10)
+
+
+@pytest.mark.parametrize("b,n", [(4, 1024), (6, 8192)])
+def test_irfft_pack2_matches_numpy(rng, force_pack, b, n):
+    spec = np.fft.rfft(rng.standard_normal((2, b, n)), n=n)
+    got = np.asarray(fu.irfft_pack2(jnp.asarray(spec), n))
+    np.testing.assert_allclose(got, np.fft.irfft(spec, n=n), atol=1e-12)
+
+
+def test_pack2_fallback_paths(rng):
+    """Odd batch or non-pow2 length falls back to the plain transforms."""
+    x = rng.standard_normal((3, 5, 100))     # odd batch
+    np.testing.assert_allclose(np.asarray(fu.rfft_pack2(jnp.asarray(x), 128)),
+                               np.fft.rfft(x, n=128), atol=1e-10)
+    spec = np.fft.rfft(rng.standard_normal((5, 128)), n=128)
+    np.testing.assert_allclose(
+        np.asarray(fu.irfft_pack2(jnp.asarray(spec), 128)),
+        np.fft.irfft(spec, n=128), atol=1e-12)
