@@ -25,7 +25,7 @@ import numpy as np
 from ..ops import gccphat
 from ..ops import peaks as peaks_ops
 from ..ops.quantile import median_nonneg
-from ..ops.fftutils import rfft_n, irfft_n
+from ..ops.fftutils import rfft_n, irfft_n, rfft_pack2, irfft_pack2
 
 
 class TdoaResult(NamedTuple):
@@ -235,16 +235,20 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
         raise ValueError(
             "Unknown bootstrap_mode. Use 'permutation', 'block' or 'circular'.")
 
-    def peak_of(k):
-        shuf = resample(k)
-        s2 = rfft_n(shuf, n)
-        r = s1 * jnp.conj(s2)
+    def chunk_peaks(ks):
+        # Whole chunk as one batch so the packed-pair transforms apply
+        # (two rows per complex FFT — see fftutils.rfft_pack2).
+        shuf = jax.vmap(resample)(ks)                        # (chunk, n2)
+        s2 = rfft_pack2(shuf, n) if not (n & (n - 1)) else \
+            jnp.fft.rfft(shuf, n=n)
+        r = s1[None, :] * jnp.conj(s2)
         r = r / (jnp.abs(r) + gccphat.PHAT_EPS)
-        return jnp.max(irfft_n(r, n))
+        c = irfft_pack2(r, n) if not (n & (n - 1)) else jnp.fft.irfft(r, n=n)
+        return jnp.max(c, axis=-1)
 
     num_chunks = -(-num_bootstrap // chunk)
     keys = jax.random.split(key, num_chunks * chunk).reshape(num_chunks, chunk, -1)
-    peaks = jax.lax.map(jax.vmap(peak_of), keys).reshape(-1)[:num_bootstrap]
+    peaks = jax.lax.map(chunk_peaks, keys).reshape(-1)[:num_bootstrap]
     return jnp.percentile(peaks, 100.0 * (1.0 - alpha))
 
 
