@@ -75,6 +75,32 @@ def srp_map(corr: jnp.ndarray, points: jnp.ndarray, mic_positions: jnp.ndarray,
     return jnp.sum(v0 * (1.0 - frac) + v1 * frac, axis=-1)        # (G,)
 
 
+def max_pool_corr(corr: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Circular sliding maximum of width 2w+1 along the last axis.
+
+    A whitened broadband correlation peak is only ~1-2 samples wide — about
+    c/fs ~ 2 cm of spatial extent — so coarse grid cells straddle it and
+    score near zero.  Pooling to the cell's lag footprint makes every cell
+    containing a peak see it (standard SRP 'volumetric' trick)."""
+    pooled = corr
+    for s in range(1, max(0, w) + 1):
+        pooled = jnp.maximum(pooled, jnp.maximum(
+            jnp.roll(corr, s, axis=-1), jnp.roll(corr, -s, axis=-1)))
+    return pooled
+
+
+def _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c) -> int:
+    if pool_samples is not None:
+        return int(pool_samples)
+    try:
+        cell = float(jnp.max(upper - lower)) / coarse_n
+        return max(1, int(np.ceil(0.866 * cell * fs / float(c))))
+    except Exception:
+        # Bounds/c are tracers inside an outer jit: callers that jit should
+        # pass pool_samples explicitly; 2 covers ~5 cm cells at 16 kHz.
+        return 2
+
+
 def srp_phat_locate(corr: jnp.ndarray,
                     mic_positions: jnp.ndarray,
                     pairs_i: np.ndarray,
@@ -85,20 +111,25 @@ def srp_phat_locate(corr: jnp.ndarray,
                     upper: jnp.ndarray,
                     coarse_n: int = 24,
                     fine_n: int = 12,
-                    refine: bool = True) -> SrpResult:
+                    refine: bool = True,
+                    pool_samples: Optional[int] = None) -> SrpResult:
     """Two-stage SRP-PHAT grid search over the box [lower, upper].
 
-    Stage 1: coarse_n^3 lattice over the box; stage 2: fine_n^3 lattice over
-    the +-1-coarse-cell neighborhood of the peak; optional per-axis
-    quadratic interpolation of the fine peak.  Everything is one jitted
-    graph; vmap over a leading scene axis for batches.
+    Stage 1: coarse_n^3 lattice over the box, evaluated on a max-pooled
+    correlation (see ``max_pool_corr`` — the cells must not straddle the
+    1-2-sample-wide peaks); stage 2: fine_n^3 lattice over the
+    +-1-coarse-cell neighborhood of the peak on the RAW correlation;
+    optional per-axis quadratic interpolation of the fine peak.  Everything
+    is one jitted graph; vmap over a leading scene axis for batches.
     """
     dtype = corr.dtype
     pi = np.asarray(pairs_i, np.int32)
     pj = np.asarray(pairs_j, np.int32)
+    w = _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c)
 
     coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
-    coarse_val = srp_map(corr, coarse_pts, mic_positions, pi, pj, fs, c)
+    coarse_val = srp_map(max_pool_corr(corr, w), coarse_pts, mic_positions,
+                         pi, pj, fs, c)
     best = jnp.argmax(coarse_val)
     center = coarse_pts[best]
     cell = (upper - lower) / coarse_n
@@ -149,7 +180,8 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
                           num_sources: int,
                           coarse_n: int = 24,
                           fine_n: int = 12,
-                          min_separation: Optional[float] = None
+                          min_separation: Optional[float] = None,
+                          pool_samples: Optional[int] = None
                           ) -> MultiSrpResult:
     """Localize up to ``num_sources`` simultaneous sources: iteratively take
     the SRP-map argmax and spatially suppress a ``min_separation``-radius
@@ -164,8 +196,9 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
     dtype = corr.dtype
     pi = np.asarray(pairs_i, np.int32)
     pj = np.asarray(pairs_j, np.int32)
+    w = _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c)
     pts = _grid_points(lower, upper, coarse_n, dtype)
-    vals = srp_map(corr, pts, mic_positions, pi, pj, fs, c)
+    vals = srp_map(max_pool_corr(corr, w), pts, mic_positions, pi, pj, fs, c)
     cell = (upper - lower) / coarse_n
     # Traced-safe: lower/upper may be tracers inside an outer jit.  Default
     # 3 coarse cells: the fine stage re-grids +-1.5 cells around each coarse

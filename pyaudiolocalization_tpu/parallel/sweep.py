@@ -223,10 +223,14 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         bhi = np.asarray(spec.source_box_hi, float)
         margin = 0.2 * (bhi - blo) + 1e-3
         coarse_n = 24
+        cell_m = float(np.max(bhi - blo + 2 * margin)) / coarse_n
+        pool = max(1, int(np.ceil(0.866 * cell_m * spec.fs
+                                  / spec.speed_of_sound)))
         srp = srp_ops.srp_phat_locate(
             corr, mics, pi, pj, spec.fs, c,
             jnp.asarray(blo - margin, signals.dtype),
-            jnp.asarray(bhi + margin, signals.dtype), coarse_n=coarse_n)
+            jnp.asarray(bhi + margin, signals.dtype), coarse_n=coarse_n,
+            pool_samples=pool)
         if spec.solver == "srp":
             return srp.position, -srp.power, td
         # 'srp+lm': polish the SRP fix with LM on the measured TDOAs, but
