@@ -34,8 +34,8 @@ class SrpResult(NamedTuple):
 
 
 class MultiSrpResult(NamedTuple):
-    positions: jnp.ndarray  # (..., K, 3) by descending power
-    powers: jnp.ndarray     # (..., K)
+    positions: jnp.ndarray  # (..., K, 3) in coarse extraction order
+    powers: jnp.ndarray     # (..., K) fine-stage SRP values
 
 
 def _axis_grid(lo, hi, n: int, dtype):
@@ -185,9 +185,13 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
                           ) -> MultiSrpResult:
     """Localize up to ``num_sources`` simultaneous sources: iteratively take
     the SRP-map argmax and spatially suppress a ``min_separation``-radius
-    ball around it (default: two coarse cells), then refine each coarse peak
-    with the single-source fine stage.  The static peak count keeps the
-    whole thing one XLA graph; order is descending coarse power.
+    ball around it (default: THREE coarse cells — the fine stage re-grids
+    +-1.5 cells, so smaller radii would let distinct peaks' fine boxes
+    overlap), then refine each coarse peak with the single-source fine
+    stage.  The static peak count keeps the whole thing one XLA graph;
+    entries follow coarse extraction order (descending POOLED coarse
+    power); the returned ``powers`` are fine-stage values and may not be
+    monotone.
 
     No reference counterpart (the reference is strictly single-source);
     sources must be mutually low-correlated (e.g. independent talkers) for
@@ -211,9 +215,9 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
         idx = jnp.argmax(v)
         center = pts[idx]
         close = jnp.linalg.norm(pts - center[None, :], axis=-1) <= radius
-        return jnp.where(close, -jnp.inf, v), (center, v[idx])
+        return jnp.where(close, -jnp.inf, v), center
 
-    _, (centers, powers) = jax.lax.scan(pick, vals, None, length=num_sources)
+    _, centers = jax.lax.scan(pick, vals, None, length=num_sources)
 
     def refine_one(center):
         f_lo = center - 1.5 * cell

@@ -239,12 +239,10 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
         # Whole chunk as one batch so the packed-pair transforms apply
         # (two rows per complex FFT — see fftutils.rfft_pack2).
         shuf = jax.vmap(resample)(ks)                        # (chunk, n2)
-        s2 = rfft_pack2(shuf, n) if not (n & (n - 1)) else \
-            jnp.fft.rfft(shuf, n=n)
+        s2 = rfft_pack2(shuf, n)      # falls back to Bluestein for non-pow2
         r = s1[None, :] * jnp.conj(s2)
         r = r / (jnp.abs(r) + gccphat.PHAT_EPS)
-        c = irfft_pack2(r, n) if not (n & (n - 1)) else jnp.fft.irfft(r, n=n)
-        return jnp.max(c, axis=-1)
+        return jnp.max(irfft_pack2(r, n), axis=-1)
 
     num_chunks = -(-num_bootstrap // chunk)
     keys = jax.random.split(key, num_chunks * chunk).reshape(num_chunks, chunk, -1)

@@ -79,12 +79,9 @@ def delay_and_sum(base: jnp.ndarray,
     spec = rfft_n(base, padded)                              # (F,)
     ramps = _phase_ramp(padded, delays.astype(base.dtype), fs)  # (M, P, F)
     mixed = jnp.einsum("mp,mpf->mf", gains.astype(ramps.real.dtype), ramps) * spec
-    # Packed-pair inverse (2 channels per c2c FFT) when eligible; falls
-    # back to the plain transform for odd M / non-pow2 / non-TPU.
-    if mixed.ndim >= 2 and not (padded & (padded - 1)):
-        out = irfft_pack2(mixed, padded)[..., :n].astype(base.dtype)
-    else:
-        out = irfft_n(mixed, padded)[..., :n].astype(base.dtype)
+    # Packed-pair inverse (2 channels per c2c FFT); ineligible shapes and
+    # lengths fall back to the safe transform internally.
+    out = irfft_pack2(mixed, padded)[..., :n].astype(base.dtype)
     if apply_fade:
         out = out * fade_window(n, dtype=base.dtype)[None, :]
     return out

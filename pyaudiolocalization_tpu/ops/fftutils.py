@@ -143,9 +143,13 @@ def rfft_pack2(x: jnp.ndarray, n: int) -> jnp.ndarray:
     B[k] = -i (Z[k] - conj(Z[-k]))/2.  Measured on v5e at n=131072, XLA's
     rfft costs ~1.4x the equivalent packed c2c (and irfft ~2x), so the
     GCC-PHAT hot path routes through these.
+
+    Self-contained dispatch: ineligible inputs (odd batch, non-pow2 n,
+    non-TPU) fall back to the TPU-safe exact transform (``rfft_n``), so
+    callers can use this unconditionally.
     """
-    if not _pack_ok(n, x.shape[-2]):
-        return jnp.fft.rfft(x, n=n)
+    if x.ndim < 2 or not _pack_ok(n, x.shape[-2]):
+        return rfft_n(x, n)
     shape = x.shape
     xr = x.reshape(shape[:-2] + (shape[-2] // 2, 2, shape[-1]))
     z = jax.lax.complex(xr[..., 0, :], xr[..., 1, :])
@@ -161,12 +165,27 @@ def rfft_pack2(x: jnp.ndarray, n: int) -> jnp.ndarray:
 def irfft_pack2(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     """irfft over the last axis with PAIRS of Hermitian half-spectra packed
     into one complex inverse FFT (second-to-last axis must be even):
-    z[k] = W1full[k] + i W2full[k] -> w1 = Re ifft(z), w2 = Im ifft(z)."""
-    if not _pack_ok(n, spec.shape[-2]):
-        return jnp.fft.irfft(spec, n=n)
+    z[k] = W1full[k] + i W2full[k] -> w1 = Re ifft(z), w2 = Im ifft(z).
+
+    Matches ``jnp.fft.irfft`` semantics exactly: the imaginary parts of the
+    DC and Nyquist bins are DISCARDED (a naive pack would leak them into
+    the partner row as constant/alternating terms — e.g. delay_and_sum's
+    fractional-delay phase ramp makes the Nyquist bin genuinely complex),
+    and short half-spectra are zero-padded.  Ineligible inputs fall back to
+    the TPU-safe ``irfft_n``; callers can use this unconditionally.
+    """
+    if spec.ndim < 2 or not _pack_ok(n, spec.shape[-2]):
+        return irfft_n(spec, n)
     shape = spec.shape
     nb = n // 2 + 1
+    if shape[-1] < nb:  # jnp.fft.irfft zero-pads short half-spectra
+        pad = [(0, 0)] * (spec.ndim - 1) + [(0, nb - shape[-1])]
+        spec = jnp.pad(spec, pad)
     s = spec[..., :nb].reshape(shape[:-2] + (shape[-2] // 2, 2, nb))
+    # irfft ignores Im at bins 0 and n/2; zero them before packing.
+    bins = jnp.arange(nb)
+    keep = (bins != 0) & (bins != n // 2)
+    s = jnp.where(keep, s, jnp.real(s).astype(s.dtype))
     z_head = s[..., 0, :] + 1j * s[..., 1, :]               # k = 0..n/2
     tail = jnp.conj(s[..., 0, 1:n - nb + 1][..., ::-1]) \
         + 1j * jnp.conj(s[..., 1, 1:n - nb + 1][..., ::-1])  # k = n/2+1..n-1

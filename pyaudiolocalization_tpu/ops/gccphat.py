@@ -92,7 +92,8 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
     n = nfft if nfft is not None else fft_length(n_samp, n_samp, "exact")
     # Packed-pair transforms (fftutils): two real/Hermitian rows per complex
     # FFT — XLA's TPU rfft costs ~1.4x and irfft ~2x the packed c2c.
-    spec = rfft_pack2(signals, n) if not (n & (n - 1)) else rfft_n(signals, n)
+    # Ineligible shapes/lengths fall back to the safe transforms internally.
+    spec = rfft_pack2(signals, n)
     cross = jnp.take(spec, pairs_i, axis=-2) * jnp.conj(
         jnp.take(spec, pairs_j, axis=-2))                  # (..., P, F)
     white = _whiten(cross, eps, use_pallas)
@@ -103,9 +104,7 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
         mask = jnp.asarray((freqs >= band[0]) & (freqs <= band[1]),
                            signals.dtype)
         white = white * mask
-    if not (n & (n - 1)):
-        return irfft_pack2(white, n).astype(signals.dtype)
-    return irfft_n(white, n).astype(signals.dtype)
+    return irfft_pack2(white, n).astype(signals.dtype)
 
 
 def gcc_phat_streaming(signals: jnp.ndarray,

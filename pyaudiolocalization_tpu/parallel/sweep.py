@@ -223,9 +223,8 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         bhi = np.asarray(spec.source_box_hi, float)
         margin = 0.2 * (bhi - blo) + 1e-3
         coarse_n = 24
-        cell_m = float(np.max(bhi - blo + 2 * margin)) / coarse_n
-        pool = max(1, int(np.ceil(0.866 * cell_m * spec.fs
-                                  / spec.speed_of_sound)))
+        pool = srp_ops._resolve_pool(None, blo - margin, bhi + margin,
+                                     coarse_n, spec.fs, spec.speed_of_sound)
         srp = srp_ops.srp_phat_locate(
             corr, mics, pi, pj, spec.fs, c,
             jnp.asarray(blo - margin, signals.dtype),

@@ -120,3 +120,36 @@ def test_pack2_fallback_paths(rng):
     np.testing.assert_allclose(
         np.asarray(fu.irfft_pack2(jnp.asarray(spec), 128)),
         np.fft.irfft(spec, n=128), atol=1e-12)
+
+
+def test_irfft_pack2_discards_dc_nyquist_imag(rng, force_pack):
+    """jnp.fft.irfft ignores the imaginary parts of the DC and Nyquist bins;
+    a naive pack leaks them into the partner row (caught in review: the
+    fractional-delay phase ramp makes the Nyquist bin genuinely complex)."""
+    n = 256
+    spec = (rng.standard_normal((4, n // 2 + 1))
+            + 1j * rng.standard_normal((4, n // 2 + 1)))  # complex DC/Nyquist
+    got = np.asarray(fu.irfft_pack2(jnp.asarray(spec), n))
+    ref = np.fft.irfft(spec, n=n)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_irfft_pack2_short_halfspectrum(rng, force_pack):
+    """Half-spectra shorter than n//2+1 zero-pad like jnp.fft.irfft."""
+    n = 128
+    spec = np.fft.rfft(rng.standard_normal((4, n)), n=n)[:, :40]
+    got = np.asarray(fu.irfft_pack2(jnp.asarray(spec), n))
+    ref = np.fft.irfft(spec, n=n)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_pack2_nonpow2_falls_back_to_bluestein(rng, monkeypatch):
+    """Non-pow2 lengths must land on the TPU-safe exact transforms, never
+    the raw jnp.fft path (review regression: bootstrap at n1+n2-1)."""
+    calls = []
+    orig = fu.rfft_n
+    monkeypatch.setattr(fu, "rfft_n",
+                        lambda x, n: (calls.append(n), orig(x, n))[1])
+    x = rng.standard_normal((4, 100))
+    fu.rfft_pack2(jnp.asarray(x), 173)
+    assert calls == [173]
