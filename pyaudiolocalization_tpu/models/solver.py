@@ -142,8 +142,11 @@ def heuristic_initial_guesses(mic_positions: jnp.ndarray,
         all_centers = []
         all_valid = []
         for k in range(1, max_clusters + 1):
+            # <= P+1 points: Lloyd converges in a handful of iterations;
+            # 10 matches sklearn's result on these tiny sets at 2.5x less
+            # sequential work in the per-scene graph.
             kmk = cluster_ops.kmeans(points, k, jax.random.fold_in(key, k),
-                                     valid=pvalid)
+                                     iters=10, valid=pvalid)
             pad = jnp.tile(centroid[None, :], (max_clusters - k, 1))
             all_centers.append(jnp.concatenate([kmk.centers, pad], 0))
             all_valid.append(jnp.arange(max_clusters) < k)

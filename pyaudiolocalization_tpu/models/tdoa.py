@@ -49,7 +49,8 @@ def time_delays_from_corr(corr: jnp.ndarray,
                           threshold_multiplier: float = 1.0,
                           max_expected_delay: Optional[float] = None,
                           lag_mode: str = "reference",
-                          num_candidates: int = 128) -> TdoaResult:
+                          num_candidates: int = 128,
+                          threshold_subsample: int = 8) -> TdoaResult:
     """Extract up to ``num_peaks`` delays per row of ``corr`` (circular-order
     whitened correlation, last axis length n)."""
     n = corr.shape[-1]
@@ -75,8 +76,17 @@ def time_delays_from_corr(corr: jnp.ndarray,
             jnp.mean(abs_corr, -1, keepdims=True) + jnp.std(abs_corr, -1, keepdims=True))
     else:  # 'median' and the reference's unknown-method fallback (utils.py:149)
         # Exact median via bit-bisection (ops/quantile.py): a reduction pass
-        # instead of sorting the whole (scenes, pairs, n) tensor.
-        thr_primary = threshold_multiplier * median_nonneg(abs_corr)[..., None]
+        # instead of sorting the whole (scenes, pairs, n) tensor.  In
+        # physical mode (new design space) the bisection runs on a strided
+        # subsample — the threshold is a statistic over ~n/8 whitened bins
+        # whose sampling error is far below the peak/threshold gap; parity
+        # mode stays exact.
+        stride = threshold_subsample if (lag_mode == "physical"
+                                         and threshold_subsample > 1
+                                         and n >= 64 * threshold_subsample) \
+            else 1
+        thr_primary = (threshold_multiplier
+                       * median_nonneg(abs_corr[..., ::stride])[..., None])
     thr_alt = jnp.mean(abs_corr, -1, keepdims=True)  # utils.py:155
 
     distance = int(fs * 0.001)  # min 1 ms peak spacing (utils.py:151)

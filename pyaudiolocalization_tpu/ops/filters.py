@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fftutils import rfft_pack2, irfft_pack2
+
 
 # ---------------------------------------------------------------------------
 # Host-side designs (static, float64, numpy only)
@@ -269,8 +271,10 @@ def _conv_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     k = kernel.shape[0]
     if k >= 256:
         nfft = 1 << (n - 1).bit_length()
-        spec = jnp.fft.rfft(x, n=nfft) * jnp.fft.rfft(kernel[::-1], n=nfft)
-        full = jnp.fft.irfft(spec, n=nfft).astype(x.dtype)
+        # Packed-pair transforms (two rows per c2c FFT) when the batch axis
+        # is even; the kernel spectrum is a compile-time constant.
+        spec = rfft_pack2(x, nfft) * jnp.fft.rfft(kernel[::-1], n=nfft)
+        full = irfft_pack2(spec, nfft).astype(x.dtype)
         # Linear-conv positions k-1..n-1 are alias-free because nfft >= n.
         return full[..., k - 1:n]
     batch_shape = x.shape[:-1]
