@@ -1,6 +1,8 @@
 """Pallas TPU FFT prototype: whole pow2 complex transforms in VMEM.
 
-STATUS: math-validated prototype, NOT wired into production paths.  The
+STATUS: math-validated prototypes, NOT wired into production paths —
+measured on v5e, neither formulation beats XLA's FFT (see below); kept as
+documentation of the investigated design space.  The
 four-step matmul formulation is exact (see tests/test_pallas_fft.py and
 ``fft_planes_reference``), and the VMEM-residency argument promises ~4x
 over XLA's multi-pass FFT (one HBM read + write per 1 MB row), but Mosaic
@@ -200,3 +202,123 @@ def available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# ---------------------------------------------------------------------------
+# Two-level permuted-basis FFT: NO in-kernel reshapes/transposes.
+#
+# View a length-N row as x2d[p, q] = x[p*N2 + q] (host reshape, N1=128 rows).
+# With the output index split k = t*N1 + s:
+#
+#   Xp[s, t] = sum_q W_N2^{qt} * W_N^{qs} * (sum_p x2d[p, q] W_N1^{ps})
+#
+# i.e. LEFT matmul (W_N1^T @ x2d) -> elementwise twiddle W_N^{qs} ->
+# RIGHT matmul (@ W_N2) — three Mosaic-friendly ops.  The result is the DFT
+# in a PERMUTED bin order (Xp[s, t] = X[t*N1 + s]); the inverse kernel
+# consumes the same layout, so correlation pipelines (fft -> elementwise
+# whiten -> ifft) never need the permutation materialized.
+#
+# MEASURED (v5e, 64 rows of 131072): 137 ms vs XLA's 7.3 ms — the
+# (N2, N2) right-matmul inflates flops ~45x over a true FFT and the MXU
+# sits at <1% utilization at M=128, so VMEM residency cannot save it; MXU
+# default precision also costs ~3e-3 relative error.  Conclusion recorded
+# in CLAUDE.md: matmul-FFTs are a dead end; a competitive Pallas FFT needs
+# genuine log-N butterfly stages, which Mosaic's layout rules currently
+# reject ('unsupported shape cast' on lane reshapes).
+# ---------------------------------------------------------------------------
+
+_N1 = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _consts2l(n: int, inverse: bool):
+    n2 = n // _N1
+    sgn = 2j * np.pi / n if inverse else -2j * np.pi / n
+    w1 = np.exp(sgn * n2 * np.outer(np.arange(_N1), np.arange(_N1)))  # W_N1
+    w2 = np.exp(sgn * _N1 * np.outer(np.arange(n2), np.arange(n2)))   # W_N2
+    tw = np.exp(sgn * np.outer(np.arange(_N1), np.arange(n2)))        # W_N^{sq}
+    f32 = np.float32
+    return (w1.T.real.astype(f32), w1.T.imag.astype(f32),
+            tw.real.astype(f32), tw.imag.astype(f32),
+            w2.real.astype(f32), w2.imag.astype(f32))
+
+
+def _fft2l_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                  w2r_ref, w2i_ref, or_ref, oi_ref):
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    w1r, w1i = w1r_ref[:], w1i_ref[:]
+    ar = w1r @ xr - w1i @ xi          # A[s, q] = sum_p W_N1^{ps} x[p, q]
+    ai = w1r @ xi + w1i @ xr
+    twr, twi = twr_ref[:], twi_ref[:]
+    br = ar * twr - ai * twi          # B[s, q] = A * W_N^{qs}
+    bi = ar * twi + ai * twr
+    w2r, w2i = w2r_ref[:], w2i_ref[:]
+    or_ref[0] = br @ w2r - bi @ w2i   # Xp[s, t] = sum_q B W_N2^{qt}
+    oi_ref[0] = br @ w2i + bi @ w2r
+
+
+def _ifft2l_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                   w2r_ref, w2i_ref, or_ref, oi_ref):
+    # Mirror of the forward: RIGHT matmul over t, twiddle, LEFT over s.
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    w2r, w2i = w2r_ref[:], w2i_ref[:]
+    ar = xr @ w2r - xi @ w2i          # D[s, q] = sum_t Xp[s, t] W_N2^{-qt}
+    ai = xr @ w2i + xi @ w2r
+    twr, twi = twr_ref[:], twi_ref[:]
+    br = ar * twr - ai * twi          # * W_N^{-qs}
+    bi = ar * twi + ai * twr
+    w1r, w1i = w1r_ref[:], w1i_ref[:]
+    or_ref[0] = w1r @ br - w1i @ bi   # x[p, q] = sum_s W_N1^{-ps} ...
+    oi_ref[0] = w1r @ bi + w1i @ br
+
+
+def fft2l_pallas(xr: jnp.ndarray, xi: jnp.ndarray, inverse: bool = False,
+                 interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Permuted-basis DFT of (B, N) float32 planes (see module comment).
+
+    Returns planes of shape (B, N1=128, N2=N/128) holding Xp[s, t] =
+    X[t*128 + s] (forward) or the unnormalized inverse of a spectrum given
+    in that same layout (divide by N for the true inverse).  Input for the
+    forward is the natural row reshaped to (128, N/128); for the inverse it
+    is a permuted-layout spectrum.
+    """
+    b, n = xr.shape[0], xr.shape[-1] * (xr.shape[-2] if xr.ndim == 3 else 1)
+    if xr.ndim == 2:
+        n = xr.shape[-1]
+        x3r = xr.reshape(b, _N1, n // _N1)
+        x3i = xi.reshape(b, _N1, n // _N1)
+    else:
+        x3r, x3i = xr, xi
+    n2 = x3r.shape[-1]
+    n = _N1 * n2
+    consts = [jnp.asarray(c) for c in _consts2l(n, inverse)]
+    row_spec = pl.BlockSpec((1, _N1, n2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _ifft2l_kernel if inverse else _fft2l_kernel,
+        grid=(b,),
+        in_specs=[row_spec, row_spec] + [cspec(c.shape) for c in consts],
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct(x3r.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(x3i.shape, jnp.float32)),
+        interpret=interpret,
+    )(x3r, x3i, *consts)
+
+
+def permuted_to_natural(xp: jnp.ndarray) -> jnp.ndarray:
+    """(B, 128, N2) permuted layout -> (B, N) natural bin order."""
+    b, n1, n2 = xp.shape
+    return jnp.swapaxes(xp, -1, -2).reshape(b, n1 * n2)
+
+
+def natural_to_permuted(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) natural order -> (B, 128, N2) permuted spectrum layout."""
+    b, n = x.shape
+    return jnp.swapaxes(x.reshape(b, n // _N1, _N1), -1, -2)

@@ -35,3 +35,26 @@ def test_plan_validation():
     with pytest.raises(ValueError):
         pf.fft_pallas(jnp.zeros((3, 256)), jnp.zeros((3, 256)),
                       rows_per_block=2, interpret=True)
+
+
+def test_fft2l_permuted_roundtrip(rng):
+    n = 131072
+    x = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+         ).astype(np.complex64)
+    yr, yi = pf.fft2l_pallas(jnp.asarray(x.real), jnp.asarray(x.imag),
+                             interpret=True)
+    got = np.asarray(pf.permuted_to_natural(jax.lax.complex(yr, yi)))
+    ref = np.fft.fft(x)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+    zr, zi = pf.fft2l_pallas(yr, yi, inverse=True, interpret=True)
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    orig = np.asarray(x).reshape(2, 128, n // 128)
+    assert np.max(np.abs(back - orig)) < 1e-5
+
+
+def test_permutation_helpers(rng):
+    x = jnp.asarray(rng.standard_normal((3, 1024)), jnp.float32)
+    perm = pf.natural_to_permuted(x)
+    assert perm.shape == (3, 128, 8)
+    np.testing.assert_array_equal(np.asarray(pf.permuted_to_natural(perm)),
+                                  np.asarray(x))
