@@ -1,0 +1,63 @@
+"""Streaming/online localization (models/online.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyaudiolocalization_tpu.models.online import StreamingLocalizer
+from pyaudiolocalization_tpu.models.simulator import simulate_signals
+from pyaudiolocalization_tpu.models.acoustics import speed_of_sound
+
+FS = 16000.0
+MICS = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                 [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+C = float(speed_of_sound(20.0, 50.0))
+
+
+def _localizer(**kw):
+    return StreamingLocalizer(MICS, FS, C, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+                              frame=2048, hop=512, **kw)
+
+
+def test_stream_converges_to_static_source():
+    src = np.array([0.3, 0.6, 0.4])
+    sigs = np.asarray(simulate_signals(src, MICS, FS, C, duration=0.5,
+                                       signal_type="noise",
+                                       key=jax.random.PRNGKey(0)))
+    loc = _localizer()
+    positions, powers = loc.run(sigs)
+    assert positions.shape[0] >= 8
+    # After warmup + EMA settling, the tail should sit on the source.
+    tail = positions[len(positions) // 2:]
+    assert np.linalg.norm(tail - src[None, :], axis=-1).max() < 0.05
+    assert np.all(powers > 0)
+
+
+def test_stream_follows_source_jump():
+    """Source jumps mid-stream; the EMA tracks to the new position."""
+    a = np.asarray(simulate_signals([0.2, 0.3, 0.4], MICS, FS, C,
+                                    duration=0.4, signal_type="noise",
+                                    key=jax.random.PRNGKey(1)))
+    b = np.asarray(simulate_signals([0.7, 0.6, 0.5], MICS, FS, C,
+                                    duration=0.4, signal_type="noise",
+                                    key=jax.random.PRNGKey(2)))
+    loc = _localizer(ema=0.5)
+    positions, _ = loc.run(np.concatenate([a, b], axis=1))
+    assert np.linalg.norm(positions[-1] - [0.7, 0.6, 0.5]) < 0.05
+    early = positions[2]
+    assert np.linalg.norm(early - [0.2, 0.3, 0.4]) < 0.1
+
+
+def test_stream_step_contract():
+    loc = _localizer()
+    state = loc.init_state()
+    out = loc.step(state, np.zeros((4, 512), np.float32))
+    assert out.position.shape == (3,)
+    assert int(out.state.count) == 1
+    with pytest.raises(ValueError, match="block must be"):
+        loc.step(state, np.zeros((4, 100), np.float32))
+    with pytest.raises(ValueError, match="power of two"):
+        StreamingLocalizer(MICS, FS, C, [0] * 3, [1] * 3, frame=3000)
+    with pytest.raises(ValueError, match="multiple of hop"):
+        StreamingLocalizer(MICS, FS, C, [0] * 3, [1] * 3, frame=2048, hop=700)
