@@ -61,3 +61,16 @@ def test_stream_step_contract():
         StreamingLocalizer(MICS, FS, C, [0] * 3, [1] * 3, frame=3000)
     with pytest.raises(ValueError, match="multiple of hop"):
         StreamingLocalizer(MICS, FS, C, [0] * 3, [1] * 3, frame=2048, hop=700)
+
+
+def test_stream_vmaps_across_streams():
+    """The functional step vmaps across independent streams."""
+    loc = _localizer()
+    s0 = loc.init_state()
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x, x]), s0)
+    rng = np.random.default_rng(5)
+    blocks = jnp.asarray(rng.standard_normal((2, 4, 512)), jnp.float32)
+    out = jax.vmap(loc._step_impl)(states, blocks)
+    assert out.position.shape == (2, 3)
+    assert out.state.buffer.shape == (2, 4, 2048)
