@@ -17,7 +17,6 @@ vmaps across independent streams.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -25,13 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import srp as srp_ops
+from ..ops import gccphat
 
 
 class StreamState(NamedTuple):
     buffer: jnp.ndarray      # (M, frame) most recent samples
     cross_r: jnp.ndarray     # (P, bins) EMA cross-spectrum, real plane
     cross_i: jnp.ndarray     # (P, bins) imag plane
-    count: jnp.ndarray       # () blocks absorbed (for EMA warmup debiasing)
+    count: jnp.ndarray       # () blocks absorbed (diagnostics; note that
+    # EMA warmup debiasing (1 - a^count) would be a positive scalar on the
+    # cross-spectra, which PHAT whitening cancels exactly — so none is
+    # applied)
 
 
 class StreamOutput(NamedTuple):
@@ -103,13 +106,12 @@ class StreamingLocalizer:
         a = self.ema
         cr = a * state.cross_r + (1.0 - a) * jnp.real(cross)
         ci = a * state.cross_i + (1.0 - a) * jnp.imag(cross)
-        mag = jnp.sqrt(cr * cr + ci * ci) + 1e-10
-        wr = cr / mag
-        wi = ci / mag
+        # Reuse the shared whitening (gccphat._whiten / PHAT_EPS) so the
+        # streaming path cannot drift from the batch pipeline's semantics.
+        white = gccphat._whiten(jax.lax.complex(cr, ci), gccphat.PHAT_EPS)
         if self._mask is not None:
-            wr = wr * self._mask
-            wi = wi * self._mask
-        corr = jnp.fft.irfft(jax.lax.complex(wr, wi), n=self.frame)
+            white = white * self._mask
+        corr = jnp.fft.irfft(white, n=self.frame)
         out = srp_ops.srp_phat_locate(
             corr, self.mics, self.pi, self.pj, self.fs, self.c,
             self.lower, self.upper, coarse_n=self.coarse_n,
@@ -143,4 +145,6 @@ class StreamingLocalizer:
             if i + 1 >= warmup:
                 positions.append(np.asarray(out.position))
                 powers.append(float(out.power))
+        if not positions:  # capture shorter than one frame
+            return np.zeros((0, 3), np.float32), np.zeros((0,), np.float32)
         return np.asarray(positions), np.asarray(powers)

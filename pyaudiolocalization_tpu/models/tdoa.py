@@ -50,7 +50,7 @@ def time_delays_from_corr(corr: jnp.ndarray,
                           max_expected_delay: Optional[float] = None,
                           lag_mode: str = "reference",
                           num_candidates: int = 128,
-                          threshold_subsample: int = 8) -> TdoaResult:
+                          threshold_subsample: int = 7) -> TdoaResult:
     """Extract up to ``num_peaks`` delays per row of ``corr`` (circular-order
     whitened correlation, last axis length n)."""
     n = corr.shape[-1]
@@ -78,9 +78,11 @@ def time_delays_from_corr(corr: jnp.ndarray,
         # Exact median via bit-bisection (ops/quantile.py): a reduction pass
         # instead of sorting the whole (scenes, pairs, n) tensor.  In
         # physical mode (new design space) the bisection runs on a strided
-        # subsample — the threshold is a statistic over ~n/8 whitened bins
+        # subsample — the threshold is a statistic over ~n/7 whitened bins
         # whose sampling error is far below the peak/threshold gap; parity
-        # mode stays exact.
+        # mode stays exact.  The stride is PRIME so tonal sources whose
+        # |corr| period divides an even stride cannot phase-lock the
+        # subsample onto a single point of the oscillation.
         stride = threshold_subsample if (lag_mode == "physical"
                                          and threshold_subsample > 1
                                          and n >= 64 * threshold_subsample) \

@@ -284,7 +284,7 @@ def fft2l_pallas(xr: jnp.ndarray, xi: jnp.ndarray, inverse: bool = False,
     forward is the natural row reshaped to (128, N/128); for the inverse it
     is a permuted-layout spectrum.
     """
-    b, n = xr.shape[0], xr.shape[-1] * (xr.shape[-2] if xr.ndim == 3 else 1)
+    b = xr.shape[0]
     if xr.ndim == 2:
         n = xr.shape[-1]
         x3r = xr.reshape(b, _N1, n // _N1)

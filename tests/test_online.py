@@ -74,3 +74,11 @@ def test_stream_vmaps_across_streams():
     out = jax.vmap(loc._step_impl)(states, blocks)
     assert out.position.shape == (2, 3)
     assert out.state.buffer.shape == (2, 4, 2048)
+
+
+def test_stream_run_short_capture_shapes():
+    """Captures shorter than one frame return empty (0, 3)/(0,) arrays."""
+    loc = _localizer()
+    positions, powers = loc.run(np.zeros((4, 600), np.float32))
+    assert positions.shape == (0, 3)
+    assert powers.shape == (0,)
