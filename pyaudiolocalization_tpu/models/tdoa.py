@@ -110,12 +110,11 @@ def time_delays_from_corr(corr: jnp.ndarray,
         lm = peaks_ops.local_maxima(corr)
         any_a = jnp.any(lm & (corr >= thr_primary), -1, keepdims=True)
         any_b = jnp.any(lm & (corr >= thr_alt), -1, keepdims=True)
-        sa = peaks_ops.select_peaks(corr_s, thr_primary, distance,
-                                    min(num_candidates, c1 - c0))
-        sb = peaks_ops.select_peaks(corr_s, thr_alt, distance,
-                                    min(num_candidates, c1 - c0))
-        set_a = (sa[0] + c0, sa[1], sa[2])
-        set_b = (sb[0] + c0, sb[1], sb[2])
+        pos_s, h_s, keep_a, keep_b = peaks_ops.select_peaks_two(
+            corr_s, thr_primary, thr_alt, distance,
+            min(num_candidates, c1 - c0))
+        set_a = (pos_s + c0, h_s, keep_a)
+        set_b = (pos_s + c0, h_s, keep_b)
         cnt_a = any_a.astype(jnp.int32)
         cnt_b = any_b.astype(jnp.int32)
     else:

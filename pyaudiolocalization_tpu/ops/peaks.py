@@ -87,3 +87,33 @@ def compact_valid(pos: jnp.ndarray, heights: jnp.ndarray, keep: jnp.ndarray):
     return (jnp.take_along_axis(pos, order, -1),
             jnp.take_along_axis(heights, order, -1),
             jnp.take_along_axis(keep, order, -1))
+
+
+def select_peaks_two(x: jnp.ndarray, thr_a: jnp.ndarray, thr_b: jnp.ndarray,
+                     distance: int, k: int = 128):
+    """Two-threshold variant of ``select_peaks`` sharing one candidate set.
+
+    Exactness: thresholds are pure height cuts and candidates are ordered by
+    height, so the k tallest unthresholded local maxima restricted to
+    height >= thr equal the thresholded top-k; each threshold's suppression
+    runs on its own keep mask inside ONE pruning loop.  Returns
+    (pos, heights, keep_a, keep_b) — equivalent to two select_peaks calls
+    (without window merging) at roughly half the cost.
+    """
+    mask = local_maxima(x)
+    vals = jnp.where(mask, x, NEG_INF)
+    heights, pos = jax.lax.top_k(vals, k)          # sorted desc
+    exists = jnp.isfinite(heights)
+    keep_a0 = exists & (heights >= thr_a)
+    keep_b0 = exists & (heights >= thr_b)
+
+    def body(r, carry):
+        keep_a, keep_b = carry
+        pr = jnp.take_along_axis(pos, jnp.full(pos.shape[:-1] + (1,), r), -1)
+        close = (jnp.abs(pos - pr) < distance) & (jnp.arange(k) > r)
+        ka_r = jnp.take_along_axis(keep_a, jnp.full(pos.shape[:-1] + (1,), r), -1)
+        kb_r = jnp.take_along_axis(keep_b, jnp.full(pos.shape[:-1] + (1,), r), -1)
+        return (keep_a & ~(close & ka_r), keep_b & ~(close & kb_r))
+
+    keep_a, keep_b = jax.lax.fori_loop(0, k, body, (keep_a0, keep_b0))
+    return pos, heights, keep_a, keep_b

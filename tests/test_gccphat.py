@@ -232,3 +232,25 @@ def test_all_pairs_64_mic_array(rng):
                                       pj.astype(np.int32), nfft=1024)
     assert corr.shape == (2016, 1024)
     assert bool(jnp.all(jnp.isfinite(corr)))
+
+
+def test_select_peaks_two_matches_two_calls(rng):
+    """select_peaks_two must equal two independent select_peaks calls."""
+    x = jnp.asarray(rng.standard_normal((5, 400)))
+    thr_a = jnp.full((5, 1), 0.8)
+    thr_b = jnp.full((5, 1), 0.2)
+    pos, h, ka, kb = peaks_ops.select_peaks_two(x, thr_a, thr_b, 7, k=32)
+    pa = peaks_ops.select_peaks(x, thr_a, 7, 32)
+    pb = peaks_ops.select_peaks(x, thr_b, 7, 32)
+    # Compare KEPT (pos, height) sets per row for each threshold.
+    for row in range(5):
+        got_a = {(int(p), round(float(v), 6))
+                 for p, v, m in zip(pos[row], h[row], ka[row]) if m}
+        ref_a = {(int(p), round(float(v), 6))
+                 for p, v, m in zip(pa[0][row], pa[1][row], pa[2][row]) if m}
+        assert got_a == ref_a
+        got_b = {(int(p), round(float(v), 6))
+                 for p, v, m in zip(pos[row], h[row], kb[row]) if m}
+        ref_b = {(int(p), round(float(v), 6))
+                 for p, v, m in zip(pb[0][row], pb[1][row], pb[2][row]) if m}
+        assert got_b == ref_b
