@@ -148,3 +148,54 @@ def dbscan(x: jnp.ndarray, eps: float, min_samples: int,
     renum = jnp.where(labels < n, jnp.take(new_id, jnp.minimum(labels, n - 1)), -1)
     num = jnp.sum(is_root)
     return DbscanResult(renum, num)
+
+
+class KMeansMultiResult(NamedTuple):
+    centers: jnp.ndarray   # (K, max_k, d); variant j uses rows 0..j
+    labels: jnp.ndarray    # (K, n)
+    inertia: jnp.ndarray   # (K,)
+
+
+def kmeans_multi(x: jnp.ndarray, max_k: int, key: jax.Array,
+                 iters: int = 10,
+                 valid: jnp.ndarray | None = None) -> KMeansMultiResult:
+    """All of k = 1..max_k in ONE batched run.
+
+    One k-means++ sequence of max_k centers seeds every variant (variant j
+    initializes from its first j+1 entries — a shared-prefix seeding, an
+    implementation detail the reference leaves to sklearn's RNG anyway);
+    Lloyd iterations then vmap across the max_k variants with per-variant
+    center masks.  Replaces max_k sequential ``kmeans`` calls in the hot
+    per-scene solver graph.
+    """
+    n, d = x.shape
+    if valid is None:
+        valid = jnp.ones(n, bool)
+    w = valid.astype(x.dtype)
+
+    seed_run = kmeans(x, max_k, key, iters=0, valid=valid)
+    seeds = seed_run.centers                                   # (max_k, d)
+    k_idx = jnp.arange(max_k)
+    cmask = k_idx[None, :] <= k_idx[:, None]                   # (K, max_k)
+    # Variant j: rows 0..j from the shared seeding, rest parked on seed 0
+    # (masked out of assignment by +inf distance below).
+    centers0 = jnp.where(cmask[:, :, None], seeds[None, :, :], seeds[0])
+
+    def lloyd(_, centers):
+        d2 = jnp.sum((x[None, :, None, :] - centers[:, None, :, :]) ** 2, -1)
+        d2 = jnp.where(cmask[:, None, :], d2, jnp.inf)         # (K, n, max_k)
+        labels = jnp.argmin(d2, -1)
+        onehot = ((labels[..., None] == k_idx[None, None, :])
+                  * w[None, :, None])                          # (K, n, max_k)
+        counts = jnp.sum(onehot, 1)                            # (K, max_k)
+        sums = jnp.einsum("knm,nd->kmd", onehot, x)
+        new = jnp.where(counts[..., None] > 0,
+                        sums / jnp.maximum(counts, 1)[..., None], centers)
+        return jnp.where(cmask[:, :, None], new, centers)
+
+    centers = jax.lax.fori_loop(0, iters, lloyd, centers0)
+    d2 = jnp.sum((x[None, :, None, :] - centers[:, None, :, :]) ** 2, -1)
+    d2 = jnp.where(cmask[:, None, :], d2, jnp.inf)
+    labels = jnp.argmin(d2, -1)
+    inertia = jnp.sum(jnp.where(valid[None, :], jnp.min(d2, -1), 0.0), -1)
+    return KMeansMultiResult(centers, labels, inertia)

@@ -131,34 +131,30 @@ def heuristic_initial_guesses(mic_positions: jnp.ndarray,
     n = points.shape[0]
 
     if clustering_method == "kmeans":
-        # One kmeans run per k serves BOTH the silhouette-based k selection
-        # (optimal_cluster_count semantics, utils.py:273-302) and the center
-        # extraction — k is data-dependent, so every k's centers are
+        # ALL k = 1..max_clusters cluster in one batched run
+        # (cluster_ops.kmeans_multi); the silhouette-selected k
+        # (optimal_cluster_count semantics, utils.py:273-302) then picks the
+        # variant — k is data-dependent, so every variant's centers are
         # evaluated and the winner selected by mask.
         n_valid = jnp.sum(pvalid)
         upper_k = min(max_clusters, n)
+        km = cluster_ops.kmeans_multi(points, max_clusters, key, iters=10,
+                                      valid=pvalid)
+        scores = jax.vmap(
+            lambda lab: cluster_ops.silhouette_score(points, lab,
+                                                     max_clusters, pvalid)
+        )(km.labels)                               # (K,)
         best_k = jnp.asarray(1)
         best_score = jnp.asarray(-1.0, points.dtype)
-        all_centers = []
-        all_valid = []
-        for k in range(1, max_clusters + 1):
-            # <= P+1 points: Lloyd converges in a handful of iterations;
-            # 10 matches sklearn's result on these tiny sets at 2.5x less
-            # sequential work in the per-scene graph.
-            kmk = cluster_ops.kmeans(points, k, jax.random.fold_in(key, k),
-                                     iters=10, valid=pvalid)
-            pad = jnp.tile(centroid[None, :], (max_clusters - k, 1))
-            all_centers.append(jnp.concatenate([kmk.centers, pad], 0))
-            all_valid.append(jnp.arange(max_clusters) < k)
-            if 2 <= k <= upper_k:
-                score = cluster_ops.silhouette_score(points, kmk.labels, k,
-                                                     pvalid)
-                better = (k <= n_valid) & (score > best_score)
-                best_k = jnp.where(better, k, best_k)
-                best_score = jnp.where(better, score, best_score)
+        for k in range(2, upper_k + 1):
+            better = (k <= n_valid) & (scores[k - 1] > best_score)
+            best_k = jnp.where(better, k, best_k)
+            best_score = jnp.where(better, scores[k - 1], best_score)
         num = jnp.where(n_valid < 2, 1, best_k)
-        stacked = jnp.stack(all_centers)          # (K, max_clusters, 3)
-        stacked_valid = jnp.stack(all_valid)      # (K, max_clusters)
+        k_cols = jnp.arange(max_clusters)
+        stacked_valid = k_cols[None, :] <= k_cols[:, None]
+        stacked = jnp.where(stacked_valid[:, :, None], km.centers,
+                            centroid[None, None, :])
         sel = jnp.clip(num - 1, 0, max_clusters - 1)
         guesses = stacked[sel]
         gvalid = stacked_valid[sel]
