@@ -33,3 +33,18 @@ summary = run_sweep_checkpointed(
     spec, seed=0, num_scenes=num, chunk_scenes=num // 4,
     checkpoint_path="/tmp/sweep_checkpoint.npz", mesh=mesh, log_fn=print)
 print(f"checkpointed sweep: RMSE={float(summary.rmse):.4f} m")
+
+# Multi-source scenes: two simultaneous talkers per scene, localized with
+# iterative-suppression SRP-PHAT; result fields gain a source axis and
+# estimates come back matched to ground truth by best assignment.
+multi = SweepSpec(
+    fs=16000.0, duration=0.25, signal_type="noise", solver="srp",
+    mic_positions=((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                   (0.0, 0.0, 1.0), (1.0, 1.0, 0.0), (1.0, 0.0, 1.0),
+                   (0.0, 1.0, 1.0), (1.0, 1.0, 1.0)),
+    num_sources=2, source_min_separation=0.4,
+    source_box_lo=(0.1, 0.1, 0.1), source_box_hi=(0.9, 0.9, 0.9),
+    snr_db=(20.0, 40.0))
+summary = monte_carlo_sweep(multi, jax.random.PRNGKey(2), num, mesh=mesh)
+print(f"2-source sweep: per-source RMSE={float(summary.rmse):.4f} m, "
+      f"hit@10cm={float(summary.hit_rate):.2%}")

@@ -82,22 +82,31 @@ def scene_paths(source: jnp.ndarray,
     return ScenePaths(delays, jnp.where(alive, gains, 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("total_samples", "out_samples", "pad_mode"))
+@functools.partial(jax.jit, static_argnames=("total_samples", "out_samples",
+                                              "pad_mode", "finalize"))
 def render_scene(base_signal: jnp.ndarray,
                  paths_delays: jnp.ndarray,
                  paths_gains: jnp.ndarray,
                  fs: float,
                  total_samples: int,
                  out_samples: int,
-                 pad_mode: str = "exact") -> jnp.ndarray:
+                 pad_mode: str = "exact",
+                 finalize: bool = True) -> jnp.ndarray:
     """Render (M, out_samples) mic signals: pad base to total_samples
     (main.py:102-103), delay-and-sum all paths, trim (main.py:119-120),
-    normalize + compress per mic (main.py:121-122)."""
+    normalize + compress per mic (main.py:121-122).
+
+    ``finalize=False`` skips the per-mic normalize+compress and returns the
+    raw linear mixture — used by the multi-source sweep, which sums the raw
+    renders of several simultaneous sources before normalizing once (the
+    reference is strictly single-source, main.py:66-124)."""
     padded = jnp.zeros(total_samples, base_signal.dtype).at[
         : base_signal.shape[0]].set(base_signal)
     sigs = delay_and_sum(padded, paths_delays, paths_gains, fs,
                          pad_mode=pad_mode)
     sigs = sigs[:, :out_samples]
+    if not finalize:
+        return sigs
     return sig_ops.dynamic_range_compression(sig_ops.normalize_signal(sigs))
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import itertools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -103,6 +104,21 @@ class SweepSpec:
     solver: str = "lm"
     de_popsize: int = 15
     de_maxiter: int = 200
+    # Multi-source mode (no reference counterpart — the reference is strictly
+    # single-source, main.py:126-333): simulate num_sources simultaneous
+    # incoherent sources per scene and localize all of them with iterative-
+    # suppression SRP-PHAT (models/srp.srp_phat_locate_multi).  Requires
+    # solver='srp' and an incoherent signal type ('noise'/'speech', or
+    # per-source frequencies via source_freqs).  SceneResult fields gain a
+    # leading source axis: estimate/source (K, 3), error/cost (K,), matched
+    # to ground truth by best assignment over the K! permutations.
+    num_sources: int = 1
+    # Minimum pairwise source spacing enforced at scene sampling (0 = none);
+    # also shrinks the SRP suppression radius so close pairs stay separable.
+    source_min_separation: float = 0.0
+    # Optional per-source frequency override for deterministic signal types
+    # (two same-frequency sines are fully coherent and cannot be separated).
+    source_freqs: Optional[tuple] = None
     filter_method: str = "butterworth"
     lowcut: float = 300.0
     highcut: float = 3400.0
@@ -176,10 +192,13 @@ class SweepSpec:
 
 
 class SceneResult(NamedTuple):
-    estimate: jnp.ndarray   # (..., 3)
-    source: jnp.ndarray     # (..., 3) ground truth
-    error: jnp.ndarray      # (...,) Euclidean error in meters
-    cost: jnp.ndarray       # (...,) final solver cost
+    """Per-scene result.  With ``SweepSpec.num_sources > 1`` every field but
+    ``tdoas`` gains a source axis K before its trailing dims (estimates
+    assignment-matched to ground truth; cost = -SRP power)."""
+    estimate: jnp.ndarray   # (..., 3) / (..., K, 3)
+    source: jnp.ndarray     # (..., 3) / (..., K, 3) ground truth
+    error: jnp.ndarray      # (...,) / (..., K) Euclidean error in meters
+    cost: jnp.ndarray       # (...,) / (..., K) final solver cost
     tdoas: jnp.ndarray      # (..., P)
 
 
@@ -194,10 +213,85 @@ class SweepSummary(NamedTuple):
 # Estimation back half (signals -> position), batched
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _permutations(k: int) -> np.ndarray:
+    """All K! assignment permutations (static; K is capped at 6)."""
+    return np.array(list(itertools.permutations(range(k))), np.int32)
+
+
+def _check_spec(spec: SweepSpec) -> None:
+    if spec.num_sources < 1:
+        raise ValueError("num_sources must be >= 1")
+    if spec.num_sources > 1:
+        if spec.solver != "srp":
+            raise ValueError(
+                "multi-source sweeps (num_sources > 1) require solver='srp': "
+                "per-pair TDOA solvers assume a single dominant source")
+        if spec.num_sources > 6:
+            raise ValueError(
+                "num_sources > 6 not supported (K! assignment matching)")
+        if (spec.source_freqs is not None
+                and len(spec.source_freqs) != spec.num_sources):
+            raise ValueError("source_freqs must have num_sources entries")
+        if spec.signal_type == "sine" and spec.source_freqs is None:
+            raise ValueError(
+                "multi-source 'sine' scenes need distinct source_freqs: "
+                "same-frequency sines are fully coherent and cannot be "
+                "separated by SRP-PHAT")
+
+
+def _srp_box(spec: SweepSpec):
+    """Static SRP search box: the source prior expanded 20% (matches the
+    single-source 'srp' solver branch)."""
+    blo = np.asarray(spec.source_box_lo, float)
+    bhi = np.asarray(spec.source_box_hi, float)
+    margin = 0.2 * (bhi - blo) + 1e-3
+    return blo - margin, bhi + margin
+
+
+def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
+                    c) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-source estimation: filter -> all-pairs GCC-PHAT -> iterative-
+    suppression SRP over the (expanded) source box.  Returns
+    (positions (K, 3), powers (K,), diagnostic argmax TDOAs (P,))."""
+    pi = np.asarray(spec.pairs[0], np.int32)
+    pj = np.asarray(spec.pairs[1], np.int32)
+    filtered = filter_ops.noise_reduction(signals, spec.fs,
+                                          method=spec.filter_method,
+                                          lowcut=spec.lowcut,
+                                          highcut=spec.highcut)
+    band = (spec.lowcut, spec.highcut) \
+        if spec.filter_method in ("butterworth", "fir") else None
+    corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
+                                      band=band, fs=spec.fs)
+    # Diagnostic per-pair argmax TDOA (dominated by the strongest source):
+    # physical decode of the circular peak index, td = -lag/fs as in
+    # models/tdoa.time_delays_from_corr.
+    n = corr.shape[-1]
+    am = jnp.argmax(corr, -1)
+    lag = jnp.where(am > n // 2, am - n, am).astype(signals.dtype)
+    td = -lag / spec.fs
+
+    blo, bhi = _srp_box(spec)
+    coarse_n = 24
+    pool = srp_ops._resolve_pool(None, blo, bhi, coarse_n, spec.fs,
+                                 spec.speed_of_sound)
+    sep = (0.8 * spec.source_min_separation
+           if spec.source_min_separation > 0 else None)
+    out = srp_ops.srp_phat_locate_multi(
+        corr, mics, pi, pj, spec.fs, c,
+        jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
+        num_sources=spec.num_sources, coarse_n=coarse_n,
+        min_separation=sep, pool_samples=pool)
+    return out.positions, out.powers, td
+
+
 def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
               c, key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Filter -> all-pairs GCC-PHAT -> physical-lag TDOA -> clustered init ->
     bounded multi-start LM.  One scene; vmap for batches."""
+    if spec.num_sources > 1:
+        return _estimate_multi(spec, signals, mics, c)
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
     filtered = filter_ops.noise_reduction(signals, spec.fs,
@@ -275,7 +369,11 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
 def localize_batch(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
                    key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Estimation-only batch: signals (B, M, N), shared mic geometry.
-    Returns (estimates (B, 3), costs (B,), tdoas (B, P))."""
+    Returns (estimates (B, 3), costs (B,), tdoas (B, P)); with
+    ``spec.num_sources > 1`` estimates are (B, K, 3) and costs (B, K)
+    fine-stage SRP powers, in coarse extraction order (no ground truth to
+    match against here)."""
+    _check_spec(spec)
     c = jnp.asarray(spec.speed_of_sound, signals.dtype)
     keys = jax.random.split(key, signals.shape[0])
     return jax.vmap(lambda s, k: _estimate(spec, s, mics, c, k))(signals, keys)
@@ -285,39 +383,92 @@ def localize_batch(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
 # Full scene pipeline (randomize -> simulate -> estimate)
 # ---------------------------------------------------------------------------
 
-def _random_scene(spec: SweepSpec, key: jax.Array, dtype):
-    k_src, k_mic, k_snr = jax.random.split(key, 3)
+def _draw_sources(spec: SweepSpec, key: jax.Array, dtype) -> jnp.ndarray:
+    """(K, 3) source positions uniform in the box; K > 1 with a separation
+    constraint places sources greedily, each from 16 static candidates (first
+    one far enough from everything already placed; candidate 0 if none is —
+    a documented soft constraint, not rejection sampling)."""
+    k = spec.num_sources
     lo = jnp.asarray(spec.source_box_lo, dtype)
     hi = jnp.asarray(spec.source_box_hi, dtype)
-    source = jax.random.uniform(k_src, (3,), dtype, lo, hi)
+    if k == 1:
+        # Keep the exact single-source draw (bit-identical checkpoint resume).
+        return jax.random.uniform(key, (3,), dtype, lo, hi)[None, :]
+    cands = jax.random.uniform(key, (k, 16, 3), dtype, lo, hi)
+    sep = spec.source_min_separation
+    if sep <= 0:
+        return cands[:, 0]
+
+    def place(carry, ck):
+        placed, idx = carry
+        prev = jnp.arange(k) < idx                                  # (K,)
+        d = jnp.linalg.norm(ck[:, None, :] - placed[None, :, :],
+                            axis=-1)                                 # (16, K)
+        ok = jnp.all(jnp.where(prev[None, :], d >= sep, True), -1)  # (16,)
+        pick = jnp.argmax(ok)  # first valid candidate; 0 when none valid
+        return (placed.at[idx].set(ck[pick]), idx + 1), None
+
+    (placed, _), _ = jax.lax.scan(
+        place, (jnp.zeros((k, 3), dtype), jnp.int32(0)), cands)
+    return placed
+
+
+def _random_scene(spec: SweepSpec, key: jax.Array, dtype):
+    k_src, k_mic, k_snr = jax.random.split(key, 3)
+    sources = _draw_sources(spec, k_src, dtype)                 # (K, 3)
     mics = jnp.asarray(spec.mic_positions, dtype)
     if spec.mic_jitter > 0:
         mics = mics + spec.mic_jitter * jax.random.normal(k_mic, mics.shape, dtype)
     snr_db = jax.random.uniform(k_snr, (), dtype, spec.snr_db[0], spec.snr_db[1])
-    return source, mics, snr_db
+    return sources, mics, snr_db
 
 
-def _simulate(spec: SweepSpec, source, mics, c, snr_db, key: jax.Array,
-              dtype) -> jnp.ndarray:
-    """Static-shape multipath render + measurement noise at the drawn SNR."""
-    k_sig, k_noise = jax.random.split(key)
+def _render_source(spec: SweepSpec, source, mics, c, freq, key: jax.Array,
+                   dtype, finalize: bool) -> jnp.ndarray:
+    """One source's static-shape multipath render (raw when finalize=False)."""
     base = sig_ops.generate_signal(spec.signal_type, spec.fs, spec.duration,
-                                   spec.freq, key=k_sig, dtype=dtype)
+                                   freq, key=key, dtype=dtype)
     absorption = jnp.asarray(spec.material_absorption, dtype)
     freq_tab = jnp.asarray(spec.material_freq, dtype)
     if len(spec.plane_coeffs) and spec.max_reflections > 0:
         coeffs = jnp.asarray(spec.plane_coeffs, dtype)
         mat_ids = jnp.asarray(spec.plane_material_ids, jnp.int32)
         images = acoustics.image_sources(
-            source, coeffs, mat_ids, mics, spec.freq, absorption, freq_tab,
+            source, coeffs, mat_ids, mics, freq, absorption, freq_tab,
             spec.max_reflections, spec.absorption_threshold)
     else:
         images = acoustics.ImageSources(
             jnp.zeros((0, 3), dtype), jnp.zeros((0,), jnp.int32),
             jnp.zeros((0,), bool), jnp.zeros((0,), jnp.int32))
-    paths = scene_paths(source, mics, c, spec.freq, images, absorption, freq_tab)
-    sigs = render_scene(base, paths.delays, paths.gains, spec.fs,
-                        spec.total_samples, spec.num_samples, pad_mode="pow2")
+    paths = scene_paths(source, mics, c, freq, images, absorption, freq_tab)
+    return render_scene(base, paths.delays, paths.gains, spec.fs,
+                        spec.total_samples, spec.num_samples, pad_mode="pow2",
+                        finalize=finalize)
+
+
+def _source_freq(spec: SweepSpec, k: int) -> float:
+    return spec.source_freqs[k] if spec.source_freqs is not None else spec.freq
+
+
+def _simulate(spec: SweepSpec, sources, mics, c, snr_db, key: jax.Array,
+              dtype) -> jnp.ndarray:
+    """Static-shape multipath render + measurement noise at the drawn SNR.
+    ``sources`` is (K, 3); K > 1 sums the raw per-source renders (each with
+    an independent signal key) before the per-mic normalize+compress."""
+    if spec.num_sources == 1:
+        k_sig, k_noise = jax.random.split(key)
+        sigs = _render_source(spec, sources[0], mics, c, _source_freq(spec, 0),
+                              k_sig, dtype, finalize=True)
+    else:
+        keys = jax.random.split(key, spec.num_sources + 1)
+        k_noise = keys[-1]
+        raw = _render_source(spec, sources[0], mics, c, _source_freq(spec, 0),
+                             keys[0], dtype, finalize=False)
+        for k in range(1, spec.num_sources):
+            raw = raw + _render_source(spec, sources[k], mics, c,
+                                       _source_freq(spec, k), keys[k], dtype,
+                                       finalize=False)
+        sigs = sig_ops.dynamic_range_compression(sig_ops.normalize_signal(raw))
     # Additive white measurement noise at the per-scene SNR (new capability —
     # the reference simulates noiselessly outside calibration).
     rms = jnp.sqrt(jnp.mean(sigs * sigs, -1, keepdims=True))
@@ -328,17 +479,32 @@ def _simulate(spec: SweepSpec, source, mics, c, snr_db, key: jax.Array,
 
 def run_scene(spec: SweepSpec, key: jax.Array, dtype=jnp.float32) -> SceneResult:
     """ONE randomized simulate->localize pipeline; fully jittable, vmappable
-    over keys.  This is the flagship forward step."""
+    over keys.  This is the flagship forward step.
+
+    With ``spec.num_sources > 1`` the result fields carry a leading source
+    axis (estimate/source (K, 3), error/cost (K,)); estimates are reordered
+    to the ground-truth sources by the best (min mean-error) assignment over
+    all K! permutations, and ``cost`` holds the negated fine-stage SRP power
+    of each matched estimate."""
+    _check_spec(spec)
     k_scene, k_sim, k_est = jax.random.split(key, 3)
     c = jnp.asarray(spec.speed_of_sound, dtype)
     with jax.named_scope("scene_sample"):
-        source, mics, snr_db = _random_scene(spec, k_scene, dtype)
+        sources, mics, snr_db = _random_scene(spec, k_scene, dtype)
     with jax.named_scope("simulate"):
-        signals = _simulate(spec, source, mics, c, snr_db, k_sim, dtype)
+        signals = _simulate(spec, sources, mics, c, snr_db, k_sim, dtype)
     with jax.named_scope("estimate"):
         estimate, cost, td = _estimate(spec, signals, mics, c, k_est)
-    error = jnp.linalg.norm(estimate - source)
-    return SceneResult(estimate, source, error, cost, td)
+    if spec.num_sources == 1:
+        source = sources[0]
+        error = jnp.linalg.norm(estimate - source)
+        return SceneResult(estimate, source, error, cost, td)
+    perms = jnp.asarray(_permutations(spec.num_sources))           # (K!, K)
+    d = jnp.linalg.norm(estimate[perms] - sources[None, :, :],
+                        axis=-1)                                    # (K!, K)
+    best = jnp.argmin(jnp.mean(d, -1))
+    order = perms[best]
+    return SceneResult(estimate[order], sources, d[best], -cost[order], td)
 
 
 def _summary(results: SceneResult, hit_threshold: float,

@@ -164,3 +164,66 @@ def test_sweep_speech_signal():
     s = monte_carlo_sweep(spec, jax.random.PRNGKey(4), 8)
     assert float(s.rmse) < 0.2
     assert float(s.hit_rate) >= 0.75
+
+
+# ---------------------------------------------------------------------------
+# Multi-source sweeps (SweepSpec.num_sources > 1)
+# ---------------------------------------------------------------------------
+
+MICS8 = ((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
+         (1.0, 1.0, 0.0), (1.0, 0.0, 1.0), (0.0, 1.0, 1.0), (1.0, 1.0, 1.0))
+
+MULTI_SPEC = SweepSpec(fs=16000.0, duration=0.25, signal_type="noise",
+                       mic_positions=MICS8, solver="srp",
+                       num_sources=2, source_min_separation=0.4,
+                       source_box_lo=(0.1, 0.1, 0.1),
+                       source_box_hi=(0.9, 0.9, 0.9), snr_db=(25.0, 35.0))
+
+
+def test_multi_source_scene_shapes_and_accuracy():
+    res = run_scene(MULTI_SPEC, jax.random.PRNGKey(0))
+    assert res.estimate.shape == (2, 3)
+    assert res.source.shape == (2, 3)
+    assert res.error.shape == (2,)
+    assert res.cost.shape == (2,)
+    # Assignment-matched: error[k] is the distance of the matched pair.
+    np.testing.assert_allclose(
+        np.asarray(res.error),
+        np.linalg.norm(np.asarray(res.estimate) - np.asarray(res.source),
+                       axis=-1), rtol=1e-6)
+    assert float(np.max(np.asarray(res.error))) < 0.1
+
+
+def test_multi_source_sweep_mesh_matches_single_device():
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(11)
+    single = monte_carlo_sweep(MULTI_SPEC, key, 8)
+    sharded = monte_carlo_sweep(MULTI_SPEC, key, 8, mesh=mesh)
+    assert single.results.error.shape == (8, 2)
+    np.testing.assert_allclose(np.asarray(sharded.results.error),
+                               np.asarray(single.results.error),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(sharded.rmse), float(single.rmse),
+                               rtol=1e-4)
+    assert float(single.rmse) < 0.1
+    assert float(single.hit_rate) > 0.9
+    # min-separation sampling is honored on every scene
+    src = np.asarray(single.results.source)
+    gaps = np.linalg.norm(src[:, 0] - src[:, 1], axis=-1)
+    assert np.all(gaps >= MULTI_SPEC.source_min_separation - 1e-9)
+
+
+def test_multi_source_spec_validation():
+    import dataclasses
+    with pytest.raises(ValueError, match="solver='srp'"):
+        run_scene(dataclasses.replace(MULTI_SPEC, solver="lm"),
+                  jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="source_freqs"):
+        run_scene(dataclasses.replace(MULTI_SPEC, signal_type="sine"),
+                  jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="num_sources"):
+        run_scene(dataclasses.replace(MULTI_SPEC, num_sources=7),
+                  jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="num_sources entries"):
+        run_scene(dataclasses.replace(MULTI_SPEC, source_freqs=(500.0,)),
+                  jax.random.PRNGKey(0))
