@@ -256,12 +256,7 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     (positions (K, 3), powers (K,), diagnostic argmax TDOAs (P,))."""
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
-    filtered = filter_ops.noise_reduction(signals, spec.fs,
-                                          method=spec.filter_method,
-                                          lowcut=spec.lowcut,
-                                          highcut=spec.highcut)
-    band = (spec.lowcut, spec.highcut) \
-        if spec.filter_method in ("butterworth", "fir") else None
+    filtered, band = _prefilter(spec, signals)
     corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
                                       band=band, fs=spec.fs)
     # Diagnostic per-pair argmax TDOA (dominated by the strongest source):
@@ -286,6 +281,27 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     return out.positions, out.powers, td
 
 
+def _prefilter(spec: SweepSpec, signals: jnp.ndarray):
+    """(filtered_signals, whitening_band) for the GCC front-end.
+
+    Band-limit the whitening for bandpass front-ends: plain PHAT over a
+    bandpassed pair plants a spurious lag-0 peak (reference defect Q5).
+    When band-limited whitening is active, the time-domain bandpass itself
+    is redundant and SKIPPED: applying the same LTI filter to both channels
+    multiplies the cross-spectrum by |H(f)|^2, which cancels exactly in the
+    PHAT normalization R/|R| at every bin where H is nonzero, and the band
+    mask zeroes the rest.  Correlations agree to ~1% (filtfilt's odd-
+    extension edge transients are not exactly circular |H|^2) with identical
+    peak structure, minus the entire filtfilt cost (~30% of the estimation
+    path at 44.1 kHz).  Wiener is nonlinear, so it really runs."""
+    if spec.filter_method in ("butterworth", "fir"):
+        return signals, (spec.lowcut, spec.highcut)
+    return filter_ops.noise_reduction(signals, spec.fs,
+                                      method=spec.filter_method,
+                                      lowcut=spec.lowcut,
+                                      highcut=spec.highcut), None
+
+
 def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
               c, key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Filter -> all-pairs GCC-PHAT -> physical-lag TDOA -> clustered init ->
@@ -294,14 +310,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         return _estimate_multi(spec, signals, mics, c)
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
-    filtered = filter_ops.noise_reduction(signals, spec.fs,
-                                          method=spec.filter_method,
-                                          lowcut=spec.lowcut,
-                                          highcut=spec.highcut)
-    # Band-limit the whitening for bandpass front-ends: plain PHAT over a
-    # bandpassed pair plants a spurious lag-0 peak (reference defect Q5).
-    band = (spec.lowcut, spec.highcut) \
-        if spec.filter_method in ("butterworth", "fir") else None
+    filtered, band = _prefilter(spec, signals)
     corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
                                       band=band, fs=spec.fs)
     res = tdoa_ops.time_delays_from_corr(
