@@ -126,6 +126,10 @@ class SweepSpec:
     # 'pow2' (= next_pow2(2n-1)); aliasing only raises the far-lag noise
     # floor, which the physical lag window never looks at. ~1.4x faster.
     nfft_mode: str = "circular"
+    # Peak-threshold statistic for the TDOA stage: 'gaussian' estimates the
+    # reference's median-|corr| threshold from mean |corr| in one reduction
+    # pass (see models/tdoa.py — exact 'median'/'adaptive' also accepted).
+    threshold_method: str = "gaussian"
     temperature: float = 20.0
     humidity: float = 50.0
     # Extra seconds of propagation headroom baked into the render length; must
@@ -315,6 +319,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
                                       band=band, fs=spec.fs)
     res = tdoa_ops.time_delays_from_corr(
         corr, spec.num_samples, spec.num_samples, spec.fs, num_peaks=1,
+        threshold_method=spec.threshold_method,
         max_expected_delay=spec.max_tdoa, lag_mode="physical")
     # physical peak lag -> td = arrival_j - arrival_i (models/tdoa.py).
     td = -res.delays[..., 0]

@@ -153,3 +153,22 @@ def test_pack2_nonpow2_falls_back_to_bluestein(rng, monkeypatch):
     x = rng.standard_normal((4, 100))
     fu.rfft_pack2(jnp.asarray(x), 173)
     assert calls == [173]
+
+
+def test_kth_stacked_k_single_search(rng):
+    """A leading k axis resolves several order statistics in one search."""
+    x = np.abs(rng.standard_normal((5, 200))).astype(np.float32)
+    ks = jnp.asarray([100, 101]).reshape(2, 1)
+    got = np.asarray(kth_smallest_nonneg(jnp.asarray(x), ks))
+    srt = np.sort(x, -1)
+    np.testing.assert_array_equal(got[0], srt[:, 99])
+    np.testing.assert_array_equal(got[1], srt[:, 100])
+
+
+def test_even_length_median_exact(rng):
+    """Even lengths average the two middle order statistics exactly."""
+    for n in (2, 100, 4096):
+        x = np.abs(rng.standard_normal(n)).astype(np.float32)
+        got = float(median_nonneg(jnp.asarray(x)))
+        srt = np.sort(x)
+        assert got == (srt[n // 2 - 1] + srt[n // 2]) / 2

@@ -254,3 +254,22 @@ def test_select_peaks_two_matches_two_calls(rng):
         ref_b = {(int(p), round(float(v), 6))
                  for p, v, m in zip(pb[0][row], pb[1][row], pb[2][row]) if m}
         assert got_b == ref_b
+
+
+def test_gaussian_threshold_recovers_delay(rng):
+    """'gaussian' (scaled mean-|corr|) thresholding picks the same physical
+    peak as the exact median ladder on a clean delayed pair, and the
+    threshold itself lands near the true median of |corr|."""
+    from pyaudiolocalization_tpu.models import tdoa as tdoa_mod
+    fs = 8000.0
+    n = 4096
+    sig = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (n,)))
+    d = 17
+    delayed = np.roll(sig, d)
+    for method in ("median", "gaussian"):
+        res = tdoa_mod.get_time_delays_phat(
+            jnp.asarray(sig), jnp.asarray(delayed), fs, num_peaks=1,
+            threshold_method=method, max_expected_delay=0.01,
+            lag_mode="physical")
+        assert int(round(float(res.delays[0]) * fs)) == -d, method
+        assert bool(res.valid[0]), method
