@@ -87,9 +87,21 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
     spurious peak at lag 0 (the reference's defect Q5, SURVEY.md).  Band
     limiting is the physically-correct estimator and is used by the sweep
     path; the reference-parity path leaves it off.
+
+    On TPU with f32 and nfft = 128*pow2 the whole pipeline runs as ONE
+    fused VMEM-resident Pallas kernel per scene (ops/pallas_fft.py butterfly
+    engine, measured 2.1x the XLA path — the target is HBM-bandwidth-bound,
+    and fusion cuts per-scene traffic from ~8 MB to 2.5 MB); pass
+    use_pallas='never' to force the XLA path.
     """
     n_samp = signals.shape[-1]
     n = nfft if nfft is not None else fft_length(n_samp, n_samp, "exact")
+    if (use_pallas != "never" and signals.ndim >= 2 and n_samp <= n
+            and (band is None or fs is not None)):
+        from . import pallas_fft
+        if pallas_fft.bfly_gcc_eligible(n, signals.shape[-2], signals.dtype):
+            return pallas_fft.bfly_gcc_all_pairs(
+                signals, pairs_i, pairs_j, n, band=band, fs=fs, eps=eps)
     # Packed-pair transforms (fftutils): two real/Hermitian rows per complex
     # FFT — XLA's TPU rfft costs ~1.4x and irfft ~2x the packed c2c.
     # Ineligible shapes/lengths fall back to the safe transforms internally.

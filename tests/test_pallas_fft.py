@@ -58,3 +58,67 @@ def test_permutation_helpers(rng):
     assert perm.shape == (3, 128, 8)
     np.testing.assert_array_equal(np.asarray(pf.permuted_to_natural(perm)),
                                   np.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# Butterfly engine (roll-based stages + MXU lane DFT) — the PRODUCTION
+# fused GCC path on TPU (gcc_phat_all_pairs dispatches to it).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [1024, 4096, 65536])
+def test_bfly_forward_matches_numpy(rng, n):
+    n2 = n // 128
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    yr, yi = pf.bfly_fft_real_reference(jnp.asarray(x))
+    X = np.fft.fft(x)
+    t_nat = pf._bitrev_perm(n2)
+    k = np.arange(128)[None, :] * n2 + t_nat[:, None]
+    want = X[:, k]
+    err = np.max(np.abs((np.asarray(yr) + 1j * np.asarray(yi)) - want))
+    assert err / np.max(np.abs(X)) < 5e-6
+
+
+def test_bfly_kernel_interpret_matches_reference(rng):
+    x = rng.standard_normal((3, 4096)).astype(np.float32)
+    ar, ai = pf.bfly_fft_real(jnp.asarray(x), interpret=True)
+    rr, ri = pf.bfly_fft_real_reference(jnp.asarray(x))
+    assert float(jnp.max(jnp.abs(ar - rr))) < 1e-3
+    assert float(jnp.max(jnp.abs(ai - ri))) < 1e-3
+
+
+def test_bfly_gcc_matches_xla_path(rng):
+    """The fused kernel (interpret mode) reproduces gcc_phat_all_pairs."""
+    from pyaudiolocalization_tpu.ops import gccphat
+    sigs = rng.standard_normal((2, 4, 3000)).astype(np.float32)
+    pi = np.array([0, 0, 0, 1, 1, 2], np.int32)
+    pj = np.array([1, 2, 3, 2, 3, 3], np.int32)
+    for band, fs in [(None, None), ((300.0, 3400.0), 8000.0)]:
+        got = np.asarray(pf.bfly_gcc_all_pairs(
+            jnp.asarray(sigs), pi, pj, 4096, band=band, fs=fs,
+            interpret=True))
+        want = np.asarray(gccphat.gcc_phat_all_pairs(
+            jnp.asarray(sigs), pi, pj, nfft=4096, band=band, fs=fs,
+            use_pallas="never"))
+        assert np.max(np.abs(got - want)) < 1e-6
+        assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+
+def test_bfly_band_plane_layout():
+    """Band plane passes exactly the natural-order band mask, permuted."""
+    n, fs = 4096, 8000.0
+    plane = pf.bfly_band_plane(n, (300.0, 3400.0), fs)
+    n2 = n // 128
+    t_nat = pf._bitrev_perm(n2)
+    k = np.arange(128)[None, :] * n2 + t_nat[:, None]
+    freq = np.fft.fftfreq(n, d=1.0 / fs) * 1.0
+    natural = (np.abs(freq) >= 300.0) & (np.abs(freq) <= 3400.0)
+    np.testing.assert_array_equal(plane.astype(bool), natural[k])
+
+
+def test_bfly_eligibility_rules():
+    assert not pf.bfly_gcc_eligible(65536, 4, jnp.float64)   # dtype
+    assert not pf.bfly_gcc_eligible(65537, 4, jnp.float32)   # not 128*pow2
+    assert not pf.bfly_gcc_eligible(131072, 4, jnp.float32)  # VMEM model
+    # (on CPU available() is False, so even valid shapes return False)
+    expect = pf.available()
+    assert pf.bfly_gcc_eligible(65536, 4, jnp.float32) == expect
