@@ -69,13 +69,25 @@ def delay_and_sum(base: jnp.ndarray,
     delays: (M, P) seconds.
     gains:  (M, P) linear amplitude per path (0 to disable a path).
     pad_mode: 'exact' uses the reference's 2N transform length (Bluestein on
-    TPU when 2N is not a power of two); 'pow2' rounds up — the periodic-sinc
-    interpolant differs at ~1e-3 waveform level from the reference's, which
-    is irrelevant for the physical sweep path and ~6x cheaper on TPU.
+    TPU when 2N is not a power of two); 'pow2' uses next_pow2(N): callers on
+    this path (the sweep's render_scene) size N to signal + max path delay,
+    so every active path's support fits without circular wrap and only the
+    periodic-sinc interpolation tails differ from the reference's 2N
+    transform (~1e-3 waveform level — irrelevant for the physical sweep
+    path and ~10x cheaper on TPU).
     returns (M, N).
     """
     n = base.shape[-1]
-    padded = 2 * n if pad_mode == "exact" else next_pow2(2 * n)
+    padded = 2 * n if pad_mode == "exact" else next_pow2(n)
+    from . import pallas_fft
+    if pallas_fft.bfly_render_eligible(padded, delays.shape[-2],
+                                       delays.shape[-1], base.dtype):
+        # Fused VMEM-resident render (TPU, f32, pow2 lengths): one forward
+        # FFT per scene, per-mic ramps synthesized on-chip, truncated
+        # writeback — the (M, P, F) ramp tensor never reaches HBM.
+        fade = fade_window(n, dtype=base.dtype) if apply_fade else None
+        return pallas_fft.bfly_delay_sum(base, delays, gains, fs, padded,
+                                         n, fade=fade)
     spec = rfft_n(base, padded)                              # (F,)
     ramps = _phase_ramp(padded, delays.astype(base.dtype), fs)  # (M, P, F)
     mixed = jnp.einsum("mp,mpf->mf", gains.astype(ramps.real.dtype), ramps) * spec

@@ -35,7 +35,7 @@ every matmul is MXU-shaped.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -704,6 +704,137 @@ def bfly_gcc_all_pairs(signals: jnp.ndarray,
         interpret=interpret,
     )(pi, pj, x4, band_plane, *consts)
     return out.reshape(lead + (p, nfft))
+
+
+# ---------------------------------------------------------------------------
+# Fused multipath render: base signal -> delayed/attenuated per-mic mixes.
+# Counterpart of ops/delay.delay_and_sum (reference main.py:104-118), fused:
+# forward FFT of the padded base ONCE per scene into scratch, then per mic
+# the path phase ramps H_m(f) = sum_p g[m,p] exp(-2pi i f d[m,p]) are
+# synthesized on the VPU (signed-frequency plane in butterfly layout, so H
+# is Hermitian), multiplied in VMEM, inverse-transformed, faded, and only
+# the sublanes covering the kept samples are written back.  The XLA path
+# materializes the (M, P, F) ramp tensor in HBM — at high path counts that
+# is tens of MB per scene; here it never exists.
+# ---------------------------------------------------------------------------
+
+
+def _bfly_render_kernel(d_ref, g_ref, x_ref, fade_ref, frq_ref, mask_ref,
+                        str_ref, sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
+                        out_ref, sr_ref, si_ref, *, n2, n2_out, num_paths,
+                        scale):
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        xr = x_ref[0]
+        xi = jnp.zeros_like(xr)
+        xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        cr = xr * twr - xi * twi
+        ci = xr * twi + xi * twr
+        yr, yi = _lane_dft(cr, ci, w1r_ref[:], w1i_ref[:], conj=False)
+        sr_ref[:] = yr
+        si_ref[:] = yi
+
+    frq = frq_ref[:]                      # 2*pi*f_signed, butterfly layout
+    hr = jnp.zeros((n2, _N1), jnp.float32)
+    hi = jnp.zeros((n2, _N1), jnp.float32)
+    for p in range(num_paths):
+        d = d_ref[0, m, p]
+        g = g_ref[0, m, p]
+        theta = frq * d
+        hr = hr + g * jnp.cos(theta)
+        hi = hi - g * jnp.sin(theta)
+    ar, ai = sr_ref[:], si_ref[:]
+    rr = ar * hr - ai * hi
+    ri = ar * hi + ai * hr
+    cr, ci = _lane_dft(rr, ri, w1r_ref[:], w1i_ref[:], conj=True)
+    twr = twr_ref[:]
+    twi = -twi_ref[:]
+    dr = cr * twr - ci * twi
+    di = cr * twi + ci * twr
+    yr, _ = _dit_stages(dr, di, mask_ref, str_ref, sti_ref, n2)
+    out_ref[0, 0] = yr[:n2_out] * (fade_ref[:] * scale)
+
+
+def bfly_render_eligible(nfft: int, num_mics: int, num_paths: int,
+                         dtype) -> bool:
+    """f32, nfft = 128*pow2, and the VMEM working set fits: base+out blocks
+    (double-buffered) + one spectrum scratch + consts + stage temps."""
+    if not available() or jnp.dtype(dtype) != jnp.float32:
+        return False
+    n2 = nfft // _N1
+    if n2 * _N1 != nfft or n2 & (n2 - 1) or n2 < 8:
+        return False
+    vmem = (2 * nfft * 4 + 2 * nfft * 4 + 2 * nfft * 4
+            + 4 * nfft * 4 + 10 * nfft * 4)
+    return vmem <= 12 * 1024 * 1024
+
+
+def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
+                   fs: float, nfft: int, out_samples: int,
+                   fade: Optional[jnp.ndarray] = None,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused multipath render.
+
+    base (..., N) real, delays/gains (..., M, P) seconds / linear gain.
+    Returns (..., M, out_samples): for each mic the sum of delayed, scaled
+    copies of base (circular at ``nfft``), multiplied by ``fade`` (an
+    (out_samples,) window; ones if None).  Numerically matches
+    ops/delay.delay_and_sum at pow2 padding up to float rounding."""
+    lead = base.shape[:-1]
+    n_samp = base.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    m, num_paths = delays.shape[-2:]
+    n2 = nfft // _N1
+    n2_out = -(-out_samples // _N1)
+    x = base.reshape(b, n_samp)
+    if n_samp < nfft:
+        x = jnp.pad(x, ((0, 0), (0, nfft - n_samp)))
+    x3 = x.reshape(b, n2, _N1)
+    d3 = delays.reshape(b, m, num_paths).astype(jnp.float32)
+    g3 = gains.reshape(b, m, num_paths).astype(jnp.float32)
+    consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
+    # Signed 2*pi*frequency plane (Hermitian ramps) in butterfly layout.
+    t_nat = _bitrev_perm(n2)
+    k = np.arange(_N1)[None, :] * n2 + t_nat[:, None]
+    k_signed = np.where(k <= nfft // 2, k, k - nfft)
+    frq = jnp.asarray((2.0 * np.pi * fs / nfft) * k_signed, jnp.float32)
+    fade_plane = jnp.zeros((n2_out, _N1), jnp.float32).reshape(-1).at[
+        :out_samples].set(jnp.ones(out_samples, jnp.float32)
+                          if fade is None else fade.astype(jnp.float32)
+                          ).reshape(n2_out, _N1)
+    kernel = functools.partial(_bfly_render_kernel, n2=n2, n2_out=n2_out,
+                               num_paths=num_paths, scale=1.0 / nfft)
+
+    def cspec2(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, q: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, m),
+        in_specs=[pl.BlockSpec((1, m, num_paths), lambda i, q: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, m, num_paths), lambda i, q: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, n2, _N1), lambda i, q: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  cspec2(fade_plane.shape), cspec2(frq.shape)] +
+                 [cspec2(c.shape) for c in consts],
+        out_specs=pl.BlockSpec((1, 1, n2_out, _N1),
+                               lambda i, q: (i, q, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, n2_out, _N1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n2, _N1), jnp.float32),
+                        pltpu.VMEM((n2, _N1), jnp.float32)],
+        interpret=interpret,
+    )(d3, g3, x3, fade_plane, frq, *consts)
+    out = out.reshape(b, m, n2_out * _N1)[..., :out_samples]
+    return out.reshape(lead + (m, out_samples))
 
 
 def bfly_fft_real_reference(x: jnp.ndarray):
