@@ -178,6 +178,44 @@ def time_delays_from_corr(corr: jnp.ndarray,
     return TdoaResult(delays, valid, corr, time_lags)
 
 
+def tdoa_single_from_window(win: jnp.ndarray, stats: jnp.ndarray, wq: int,
+                            nfft: int, fs: float,
+                            max_expected_delay: float,
+                            threshold_multiplier: float = 1.0
+                            ) -> jnp.ndarray:
+    """Single-peak physical-lag TDOA from a lag-centered correlation window
+    plus global statistics (ops/pallas_fft.bfly_gcc_windowed outputs).
+
+    Matches ``time_delays_from_corr(num_peaks=1,
+    threshold_method='gaussian', lag_mode='physical',
+    max_expected_delay=...)`` whenever the winning peak lies inside the
+    window, which the window is sized to guarantee (it covers the
+    max_expected_delay gate plus the fast path's dilation margin).  For a
+    single peak the full ladder collapses: the candidate is the tallest
+    in-window strict local maximum above the Gaussian-estimated median
+    threshold; with the alt threshold mean|corr| ABOVE the gaussian one
+    (0.84535*mean), the alt rung can never rescue a row the primary
+    rejected, so the only fallback is the global argmax (utils.py:157-172
+    semantics).  Returns peak-lag delays in seconds, shape win.shape[:-1]
+    (same sign convention as TdoaResult.delays: td = -delay).
+    """
+    length = win.shape[-1]
+    center = wq * 128
+    lags = jnp.arange(length, dtype=win.dtype) - center
+    thr = 0.84535 * threshold_multiplier * stats[..., 0:1]
+    lm = peaks_ops.local_maxima(win)
+    inwin = jnp.abs(lags) <= max_expected_delay * fs
+    cand = lm & inwin & (win >= thr)
+    neg = jnp.asarray(-jnp.inf, win.dtype)
+    best = jnp.argmax(jnp.where(cand, win, neg), axis=-1)
+    has = jnp.any(cand, axis=-1)
+    peak_lag = jnp.take(lags, best)
+    # Global-argmax fallback: decode the natural index circularly.
+    gidx = stats[..., 2]
+    glag = jnp.where(gidx > nfft // 2, gidx - nfft, gidx)
+    return jnp.where(has, peak_lag, glag) / fs
+
+
 def get_time_delays_phat(sig1: jnp.ndarray, sig2: jnp.ndarray, fs: float,
                          num_peaks: int = 1,
                          threshold_method: str = "median",

@@ -706,6 +706,139 @@ def bfly_gcc_all_pairs(signals: jnp.ndarray,
     return out.reshape(lead + (p, nfft))
 
 
+def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
+                         sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
+                         win_ref, stat_ref, sr_ref, si_ref, *, n2, wq, eps,
+                         scale):
+    """Windowed variant of ``_bfly_gcc_kernel``: instead of the full
+    correlation, writes only the +-wq*128-lag window around lag 0 plus the
+    global statistics the single-peak TDOA ladder needs — the (P, nfft)
+    correlation tensor never reaches HBM (~94% of the fused kernel's output
+    traffic at 65536 with a 2048-lag window).
+
+    Outputs per (scene, pair):
+      win  (2*wq, 128): rows [wq:] = lags 0..wq*128-1 (correlation rows
+           0..wq-1), rows [:wq] = lags -wq*128..-1 (rows n2-wq..n2-1) —
+           i.e. a lag-centered slice, row-major natural time order.
+      stat (8, 128): [0,0] = mean |corr| (threshold statistic),
+           [0,1] = global max, [0,2] = its natural index as f32.
+    """
+    m = x_ref.shape[1]
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        for mm in range(m):
+            xr = x_ref[0, mm]
+            xi = jnp.zeros_like(xr)
+            xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
+            twr = twr_ref[:]
+            twi = twi_ref[:]
+            cr = xr * twr - xi * twi
+            ci = xr * twi + xi * twr
+            yr, yi = _lane_dft(cr, ci, w1r_ref[:], w1i_ref[:], conj=False)
+            sr_ref[mm] = yr
+            si_ref[mm] = yi
+
+    b = band_ref[:]
+    i = pi_ref[p]
+    j = pj_ref[p]
+    ar, ai = sr_ref[i], si_ref[i]
+    br, bi = sr_ref[j], si_ref[j]
+    rr = ar * br + ai * bi
+    ri = ai * br - ar * bi
+    mag = jnp.sqrt(rr * rr + ri * ri) + eps
+    rr = rr / mag * b
+    ri = ri / mag * b
+    cr, ci = _lane_dft(rr, ri, w1r_ref[:], w1i_ref[:], conj=True)
+    twr = twr_ref[:]
+    twi = -twi_ref[:]
+    dr = cr * twr - ci * twi
+    di = cr * twi + ci * twr
+    yr, _ = _dit_stages(dr, di, mask_ref, str_ref, sti_ref, n2)
+    yr = yr * scale
+    win_ref[0, 0, wq:, :] = yr[:wq]
+    win_ref[0, 0, :wq, :] = yr[n2 - wq:]
+    amean = jnp.mean(jnp.abs(yr))
+    gmax = jnp.max(yr)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 1)
+    nat = rows * _N1 + cols
+    gidx = jnp.min(jnp.where(yr >= gmax, nat, n2 * _N1))
+    # Scatter is not lowerable in Mosaic — place the three scalars with
+    # masked selects over an index plane instead.
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 0)
+    c8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 1)
+    slot = jnp.where(r8 == 0, c8, -1)
+    stats = jnp.where(slot == 0, amean,
+                      jnp.where(slot == 1, gmax,
+                                jnp.where(slot == 2,
+                                          gidx.astype(jnp.float32), 0.0)))
+    stat_ref[0, 0] = stats
+
+
+def bfly_gcc_windowed(signals: jnp.ndarray,
+                      pairs_i: np.ndarray,
+                      pairs_j: np.ndarray,
+                      nfft: int,
+                      wq: int,
+                      band=None,
+                      fs: float = None,
+                      eps: float = 1e-10,
+                      interpret: bool = False):
+    """Fused GCC-PHAT with windowed output (see ``_bfly_gcc_win_kernel``).
+
+    Returns (win (..., P, 2*wq*128), stats (..., P, 3)): ``win`` is the
+    lag-centered correlation slice (sample k holds lag k - wq*128), stats
+    columns are (mean |corr|, global max, global argmax natural index)."""
+    pi = jnp.asarray(np.asarray(pairs_i, np.int32))
+    pj = jnp.asarray(np.asarray(pairs_j, np.int32))
+    lead = signals.shape[:-2]
+    m, n_samp = signals.shape[-2:]
+    n2 = nfft // _N1
+    if not 0 < wq <= n2 // 2:
+        raise ValueError("wq must be in (0, n2//2]")
+    b = int(np.prod(lead)) if lead else 1
+    x = signals.reshape(b, m, n_samp)
+    if n_samp < nfft:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, nfft - n_samp)))
+    x4 = x.reshape(b, m, n2, _N1)
+    consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
+    band_plane = jnp.asarray(bfly_band_plane(nfft, band, fs))
+    p = pi.shape[0]
+    kernel = functools.partial(_bfly_gcc_win_kernel, n2=n2, wq=wq, eps=eps,
+                               scale=1.0 / nfft)
+
+    def cspec2(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, q: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    win, stats = pl.pallas_call(
+        kernel,
+        grid=(b, p),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, m, n2, _N1), lambda i, q: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  cspec2(band_plane.shape)] +
+                 [cspec2(c.shape) for c in consts],
+        out_specs=(pl.BlockSpec((1, 1, 2 * wq, _N1),
+                                lambda i, q: (i, q, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, 8, _N1), lambda i, q: (i, q, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, p, 2 * wq, _N1), jnp.float32),
+                   jax.ShapeDtypeStruct((b, p, 8, _N1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((m, n2, _N1), jnp.float32),
+                        pltpu.VMEM((m, n2, _N1), jnp.float32)],
+        interpret=interpret,
+    )(pi, pj, x4, band_plane, *consts)
+    win = win.reshape(lead + (p, 2 * wq * _N1))
+    stats = stats[:, :, 0, :3].reshape(lead + (p, 3))
+    return win, stats
+
+
 # ---------------------------------------------------------------------------
 # Fused multipath render: base signal -> delayed/attenuated per-mic mixes.
 # Counterpart of ops/delay.delay_and_sum (reference main.py:104-118), fused:

@@ -315,14 +315,34 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
     filtered, band = _prefilter(spec, signals)
-    corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
-                                      band=band, fs=spec.fs)
-    res = tdoa_ops.time_delays_from_corr(
-        corr, spec.num_samples, spec.num_samples, spec.fs, num_peaks=1,
-        threshold_method=spec.threshold_method,
-        max_expected_delay=spec.max_tdoa, lag_mode="physical")
-    # physical peak lag -> td = arrival_j - arrival_i (models/tdoa.py).
-    td = -res.delays[..., 0]
+
+    from ..ops import pallas_fft
+    use_windowed = (spec.solver in ("lm", "de")
+                    and spec.threshold_method == "gaussian"
+                    and pallas_fft.bfly_gcc_eligible(
+                        spec.nfft, spec.num_mics, signals.dtype))
+    if use_windowed:
+        # Fully-fused TPU path: the windowed GCC kernel returns only the
+        # +-window correlation slice + global stats, so the (P, nfft)
+        # correlation never reaches HBM; the single-peak ladder then runs
+        # on the tiny slice (models/tdoa.tdoa_single_from_window).
+        distance = int(spec.fs * 0.001)
+        half = int(np.ceil(spec.max_tdoa * spec.fs)) + 8 * max(distance, 1)
+        wq = min(max(-(-half // 128) + 1, 1), spec.nfft // 256)
+        win, stats = pallas_fft.bfly_gcc_windowed(
+            filtered, pi, pj, spec.nfft, wq, band=band, fs=spec.fs)
+        delays = tdoa_ops.tdoa_single_from_window(
+            win, stats, wq, spec.nfft, spec.fs, spec.max_tdoa)
+        td = -delays
+    else:
+        corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
+                                          band=band, fs=spec.fs)
+        res = tdoa_ops.time_delays_from_corr(
+            corr, spec.num_samples, spec.num_samples, spec.fs, num_peaks=1,
+            threshold_method=spec.threshold_method,
+            max_expected_delay=spec.max_tdoa, lag_mode="physical")
+        # physical peak lag -> td = arrival_j - arrival_i (models/tdoa.py).
+        td = -res.delays[..., 0]
     weights = jnp.ones(pi.shape[0], signals.dtype)
 
     if spec.solver in ("srp", "srp+lm"):

@@ -122,3 +122,44 @@ def test_bfly_eligibility_rules():
     # (on CPU available() is False, so even valid shapes return False)
     expect = pf.available()
     assert pf.bfly_gcc_eligible(65536, 4, jnp.float32) == expect
+
+
+def test_bfly_windowed_tdoa_matches_full_ladder(rng):
+    """Windowed kernel + tdoa_single_from_window == the full physical-mode
+    gaussian ladder (the sweep's fused TPU fast path)."""
+    from pyaudiolocalization_tpu.ops import gccphat
+    from pyaudiolocalization_tpu.models import tdoa as tdoa_ops
+    from pyaudiolocalization_tpu.models.simulator import simulate_signals
+    from pyaudiolocalization_tpu.models.acoustics import speed_of_sound
+
+    fs = 16000.0
+    c = float(speed_of_sound(20.0, 50.0))
+    mics = np.array([[0., 0., 0.], [1., 0., 0.], [0., 1., 0.], [0., 0., 1.]])
+    pi = np.array([0, 0, 0, 1, 1, 2], np.int32)
+    pj = np.array([1, 2, 3, 2, 3, 3], np.int32)
+    nfft = 4096
+    max_td = 1.25 * np.sqrt(2) / c
+    band = (300.0, 3400.0)
+    for trial in range(3):
+        src = rng.uniform(0.1, 0.9, 3)
+        sigs = simulate_signals(src, mics, fs, c, duration=0.2,
+                                signal_type="noise",
+                                key=jax.random.PRNGKey(trial)
+                                ).astype(jnp.float32)
+        sigs = sigs + 0.01 * jnp.asarray(
+            rng.standard_normal(sigs.shape), jnp.float32)
+        corr = gccphat.gcc_phat_all_pairs(sigs, pi, pj, nfft=nfft, band=band,
+                                          fs=fs, use_pallas="never")
+        res = tdoa_ops.time_delays_from_corr(
+            corr, sigs.shape[-1], sigs.shape[-1], fs, num_peaks=1,
+            threshold_method="gaussian", max_expected_delay=max_td,
+            lag_mode="physical")
+        want = np.asarray(res.delays[..., 0])
+        distance = int(fs * 0.001)
+        half = int(np.ceil(max_td * fs)) + 8 * max(distance, 1)
+        wq = min(max(-(-half // 128) + 1, 1), nfft // 256)
+        win, stats = pf.bfly_gcc_windowed(sigs, pi, pj, nfft, wq, band=band,
+                                          fs=fs, interpret=True)
+        got = np.asarray(tdoa_ops.tdoa_single_from_window(
+            win, stats, wq, nfft, fs, max_td))
+        np.testing.assert_allclose(got, want, atol=1e-9)
