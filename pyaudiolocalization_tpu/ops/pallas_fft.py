@@ -360,6 +360,14 @@ def natural_to_permuted(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# v5e has 128 MB of physical VMEM; the XLA default SCOPED limit is only
+# 16 MB (measured: a 24 MB-scoped kernel compiles and runs fine with the
+# limit raised).  All butterfly kernels request this cap.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_BFLY_PARAMS = None if not _HAS_PALLAS else pltpu.CompilerParams(
+    vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def _bitrev_perm(n2: int) -> np.ndarray:
     bits = int(np.log2(n2))
     t = np.arange(n2)
@@ -579,9 +587,26 @@ def bfly_band_plane(n: int, band, fs: float) -> np.ndarray:
     return ((freq >= low) & (freq <= high)).astype(np.float32)
 
 
+def _fwd_spectra(get_mic, m, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
+                 w1r_ref, w1i_ref, sr_ref, si_ref, n2):
+    """Forward-transform every mic row into the spectra scratch planes."""
+    for mm in range(m):
+        xr = get_mic(mm)
+        xi = jnp.zeros_like(xr)
+        xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        cr = xr * twr - xi * twi
+        ci = xr * twi + xi * twr
+        yr, yi = _lane_dft(cr, ci, w1r_ref[:], w1i_ref[:], conj=False)
+        sr_ref[mm] = yr
+        si_ref[mm] = yi
+
+
 def _bfly_gcc_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
                      sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref,
-                     sr_ref, si_ref, *, n2, eps, scale):
+                     sr_ref, si_ref, *dma, n2, eps, scale,
+                     hbm_input=False):
     """Fused per-scene GCC-PHAT: (1, M, N2, 128) real signals ->
     (1, P, N2, 128) whitened circular correlations, all stages VMEM-resident.
 
@@ -597,57 +622,92 @@ def _bfly_gcc_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
     # Spectra are computed once per scene (grid step p == 0) into scratch,
     # which persists across the pair steps; the input block's index map
     # ignores p, so Pallas does not re-fetch it (revolving-buffer rule).
+    # In hbm_input mode the whole-scene block would not fit VMEM (131072 x
+    # 4 mics), so the signals stay in HBM and each mic row is streamed
+    # through two double-buffered DMA slots instead.
     @pl.when(p == 0)
     def _():
-        for mm in range(m):
-            xr = x_ref[0, mm]
-            xi = jnp.zeros_like(xr)
-            xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
-            twr = twr_ref[:]
-            twi = twi_ref[:]
-            cr = xr * twr - xi * twi
-            ci = xr * twi + xi * twr
-            yr, yi = _lane_dft(cr, ci, w1r_ref[:], w1i_ref[:], conj=False)
-            sr_ref[mm] = yr
-            si_ref[mm] = yi
+        if hbm_input:
+            xbuf, sem = dma
+            scene = pl.program_id(0)
+
+            def copy(mm, slot):
+                return pltpu.make_async_copy(x_ref.at[scene, mm],
+                                             xbuf.at[slot], sem.at[slot])
+
+            copy(0, 0).start()
+
+            def get_mic(mm):
+                if mm + 1 < m:
+                    copy(mm + 1, (mm + 1) % 2).start()
+                copy(mm, mm % 2).wait()
+                return xbuf[mm % 2]
+        else:
+            def get_mic(mm):
+                return x_ref[0, mm]
+        _fwd_spectra(get_mic, m, mask_ref, str_ref, sti_ref,
+                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2)
 
     b = band_ref[:]
-    i = pi_ref[p]
-    j = pj_ref[p]
-    ar, ai = sr_ref[i], si_ref[i]
-    br, bi = sr_ref[j], si_ref[j]
-    rr = ar * br + ai * bi
-    ri = ai * br - ar * bi
-    mag = jnp.sqrt(rr * rr + ri * ri) + eps
-    rr = rr / mag * b
-    ri = ri / mag * b
-    cr, ci = _lane_dft(rr, ri, w1r_ref[:], w1i_ref[:], conj=True)
+
+    def whitened(idx):
+        i = pi_ref[idx]
+        j = pj_ref[idx]
+        ar, ai = sr_ref[i], si_ref[i]
+        br, bi = sr_ref[j], si_ref[j]
+        rr = ar * br + ai * bi
+        ri = ai * br - ar * bi
+        mag = jnp.sqrt(rr * rr + ri * ri) + eps
+        return rr / mag * b, ri / mag * b
+
+    # Two Hermitian spectra share ONE inverse transform: the whole inverse
+    # chain is linear and ifft(R0 + i*R1) = corr0 + i*corr1 for real
+    # correlations, so each grid step resolves a PAIR COUPLE.
+    num_pairs = pi_ref.shape[0]
+    r0r, r0i = whitened(2 * p)
+    r1r, r1i = whitened(jnp.minimum(2 * p + 1, num_pairs - 1))
+    dr = r0r - r1i
+    di = r0i + r1r
+    cr, ci = _lane_dft(dr, di, w1r_ref[:], w1i_ref[:], conj=True)
     twr = twr_ref[:]
     twi = -twi_ref[:]
-    dr = cr * twr - ci * twi
-    di = cr * twi + ci * twr
-    yr, _ = _dit_stages(dr, di, mask_ref, str_ref, sti_ref, n2)
+    er = cr * twr - ci * twi
+    ei = cr * twi + ci * twr
+    yr, yi = _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
     out_ref[0, 0] = yr * scale
+    out_ref[0, 1] = yi * scale
+
+
+def _bfly_gcc_vmem(nfft: int, num_mics: int, hbm_input: bool) -> int:
+    """Measured VMEM model (v5e): in blocks (pipelined whole-scene block, or
+    2 single-mic DMA slots in hbm_input mode) + double-buffered pair-couple
+    output + spectra scratch + const planes + ~8 live stage temporaries."""
+    in_bytes = 2 * nfft * 4 if hbm_input else 2 * num_mics * nfft * 4
+    return (in_bytes
+            + 2 * 2 * nfft * 4           # couple output block, d-buffered
+            + 2 * num_mics * nfft * 4    # spectra scratch planes
+            + 3 * nfft * 4               # band + long twiddle planes
+            + 8 * nfft * 4)              # stage temporaries (peak)
+
+
+def _bfly_gcc_hbm_input(nfft: int, num_mics: int) -> bool:
+    """Whether the fused kernel must stream signals from HBM manually (one
+    mic row per DMA) instead of a pipelined whole-scene input block."""
+    return _bfly_gcc_vmem(nfft, num_mics, False) > 40 * 1024 * 1024
 
 
 def bfly_gcc_eligible(nfft: int, num_mics: int, dtype) -> bool:
     """The fused kernel handles f32, nfft = 128 * pow2 >= 1024, and enough
-    VMEM for M spectra + P correlations per scene (M <= 6 at 65536)."""
+    VMEM for M spectra + a correlation couple per scene under the raised
+    _VMEM_LIMIT scoped cap (4 mics fit comfortably at 65536 and 131072; the
+    model's stage-temporary term is calibrated against measured compiles)."""
     if not available() or jnp.dtype(dtype) != jnp.float32:
         return False
     n2 = nfft // _N1
     if n2 * _N1 != nfft or n2 & (n2 - 1) or n2 < 8:
         return False
-    # Measured VMEM model (v5e): double-buffered in/out blocks + 2 spectra
-    # scratch planes + long twiddle/band consts + ~8 live stage temporaries.
-    # 4 mics at nfft=65536 fits (measured 2.1x XLA); 131072 needs ~20 MB and
-    # must fall back (measured OOM at 19.67M vs the 16M scoped limit).
-    vmem = (2 * num_mics * nfft * 4      # input block, double-buffered
-            + 2 * nfft * 4               # per-pair output block, d-buffered
-            + 2 * num_mics * nfft * 4    # spectra scratch planes
-            + 3 * nfft * 4               # band + long twiddle planes
-            + 8 * nfft * 4)              # stage temporaries (peak)
-    return vmem <= 12 * 1024 * 1024
+    return _bfly_gcc_vmem(nfft, num_mics, _bfly_gcc_hbm_input(nfft, num_mics)
+                          ) <= 48 * 1024 * 1024
 
 
 def bfly_gcc_all_pairs(signals: jnp.ndarray,
@@ -676,34 +736,47 @@ def bfly_gcc_all_pairs(signals: jnp.ndarray,
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     band_plane = jnp.asarray(bfly_band_plane(nfft, band, fs))
     p = pi.shape[0]
+    hbm = _bfly_gcc_hbm_input(nfft, m)
     kernel = functools.partial(_bfly_gcc_kernel, n2=n2, eps=eps,
-                               scale=1.0 / nfft)
+                               scale=1.0 / nfft, hbm_input=hbm)
 
     def cspec2(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i, q: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    # Grid (scene, pair): spectra are built once at pair step 0 into scratch
-    # (persists across steps); the input block's index map ignores the pair
-    # index, so it is fetched once per scene.
+    if hbm:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        dma_scratch = [pltpu.VMEM((2, n2, _N1), jnp.float32),
+                       pltpu.SemaphoreType.DMA((2,))]
+    else:
+        x_spec = pl.BlockSpec((1, m, n2, _N1), lambda i, q: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dma_scratch = []
+
+    # Grid (scene, pair couple): spectra are built once at couple step 0
+    # into scratch (persists across steps); the input block's index map
+    # ignores the couple index, so it is fetched once per scene.  Each step
+    # writes TWO pairs (packed inverse); odd P duplicates the last pair and
+    # the host slice drops it.
+    ph = (p + 1) // 2
     out = pl.pallas_call(
         kernel,
-        grid=(b, p),
+        grid=(b, ph),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, m, n2, _N1), lambda i, q: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+                  x_spec,
                   cspec2(band_plane.shape)] +
                  [cspec2(c.shape) for c in consts],
-        out_specs=pl.BlockSpec((1, 1, n2, _N1), lambda i, q: (i, q, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, n2, _N1), lambda i, q: (i, q, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, p, n2, _N1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * ph, n2, _N1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((m, n2, _N1), jnp.float32),
-                        pltpu.VMEM((m, n2, _N1), jnp.float32)],
+                        pltpu.VMEM((m, n2, _N1), jnp.float32)] + dma_scratch,
+        compiler_params=_BFLY_PARAMS,
         interpret=interpret,
     )(pi, pj, x4, band_plane, *consts)
-    return out.reshape(lead + (p, nfft))
+    return out[:, :p].reshape(lead + (p, nfft))
 
 
 def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
@@ -741,40 +814,53 @@ def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
             si_ref[mm] = yi
 
     b = band_ref[:]
-    i = pi_ref[p]
-    j = pj_ref[p]
-    ar, ai = sr_ref[i], si_ref[i]
-    br, bi = sr_ref[j], si_ref[j]
-    rr = ar * br + ai * bi
-    ri = ai * br - ar * bi
-    mag = jnp.sqrt(rr * rr + ri * ri) + eps
-    rr = rr / mag * b
-    ri = ri / mag * b
-    cr, ci = _lane_dft(rr, ri, w1r_ref[:], w1i_ref[:], conj=True)
+
+    def whitened(idx):
+        i = pi_ref[idx]
+        j = pj_ref[idx]
+        ar, ai = sr_ref[i], si_ref[i]
+        br, bi = sr_ref[j], si_ref[j]
+        rr = ar * br + ai * bi
+        ri = ai * br - ar * bi
+        mag = jnp.sqrt(rr * rr + ri * ri) + eps
+        return rr / mag * b, ri / mag * b
+
+    # Packed inverse: ifft(R0 + i*R1) = corr0 + i*corr1 (both real), so one
+    # inverse chain resolves a pair couple per grid step.
+    num_pairs = pi_ref.shape[0]
+    r0r, r0i = whitened(2 * p)
+    r1r, r1i = whitened(jnp.minimum(2 * p + 1, num_pairs - 1))
+    dr = r0r - r1i
+    di = r0i + r1r
+    cr, ci = _lane_dft(dr, di, w1r_ref[:], w1i_ref[:], conj=True)
     twr = twr_ref[:]
     twi = -twi_ref[:]
-    dr = cr * twr - ci * twi
-    di = cr * twi + ci * twr
-    yr, _ = _dit_stages(dr, di, mask_ref, str_ref, sti_ref, n2)
-    yr = yr * scale
-    win_ref[0, 0, wq:, :] = yr[:wq]
-    win_ref[0, 0, :wq, :] = yr[n2 - wq:]
-    amean = jnp.mean(jnp.abs(yr))
-    gmax = jnp.max(yr)
+    er = cr * twr - ci * twi
+    ei = cr * twi + ci * twr
+    y0, y1 = _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
+
     rows = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 1)
     nat = rows * _N1 + cols
-    gidx = jnp.min(jnp.where(yr >= gmax, nat, n2 * _N1))
-    # Scatter is not lowerable in Mosaic — place the three scalars with
-    # masked selects over an index plane instead.
     r8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 0)
     c8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 1)
     slot = jnp.where(r8 == 0, c8, -1)
-    stats = jnp.where(slot == 0, amean,
-                      jnp.where(slot == 1, gmax,
-                                jnp.where(slot == 2,
-                                          gidx.astype(jnp.float32), 0.0)))
-    stat_ref[0, 0] = stats
+
+    for k, yr in enumerate((y0, y1)):
+        yr = yr * scale
+        win_ref[0, k, wq:, :] = yr[:wq]
+        win_ref[0, k, :wq, :] = yr[n2 - wq:]
+        amean = jnp.mean(jnp.abs(yr))
+        gmax = jnp.max(yr)
+        gidx = jnp.min(jnp.where(yr >= gmax, nat, n2 * _N1))
+        # Scatter is not lowerable in Mosaic — place the three scalars with
+        # masked selects over an index plane instead.
+        stats = jnp.where(slot == 0, amean,
+                          jnp.where(slot == 1, gmax,
+                                    jnp.where(slot == 2,
+                                              gidx.astype(jnp.float32),
+                                              0.0)))
+        stat_ref[0, k] = stats
 
 
 def bfly_gcc_windowed(signals: jnp.ndarray,
@@ -814,28 +900,31 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
         return pl.BlockSpec(shape, lambda i, q: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    ph = (p + 1) // 2
     win, stats = pl.pallas_call(
         kernel,
-        grid=(b, p),
+        grid=(b, ph),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, m, n2, _N1), lambda i, q: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
                   cspec2(band_plane.shape)] +
                  [cspec2(c.shape) for c in consts],
-        out_specs=(pl.BlockSpec((1, 1, 2 * wq, _N1),
+        out_specs=(pl.BlockSpec((1, 2, 2 * wq, _N1),
                                 lambda i, q: (i, q, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, 8, _N1), lambda i, q: (i, q, 0, 0),
+                   pl.BlockSpec((1, 2, 8, _N1), lambda i, q: (i, q, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((b, p, 2 * wq, _N1), jnp.float32),
-                   jax.ShapeDtypeStruct((b, p, 8, _N1), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b, 2 * ph, 2 * wq, _N1),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((b, 2 * ph, 8, _N1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((m, n2, _N1), jnp.float32),
                         pltpu.VMEM((m, n2, _N1), jnp.float32)],
+        compiler_params=_BFLY_PARAMS,
         interpret=interpret,
     )(pi, pj, x4, band_plane, *consts)
-    win = win.reshape(lead + (p, 2 * wq * _N1))
-    stats = stats[:, :, 0, :3].reshape(lead + (p, 3))
+    win = win[:, :p].reshape(lead + (p, 2 * wq * _N1))
+    stats = stats[:, :p, 0, :3].reshape(lead + (p, 3))
     return win, stats
 
 
@@ -856,9 +945,9 @@ def _bfly_render_kernel(d_ref, g_ref, x_ref, fade_ref, frq_ref, mask_ref,
                         str_ref, sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
                         out_ref, sr_ref, si_ref, *, n2, n2_out, num_paths,
                         scale):
-    m = pl.program_id(1)
+    mq = pl.program_id(1)
 
-    @pl.when(m == 0)
+    @pl.when(mq == 0)
     def _():
         xr = x_ref[0]
         xi = jnp.zeros_like(xr)
@@ -872,24 +961,35 @@ def _bfly_render_kernel(d_ref, g_ref, x_ref, fade_ref, frq_ref, mask_ref,
         si_ref[:] = yi
 
     frq = frq_ref[:]                      # 2*pi*f_signed, butterfly layout
-    hr = jnp.zeros((n2, _N1), jnp.float32)
-    hi = jnp.zeros((n2, _N1), jnp.float32)
-    for p in range(num_paths):
-        d = d_ref[0, m, p]
-        g = g_ref[0, m, p]
-        theta = frq * d
-        hr = hr + g * jnp.cos(theta)
-        hi = hi - g * jnp.sin(theta)
     ar, ai = sr_ref[:], si_ref[:]
-    rr = ar * hr - ai * hi
-    ri = ar * hi + ai * hr
-    cr, ci = _lane_dft(rr, ri, w1r_ref[:], w1i_ref[:], conj=True)
+
+    def mixed(m_idx):
+        hr = jnp.zeros((n2, _N1), jnp.float32)
+        hi = jnp.zeros((n2, _N1), jnp.float32)
+        for p in range(num_paths):
+            d = d_ref[0, m_idx, p]
+            g = g_ref[0, m_idx, p]
+            theta = frq * d
+            hr = hr + g * jnp.cos(theta)
+            hi = hi - g * jnp.sin(theta)
+        return ar * hr - ai * hi, ar * hi + ai * hr
+
+    # Packed inverse: two mics' (Hermitian) mixed spectra share one
+    # transform — ifft(Z0 + i*Z1) = mix0 + i*mix1.
+    num_m = d_ref.shape[1]
+    z0r, z0i = mixed(2 * mq)
+    z1r, z1i = mixed(jnp.minimum(2 * mq + 1, num_m - 1))
+    dr = z0r - z1i
+    di = z0i + z1r
+    cr, ci = _lane_dft(dr, di, w1r_ref[:], w1i_ref[:], conj=True)
     twr = twr_ref[:]
     twi = -twi_ref[:]
-    dr = cr * twr - ci * twi
-    di = cr * twi + ci * twr
-    yr, _ = _dit_stages(dr, di, mask_ref, str_ref, sti_ref, n2)
-    out_ref[0, 0] = yr[:n2_out] * (fade_ref[:] * scale)
+    er = cr * twr - ci * twi
+    ei = cr * twi + ci * twr
+    y0, y1 = _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
+    window = fade_ref[:] * scale
+    out_ref[0, 0] = y0[:n2_out] * window
+    out_ref[0, 1] = y1[:n2_out] * window
 
 
 def bfly_render_eligible(nfft: int, num_mics: int, num_paths: int,
@@ -903,7 +1003,7 @@ def bfly_render_eligible(nfft: int, num_mics: int, num_paths: int,
         return False
     vmem = (2 * nfft * 4 + 2 * nfft * 4 + 2 * nfft * 4
             + 4 * nfft * 4 + 10 * nfft * 4)
-    return vmem <= 12 * 1024 * 1024
+    return vmem <= 48 * 1024 * 1024
 
 
 def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
@@ -947,9 +1047,10 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
         return pl.BlockSpec(shape, lambda i, q: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    mh = (m + 1) // 2
     out = pl.pallas_call(
         kernel,
-        grid=(b, m),
+        grid=(b, mh),
         in_specs=[pl.BlockSpec((1, m, num_paths), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, m, num_paths), lambda i, q: (i, 0, 0),
@@ -958,15 +1059,17 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                                memory_space=pltpu.VMEM),
                   cspec2(fade_plane.shape), cspec2(frq.shape)] +
                  [cspec2(c.shape) for c in consts],
-        out_specs=pl.BlockSpec((1, 1, n2_out, _N1),
+        out_specs=pl.BlockSpec((1, 2, n2_out, _N1),
                                lambda i, q: (i, q, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m, n2_out, _N1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * mh, n2_out, _N1),
+                                       jnp.float32),
         scratch_shapes=[pltpu.VMEM((n2, _N1), jnp.float32),
                         pltpu.VMEM((n2, _N1), jnp.float32)],
+        compiler_params=_BFLY_PARAMS,
         interpret=interpret,
     )(d3, g3, x3, fade_plane, frq, *consts)
-    out = out.reshape(b, m, n2_out * _N1)[..., :out_samples]
+    out = out[:, :m].reshape(b, m, n2_out * _N1)[..., :out_samples]
     return out.reshape(lead + (m, out_samples))
 
 
