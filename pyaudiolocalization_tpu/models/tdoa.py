@@ -193,12 +193,19 @@ def tdoa_single_from_window(win: jnp.ndarray, stats: jnp.ndarray, wq: int,
     max_expected_delay gate plus the fast path's dilation margin).  For a
     single peak the full ladder collapses: the candidate is the tallest
     in-window strict local maximum above the Gaussian-estimated median
-    threshold; with the alt threshold mean|corr| ABOVE the gaussian one
-    (0.84535*mean), the alt rung can never rescue a row the primary
-    rejected, so the only fallback is the global argmax (utils.py:157-172
-    semantics).  Returns peak-lag delays in seconds, shape win.shape[:-1]
-    (same sign convention as TdoaResult.delays: td = -delay).
+    threshold; with the alt threshold mean|corr| AT OR ABOVE the primary
+    (requires threshold_multiplier <= 1/0.84535), the alt rung can never
+    rescue a row the primary rejected, so the only fallback is the global
+    argmax (utils.py:157-172 semantics).  Returns peak-lag delays in
+    seconds, shape win.shape[:-1] (same sign convention as
+    TdoaResult.delays: td = -delay).
     """
+    if threshold_multiplier > 1.0 / 0.84535:
+        raise ValueError(
+            "tdoa_single_from_window requires threshold_multiplier <= "
+            "1/0.84535: larger multipliers put the primary threshold above "
+            "the alt mean-|corr| rung, which this collapsed ladder omits — "
+            "use time_delays_from_corr for those")
     length = win.shape[-1]
     center = wq * 128
     lags = jnp.arange(length, dtype=win.dtype) - center
@@ -210,9 +217,11 @@ def tdoa_single_from_window(win: jnp.ndarray, stats: jnp.ndarray, wq: int,
     best = jnp.argmax(jnp.where(cand, win, neg), axis=-1)
     has = jnp.any(cand, axis=-1)
     peak_lag = jnp.take(lags, best)
-    # Global-argmax fallback: decode the natural index circularly.
+    # Global-argmax fallback: decode the natural index circularly.  The
+    # boundary bin nfft//2 maps to lag -nfft//2 (the full ladder centers
+    # with roll(n//2) and lags = arange(n) - n//2), hence >=.
     gidx = stats[..., 2]
-    glag = jnp.where(gidx > nfft // 2, gidx - nfft, gidx)
+    glag = jnp.where(gidx >= nfft // 2, gidx - nfft, gidx)
     return jnp.where(has, peak_lag, glag) / fs
 
 

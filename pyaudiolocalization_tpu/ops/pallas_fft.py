@@ -801,17 +801,8 @@ def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
 
     @pl.when(p == 0)
     def _():
-        for mm in range(m):
-            xr = x_ref[0, mm]
-            xi = jnp.zeros_like(xr)
-            xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
-            twr = twr_ref[:]
-            twi = twi_ref[:]
-            cr = xr * twr - xi * twi
-            ci = xr * twi + xi * twr
-            yr, yi = _lane_dft(cr, ci, w1r_ref[:], w1i_ref[:], conj=False)
-            sr_ref[mm] = yr
-            si_ref[mm] = yi
+        _fwd_spectra(lambda mm: x_ref[0, mm], m, mask_ref, str_ref, sti_ref,
+                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2)
 
     b = band_ref[:]
 

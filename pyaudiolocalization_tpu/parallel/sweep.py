@@ -268,7 +268,7 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     # models/tdoa.time_delays_from_corr.
     n = corr.shape[-1]
     am = jnp.argmax(corr, -1)
-    lag = jnp.where(am > n // 2, am - n, am).astype(signals.dtype)
+    lag = jnp.where(am >= n // 2, am - n, am).astype(signals.dtype)
     td = -lag / spec.fs
 
     blo, bhi = _srp_box(spec)
@@ -282,7 +282,9 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
         num_sources=spec.num_sources, coarse_n=coarse_n,
         min_separation=sep, pool_samples=pool)
-    return out.positions, out.powers, td
+    # Negated SRP power, matching the single-source 'srp' branch's cost
+    # convention (lower = better) across both localize_batch shapes.
+    return out.positions, -out.powers, td
 
 
 def _prefilter(spec: SweepSpec, signals: jnp.ndarray):
@@ -317,10 +319,14 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     filtered, band = _prefilter(spec, signals)
 
     from ..ops import pallas_fft
+    # The windowed kernel has no HBM-streaming input mode, so very large
+    # M*nfft working sets must take the streaming full-correlation path.
     use_windowed = (spec.solver in ("lm", "de")
                     and spec.threshold_method == "gaussian"
                     and pallas_fft.bfly_gcc_eligible(
-                        spec.nfft, spec.num_mics, signals.dtype))
+                        spec.nfft, spec.num_mics, signals.dtype)
+                    and not pallas_fft._bfly_gcc_hbm_input(
+                        spec.nfft, spec.num_mics))
     if use_windowed:
         # Fully-fused TPU path: the windowed GCC kernel returns only the
         # +-window correlation slice + global stats, so the (P, nfft)
@@ -347,16 +353,14 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
 
     if spec.solver in ("srp", "srp+lm"):
         # Search box: the scene's source prior, expanded 20% (static).
-        blo = np.asarray(spec.source_box_lo, float)
-        bhi = np.asarray(spec.source_box_hi, float)
-        margin = 0.2 * (bhi - blo) + 1e-3
+        blo, bhi = _srp_box(spec)
         coarse_n = 24
-        pool = srp_ops._resolve_pool(None, blo - margin, bhi + margin,
+        pool = srp_ops._resolve_pool(None, blo, bhi,
                                      coarse_n, spec.fs, spec.speed_of_sound)
         srp = srp_ops.srp_phat_locate(
             corr, mics, pi, pj, spec.fs, c,
-            jnp.asarray(blo - margin, signals.dtype),
-            jnp.asarray(bhi + margin, signals.dtype), coarse_n=coarse_n,
+            jnp.asarray(blo, signals.dtype),
+            jnp.asarray(bhi, signals.dtype), coarse_n=coarse_n,
             pool_samples=pool)
         if spec.solver == "srp":
             return srp.position, -srp.power, td
@@ -367,7 +371,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         lower, upper = solver_ops.dynamic_bounds(mics, td, c)
         lm = solver_ops.lm_solve(srp.position, mics, pi, pj, td, c, weights,
                                  lower, upper)
-        cell = float(np.linalg.norm((bhi - blo + 2 * margin) / coarse_n))
+        cell = float(np.linalg.norm((bhi - blo) / coarse_n))  # box pre-expanded
         near = jnp.linalg.norm(lm.x - srp.position) <= cell
         return (jnp.where(near, lm.x, srp.position),
                 jnp.where(near, lm.cost, -srp.power), td)
@@ -405,8 +409,9 @@ def localize_batch(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     """Estimation-only batch: signals (B, M, N), shared mic geometry.
     Returns (estimates (B, 3), costs (B,), tdoas (B, P)); with
     ``spec.num_sources > 1`` estimates are (B, K, 3) and costs (B, K)
-    fine-stage SRP powers, in coarse extraction order (no ground truth to
-    match against here)."""
+    NEGATED fine-stage SRP powers (lower = better, matching every other
+    solver's cost convention), in coarse extraction order (no ground truth
+    to match against here)."""
     _check_spec(spec)
     c = jnp.asarray(spec.speed_of_sound, signals.dtype)
     keys = jax.random.split(key, signals.shape[0])
@@ -538,7 +543,7 @@ def run_scene(spec: SweepSpec, key: jax.Array, dtype=jnp.float32) -> SceneResult
                         axis=-1)                                    # (K!, K)
     best = jnp.argmin(jnp.mean(d, -1))
     order = perms[best]
-    return SceneResult(estimate[order], sources, d[best], -cost[order], td)
+    return SceneResult(estimate[order], sources, d[best], cost[order], td)
 
 
 def _summary(results: SceneResult, hit_threshold: float,

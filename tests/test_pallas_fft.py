@@ -116,12 +116,19 @@ def test_bfly_band_plane_layout():
 
 
 def test_bfly_eligibility_rules():
-    assert not pf.bfly_gcc_eligible(65536, 4, jnp.float64)   # dtype
-    assert not pf.bfly_gcc_eligible(65537, 4, jnp.float32)   # not 128*pow2
-    assert not pf.bfly_gcc_eligible(131072, 4, jnp.float32)  # VMEM model
-    # (on CPU available() is False, so even valid shapes return False)
-    expect = pf.available()
-    assert pf.bfly_gcc_eligible(65536, 4, jnp.float32) == expect
+    on_tpu = pf.available()
+    # dtype/shape gates (vacuously False on CPU; real gates on TPU)
+    assert not pf.bfly_gcc_eligible(65536, 4, jnp.float64)
+    assert not pf.bfly_gcc_eligible(65537, 4, jnp.float32)
+    assert pf.bfly_gcc_eligible(65536, 4, jnp.float32) == on_tpu
+    assert pf.bfly_gcc_eligible(131072, 4, jnp.float32) == on_tpu
+    # The VMEM model itself is backend-independent: 131072 x 4 mics fits a
+    # pipelined input block under the raised cap, 64 mics at 65536 must
+    # stream signals from HBM.
+    assert not pf._bfly_gcc_hbm_input(131072, 4)
+    assert pf._bfly_gcc_hbm_input(65536, 64)
+    assert pf._bfly_gcc_vmem(131072, 4, False) <= 48 * 1024 * 1024
+    assert pf._bfly_gcc_vmem(65536, 64, True) <= 48 * 1024 * 1024
 
 
 def test_bfly_windowed_tdoa_matches_full_ladder(rng):
@@ -163,3 +170,21 @@ def test_bfly_windowed_tdoa_matches_full_ladder(rng):
         got = np.asarray(tdoa_ops.tdoa_single_from_window(
             win, stats, wq, nfft, fs, max_td))
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_tdoa_window_fallback_boundary_decode():
+    """Global-argmax fallback decodes the boundary bin nfft//2 as lag
+    -nfft//2 (matching the full ladder's centered axis)."""
+    from pyaudiolocalization_tpu.models import tdoa as tdoa_ops
+    nfft, fs, wq = 1024, 1000.0, 1
+    win = jnp.zeros((1, 2 * wq * 128))   # no candidates -> fallback path
+    stats = jnp.asarray([[1.0, 5.0, float(nfft // 2)]])
+    d = tdoa_ops.tdoa_single_from_window(win, stats, wq, nfft, fs, 0.01)
+    assert float(d[0]) == -(nfft // 2) / fs
+    stats = jnp.asarray([[1.0, 5.0, float(nfft // 2 - 1)]])
+    d = tdoa_ops.tdoa_single_from_window(win, stats, wq, nfft, fs, 0.01)
+    assert float(d[0]) == (nfft // 2 - 1) / fs
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold_multiplier"):
+        tdoa_ops.tdoa_single_from_window(win, stats, wq, nfft, fs, 0.01,
+                                         threshold_multiplier=1.5)
