@@ -102,6 +102,21 @@ def render_scene(base_signal: jnp.ndarray,
     reference is strictly single-source, main.py:66-124)."""
     padded = jnp.zeros(total_samples, base_signal.dtype).at[
         : base_signal.shape[0]].set(base_signal)
+    if pad_mode == "pow2":
+        # Fully-fused TPU path: render + fade + trim + per-mic
+        # normalize/compress in one VMEM-resident kernel.
+        from ..ops import pallas_fft
+        from ..ops.fftutils import next_pow2
+        from ..ops.delay import fade_window
+        nfft = next_pow2(total_samples)
+        if pallas_fft.bfly_render_eligible(nfft, paths_delays.shape[-2],
+                                           paths_delays.shape[-1],
+                                           base_signal.dtype):
+            fade = fade_window(total_samples,
+                               dtype=base_signal.dtype)[:out_samples]
+            return pallas_fft.bfly_delay_sum(
+                padded, paths_delays, paths_gains, fs, nfft, out_samples,
+                fade=fade, finalize=finalize)
     sigs = delay_and_sum(padded, paths_delays, paths_gains, fs,
                          pad_mode=pad_mode)
     sigs = sigs[:, :out_samples]

@@ -935,7 +935,7 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
 def _bfly_render_kernel(d_ref, g_ref, x_ref, fade_ref, frq_ref, mask_ref,
                         str_ref, sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
                         out_ref, sr_ref, si_ref, *, n2, n2_out, num_paths,
-                        scale):
+                        scale, finalize=False):
     mq = pl.program_id(1)
 
     @pl.when(mq == 0)
@@ -979,8 +979,24 @@ def _bfly_render_kernel(d_ref, g_ref, x_ref, fade_ref, frq_ref, mask_ref,
     ei = cr * twi + ci * twr
     y0, y1 = _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
     window = fade_ref[:] * scale
-    out_ref[0, 0] = y0[:n2_out] * window
-    out_ref[0, 1] = y1[:n2_out] * window
+
+    def emit(k, y):
+        y = y[:n2_out] * window
+        if finalize:
+            # Per-mic normalize + log compression (ops/signal.py semantics:
+            # peak-normalize, sign*log1p(|x|/0.8 + 1e-8), re-peak-normalize;
+            # silent channels pass through).  The fade plane is zero beyond
+            # out_samples, so the maxima ignore the padded tail.
+            peak = jnp.max(jnp.abs(y))
+            y = jnp.where(peak > 0, y / jnp.where(peak > 0, peak, 1.0), y)
+            comp = jnp.sign(y) * jnp.log1p(jnp.abs(y) / 0.8 + 1e-8)
+            cpeak = jnp.max(jnp.abs(comp))
+            y = jnp.where(cpeak > 0,
+                          comp / jnp.where(cpeak > 0, cpeak, 1.0), comp)
+        out_ref[0, k] = y
+
+    emit(0, y0)
+    emit(1, y1)
 
 
 def bfly_render_eligible(nfft: int, num_mics: int, num_paths: int,
@@ -1000,13 +1016,16 @@ def bfly_render_eligible(nfft: int, num_mics: int, num_paths: int,
 def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                    fs: float, nfft: int, out_samples: int,
                    fade: Optional[jnp.ndarray] = None,
+                   finalize: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused multipath render.
 
     base (..., N) real, delays/gains (..., M, P) seconds / linear gain.
     Returns (..., M, out_samples): for each mic the sum of delayed, scaled
     copies of base (circular at ``nfft``), multiplied by ``fade`` (an
-    (out_samples,) window; ones if None).  Numerically matches
+    (out_samples,) window; ones if None).  ``finalize=True`` additionally
+    applies the per-mic peak-normalize + log compression in VMEM
+    (models/simulator.render_scene's trailing stage).  Numerically matches
     ops/delay.delay_and_sum at pow2 padding up to float rounding."""
     lead = base.shape[:-1]
     n_samp = base.shape[-1]
@@ -1031,7 +1050,8 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                           if fade is None else fade.astype(jnp.float32)
                           ).reshape(n2_out, _N1)
     kernel = functools.partial(_bfly_render_kernel, n2=n2, n2_out=n2_out,
-                               num_paths=num_paths, scale=1.0 / nfft)
+                               num_paths=num_paths, scale=1.0 / nfft,
+                               finalize=finalize)
 
     def cspec2(shape):
         nd = len(shape)
