@@ -91,7 +91,9 @@ def render_scene(base_signal: jnp.ndarray,
                  total_samples: int,
                  out_samples: int,
                  pad_mode: str = "exact",
-                 finalize: bool = True) -> jnp.ndarray:
+                 finalize: bool = True,
+                 snr_db=None,
+                 noise_key=None) -> jnp.ndarray:
     """Render (M, out_samples) mic signals: pad base to total_samples
     (main.py:102-103), delay-and-sum all paths, trim (main.py:119-120),
     normalize + compress per mic (main.py:121-122).
@@ -99,30 +101,52 @@ def render_scene(base_signal: jnp.ndarray,
     ``finalize=False`` skips the per-mic normalize+compress and returns the
     raw linear mixture — used by the multi-source sweep, which sums the raw
     renders of several simultaneous sources before normalizing once (the
-    reference is strictly single-source, main.py:66-124)."""
+    reference is strictly single-source, main.py:66-124).
+
+    ``snr_db`` (scalar, with ``noise_key``) additionally adds white
+    measurement noise at that per-mic SNR after finalization.  On the
+    fused TPU path the Gaussian tensor is generated in-kernel from the
+    core PRNG (seeded from ``noise_key``) — a different, equally
+    deterministic stream than the XLA fallback's ``jax.random.normal``."""
+    if snr_db is not None and noise_key is None:
+        raise ValueError("snr_db requires noise_key")
+    m = paths_delays.shape[-2]
     padded = jnp.zeros(total_samples, base_signal.dtype).at[
         : base_signal.shape[0]].set(base_signal)
     if pad_mode == "pow2":
         # Fully-fused TPU path: render + fade + trim + per-mic
-        # normalize/compress in one VMEM-resident kernel.
+        # normalize/compress (+ noise) in one VMEM-resident kernel.
         from ..ops import pallas_fft
         from ..ops.fftutils import next_pow2
         from ..ops.delay import fade_window
         nfft = next_pow2(total_samples)
-        if pallas_fft.bfly_render_eligible(nfft, paths_delays.shape[-2],
+        if pallas_fft.bfly_render_eligible(nfft, m,
                                            paths_delays.shape[-1],
                                            base_signal.dtype):
             fade = fade_window(total_samples,
                                dtype=base_signal.dtype)[:out_samples]
+            if snr_db is None:
+                return pallas_fft.bfly_delay_sum(
+                    padded, paths_delays, paths_gains, fs, nfft,
+                    out_samples, fade=fade, finalize=finalize)
+            seeds = jax.random.randint(noise_key, (m,), 0, 2 ** 31 - 1)
             return pallas_fft.bfly_delay_sum(
                 padded, paths_delays, paths_gains, fs, nfft, out_samples,
-                fade=fade, finalize=finalize)
+                fade=fade, finalize=finalize,
+                snr_db=jnp.asarray(snr_db, base_signal.dtype),
+                noise_seeds=seeds)
     sigs = delay_and_sum(padded, paths_delays, paths_gains, fs,
                          pad_mode=pad_mode)
     sigs = sigs[:, :out_samples]
-    if not finalize:
-        return sigs
-    return sig_ops.dynamic_range_compression(sig_ops.normalize_signal(sigs))
+    if finalize:
+        sigs = sig_ops.dynamic_range_compression(
+            sig_ops.normalize_signal(sigs))
+    if snr_db is not None:
+        rms = jnp.sqrt(jnp.mean(sigs * sigs, -1, keepdims=True))
+        sigma = rms * 10.0 ** (-jnp.asarray(snr_db, sigs.dtype) / 20.0)
+        sigs = sigs + sigma * jax.random.normal(noise_key, sigs.shape,
+                                                sigs.dtype)
+    return sigs
 
 
 @functools.partial(jax.jit,

@@ -932,10 +932,11 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _bfly_render_kernel(d_ref, g_ref, x_ref, fade_ref, frq_ref, mask_ref,
-                        str_ref, sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
-                        out_ref, sr_ref, si_ref, *, n2, n2_out, num_paths,
-                        scale, finalize=False):
+def _bfly_render_kernel(d_ref, g_ref, seed_ref, snr_ref, x_ref, fade_ref,
+                        frq_ref, mask_ref, str_ref, sti_ref, twr_ref,
+                        twi_ref, w1r_ref, w1i_ref, out_ref, sr_ref, si_ref,
+                        *, n2, n2_out, num_paths, out_samples, scale,
+                        finalize=False, with_noise=False):
     mq = pl.program_id(1)
 
     @pl.when(mq == 0)
@@ -980,7 +981,7 @@ def _bfly_render_kernel(d_ref, g_ref, x_ref, fade_ref, frq_ref, mask_ref,
     y0, y1 = _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
     window = fade_ref[:] * scale
 
-    def emit(k, y):
+    def emit(k, y, mic_idx):
         y = y[:n2_out] * window
         if finalize:
             # Per-mic normalize + log compression (ops/signal.py semantics:
@@ -993,10 +994,37 @@ def _bfly_render_kernel(d_ref, g_ref, x_ref, fade_ref, frq_ref, mask_ref,
             cpeak = jnp.max(jnp.abs(comp))
             y = jnp.where(cpeak > 0,
                           comp / jnp.where(cpeak > 0, cpeak, 1.0), comp)
+        if with_noise:
+            # Additive white measurement noise at the scene SNR, generated
+            # by the core PRNG (Box-Muller over hardware random bits) — the
+            # (M, N) Gaussian tensor never exists in HBM.  A different (but
+            # equally seeded-deterministic) stream than the XLA fallback's
+            # jax.random.normal.
+            rms = jnp.sqrt(jnp.sum(y * y) / out_samples)
+            # 10**x as exp(x*ln10): Mosaic cannot legalize math.powf.
+            sigma = rms * jnp.exp(-snr_ref[0, 0] / 20.0 * np.log(10.0))
+            pltpu.prng_seed(seed_ref[0, mic_idx])
+            # Mosaic has no uint32->f32 cast; go through int32 with logical
+            # shifts (top 24 bits are a non-negative int32).
+            b1 = jax.lax.shift_right_logical(
+                pltpu.bitcast(pltpu.prng_random_bits((n2_out, _N1)),
+                              jnp.int32), 8)
+            b2 = jax.lax.shift_right_logical(
+                pltpu.bitcast(pltpu.prng_random_bits((n2_out, _N1)),
+                              jnp.int32), 8)
+            # u1 in (0, 1]: top 24 bits + half-ulp offset keeps log finite.
+            u1 = b1.astype(jnp.float32) * (2.0 ** -24) + 2.0 ** -25
+            u2 = b2.astype(jnp.float32) * (2.0 ** -24)
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                2.0 * jnp.pi * u2)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n2_out, _N1), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n2_out, _N1), 1)
+            valid = (rows * _N1 + cols) < out_samples
+            y = y + jnp.where(valid, sigma * z, 0.0)
         out_ref[0, k] = y
 
-    emit(0, y0)
-    emit(1, y1)
+    emit(0, y0, 2 * mq)
+    emit(1, y1, jnp.minimum(2 * mq + 1, num_m - 1))
 
 
 def bfly_render_eligible(nfft: int, num_mics: int, num_paths: int,
@@ -1017,6 +1045,8 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                    fs: float, nfft: int, out_samples: int,
                    fade: Optional[jnp.ndarray] = None,
                    finalize: bool = False,
+                   snr_db: Optional[jnp.ndarray] = None,
+                   noise_seeds: Optional[jnp.ndarray] = None,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused multipath render.
 
@@ -1025,7 +1055,10 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
     copies of base (circular at ``nfft``), multiplied by ``fade`` (an
     (out_samples,) window; ones if None).  ``finalize=True`` additionally
     applies the per-mic peak-normalize + log compression in VMEM
-    (models/simulator.render_scene's trailing stage).  Numerically matches
+    (models/simulator.render_scene's trailing stage).  With ``snr_db``
+    ((...,) per-scene dB) and ``noise_seeds`` ((..., M) int32), white
+    measurement noise at that SNR is generated in-kernel from the core
+    PRNG and added before writeback.  Numerically matches
     ops/delay.delay_and_sum at pow2 padding up to float rounding."""
     lead = base.shape[:-1]
     n_samp = base.shape[-1]
@@ -1039,6 +1072,16 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
     x3 = x.reshape(b, n2, _N1)
     d3 = delays.reshape(b, m, num_paths).astype(jnp.float32)
     g3 = gains.reshape(b, m, num_paths).astype(jnp.float32)
+    with_noise = snr_db is not None
+    if with_noise:
+        if noise_seeds is None:
+            raise ValueError("snr_db requires noise_seeds")
+        seeds = noise_seeds.reshape(b, m).astype(jnp.int32)
+        snr = snr_db.reshape(b).astype(jnp.float32)
+    else:
+        seeds = jnp.zeros((b, m), jnp.int32)
+        snr = jnp.zeros((b,), jnp.float32)
+    snr = snr.reshape(b, 1)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     # Signed 2*pi*frequency plane (Hermitian ramps) in butterfly layout.
     t_nat = _bitrev_perm(n2)
@@ -1050,8 +1093,9 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                           if fade is None else fade.astype(jnp.float32)
                           ).reshape(n2_out, _N1)
     kernel = functools.partial(_bfly_render_kernel, n2=n2, n2_out=n2_out,
-                               num_paths=num_paths, scale=1.0 / nfft,
-                               finalize=finalize)
+                               num_paths=num_paths, out_samples=out_samples,
+                               scale=1.0 / nfft, finalize=finalize,
+                               with_noise=with_noise)
 
     def cspec2(shape):
         nd = len(shape)
@@ -1066,6 +1110,10 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, m, num_paths), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, m), lambda i, q: (i, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 1), lambda i, q: (i, 0),
+                               memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, n2, _N1), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   cspec2(fade_plane.shape), cspec2(frq.shape)] +
@@ -1079,7 +1127,7 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                         pltpu.VMEM((n2, _N1), jnp.float32)],
         compiler_params=_BFLY_PARAMS,
         interpret=interpret,
-    )(d3, g3, x3, fade_plane, frq, *consts)
+    )(d3, g3, seeds, snr, x3, fade_plane, frq, *consts)
     out = out[:, :m].reshape(b, m, n2_out * _N1)[..., :out_samples]
     return out.reshape(lead + (m, out_samples))
 

@@ -463,8 +463,10 @@ def _random_scene(spec: SweepSpec, key: jax.Array, dtype):
 
 
 def _render_source(spec: SweepSpec, source, mics, c, freq, key: jax.Array,
-                   dtype, finalize: bool) -> jnp.ndarray:
-    """One source's static-shape multipath render (raw when finalize=False)."""
+                   dtype, finalize: bool, snr_db=None,
+                   noise_key=None) -> jnp.ndarray:
+    """One source's static-shape multipath render (raw when finalize=False;
+    measurement noise fused in when snr_db/noise_key are given)."""
     base = sig_ops.generate_signal(spec.signal_type, spec.fs, spec.duration,
                                    freq, key=key, dtype=dtype)
     absorption = jnp.asarray(spec.material_absorption, dtype)
@@ -482,7 +484,8 @@ def _render_source(spec: SweepSpec, source, mics, c, freq, key: jax.Array,
     paths = scene_paths(source, mics, c, freq, images, absorption, freq_tab)
     return render_scene(base, paths.delays, paths.gains, spec.fs,
                         spec.total_samples, spec.num_samples, pad_mode="pow2",
-                        finalize=finalize)
+                        finalize=finalize, snr_db=snr_db,
+                        noise_key=noise_key)
 
 
 def _source_freq(spec: SweepSpec, k: int) -> float:
@@ -494,22 +497,24 @@ def _simulate(spec: SweepSpec, sources, mics, c, snr_db, key: jax.Array,
     """Static-shape multipath render + measurement noise at the drawn SNR.
     ``sources`` is (K, 3); K > 1 sums the raw per-source renders (each with
     an independent signal key) before the per-mic normalize+compress."""
+    # Additive white measurement noise at the per-scene SNR is part of both
+    # branches (new capability — the reference simulates noiselessly
+    # outside calibration); the single-source branch fuses it into the
+    # render kernel on TPU (render_scene snr_db/noise_key).
     if spec.num_sources == 1:
         k_sig, k_noise = jax.random.split(key)
-        sigs = _render_source(spec, sources[0], mics, c, _source_freq(spec, 0),
-                              k_sig, dtype, finalize=True)
-    else:
-        keys = jax.random.split(key, spec.num_sources + 1)
-        k_noise = keys[-1]
-        raw = _render_source(spec, sources[0], mics, c, _source_freq(spec, 0),
-                             keys[0], dtype, finalize=False)
-        for k in range(1, spec.num_sources):
-            raw = raw + _render_source(spec, sources[k], mics, c,
-                                       _source_freq(spec, k), keys[k], dtype,
-                                       finalize=False)
-        sigs = sig_ops.dynamic_range_compression(sig_ops.normalize_signal(raw))
-    # Additive white measurement noise at the per-scene SNR (new capability —
-    # the reference simulates noiselessly outside calibration).
+        return _render_source(spec, sources[0], mics, c, _source_freq(spec, 0),
+                              k_sig, dtype, finalize=True, snr_db=snr_db,
+                              noise_key=k_noise)
+    keys = jax.random.split(key, spec.num_sources + 1)
+    k_noise = keys[-1]
+    raw = _render_source(spec, sources[0], mics, c, _source_freq(spec, 0),
+                         keys[0], dtype, finalize=False)
+    for k in range(1, spec.num_sources):
+        raw = raw + _render_source(spec, sources[k], mics, c,
+                                   _source_freq(spec, k), keys[k], dtype,
+                                   finalize=False)
+    sigs = sig_ops.dynamic_range_compression(sig_ops.normalize_signal(raw))
     rms = jnp.sqrt(jnp.mean(sigs * sigs, -1, keepdims=True))
     sigma = rms * 10.0 ** (-snr_db / 20.0)
     noise = jax.random.normal(k_noise, sigs.shape, dtype)
