@@ -118,10 +118,37 @@ def bench_full_sweep(batch: int = 256):
     return batch / dt, float(outs[-1].rmse)
 
 
+def bench_multi_source(batch: int = 128):
+    """Two simultaneous incoherent sources per scene, localized with
+    suppression SRP-PHAT over an 8-mic cube (new capability — the
+    reference is strictly single-source)."""
+    mics8 = ((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+             (0.0, 0.0, 1.0), (1.0, 1.0, 0.0), (1.0, 0.0, 1.0),
+             (0.0, 1.0, 1.0), (1.0, 1.0, 1.0))
+    spec = SweepSpec(fs=16000.0, duration=0.25, signal_type="noise",
+                     mic_positions=mics8, solver="srp", num_sources=2,
+                     source_min_separation=0.4,
+                     source_box_lo=(0.1, 0.1, 0.1),
+                     source_box_hi=(0.9, 0.9, 0.9), snr_db=(20.0, 40.0))
+
+    def step(i):
+        return monte_carlo_sweep(spec, jax.random.PRNGKey(i), batch)
+
+    out = step(0)
+    _sync(out.rmse)
+    t0 = time.perf_counter()
+    iters = 3
+    outs = [step(1 + i) for i in range(iters)]
+    _sync(outs[-1].rmse)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, float(outs[-1].rmse)
+
+
 def main():
     pairs_per_sec = bench_gcc_phat()
     scenes_per_sec = bench_localize()
     sweep_per_sec, sweep_rmse = bench_full_sweep()
+    multi_per_sec, multi_rmse = bench_multi_source()
     print(json.dumps({
         "metric": "gccphat_pairs_per_sec_44k1x1s",
         "value": round(pairs_per_sec, 1),
@@ -133,6 +160,8 @@ def main():
                 scenes_per_sec / BASELINE_SCENES_PER_SEC, 1),
             "full_sweep_scenes_per_sec": round(sweep_per_sec, 2),
             "full_sweep_rmse_m": round(sweep_rmse, 4),
+            "multi_source_scenes_per_sec": round(multi_per_sec, 2),
+            "multi_source_rmse_m": round(multi_rmse, 4),
             "device": str(jax.devices()[0]),
         },
     }))
