@@ -587,18 +587,37 @@ def bfly_band_plane(n: int, band, fs: float) -> np.ndarray:
     return ((freq >= low) & (freq <= high)).astype(np.float32)
 
 
+def _fwd_one(xr, mask_ref, str_ref, sti_ref, twr_ref, twi_ref, w1r_ref,
+             w1i_ref, n2):
+    """Forward butterfly transform of one real (N2, 128) plane."""
+    xi = jnp.zeros_like(xr)
+    xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    cr = xr * twr - xi * twi
+    ci = xr * twi + xi * twr
+    return _lane_dft(cr, ci, w1r_ref[:], w1i_ref[:], conj=False)
+
+
+def _inv_packed(dr, di, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
+                w1r_ref, w1i_ref, n2):
+    """Inverse chain of a PACKED pair of Hermitian spectra (Z = R0 + i*R1):
+    returns (ifft(R0), ifft(R1)) as the real/imag output planes
+    (unnormalized — callers scale by 1/n)."""
+    cr, ci = _lane_dft(dr, di, w1r_ref[:], w1i_ref[:], conj=True)
+    twr = twr_ref[:]
+    twi = -twi_ref[:]
+    er = cr * twr - ci * twi
+    ei = cr * twi + ci * twr
+    return _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
+
+
 def _fwd_spectra(get_mic, m, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
                  w1r_ref, w1i_ref, sr_ref, si_ref, n2):
     """Forward-transform every mic row into the spectra scratch planes."""
     for mm in range(m):
-        xr = get_mic(mm)
-        xi = jnp.zeros_like(xr)
-        xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
-        twr = twr_ref[:]
-        twi = twi_ref[:]
-        cr = xr * twr - xi * twi
-        ci = xr * twi + xi * twr
-        yr, yi = _lane_dft(cr, ci, w1r_ref[:], w1i_ref[:], conj=False)
+        yr, yi = _fwd_one(get_mic(mm), mask_ref, str_ref, sti_ref, twr_ref,
+                          twi_ref, w1r_ref, w1i_ref, n2)
         sr_ref[mm] = yr
         si_ref[mm] = yi
 
@@ -804,6 +823,18 @@ def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
         _fwd_spectra(lambda mm: x_ref[0, mm], m, mask_ref, str_ref, sti_ref,
                      twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2)
 
+    _couple_window_stats(p, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
+                         mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
+                         w1r_ref, w1i_ref, win_ref, stat_ref, n2, wq, eps,
+                         scale)
+
+
+def _couple_window_stats(p, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
+                         mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
+                         w1r_ref, w1i_ref, win_ref, stat_ref, n2, wq, eps,
+                         scale):
+    """Whiten + packed windowed inverse + stats for pair couple ``p``
+    (shared by the windowed GCC kernel and the whole-scene kernel)."""
     b = band_ref[:]
 
     def whitened(idx):
@@ -821,14 +852,8 @@ def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
     num_pairs = pi_ref.shape[0]
     r0r, r0i = whitened(2 * p)
     r1r, r1i = whitened(jnp.minimum(2 * p + 1, num_pairs - 1))
-    dr = r0r - r1i
-    di = r0i + r1r
-    cr, ci = _lane_dft(dr, di, w1r_ref[:], w1i_ref[:], conj=True)
-    twr = twr_ref[:]
-    twi = -twi_ref[:]
-    er = cr * twr - ci * twi
-    ei = cr * twi + ci * twr
-    y0, y1 = _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
+    y0, y1 = _inv_packed(r0r - r1i, r0i + r1r, mask_ref, str_ref, sti_ref,
+                         twr_ref, twi_ref, w1r_ref, w1i_ref, n2)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 1)
@@ -920,6 +945,200 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# WHOLE-SCENE kernel: base signal -> windowed correlations + stats, with the
+# multipath render, per-mic finalize + measurement noise, forward spectra,
+# whitening, and packed windowed inverses ALL VMEM-resident.  Per 4-mic
+# scene, HBM sees only the padded base (~256 KB in) and the tiny window +
+# stats blocks (~100 KB out) — everything between (signals, spectra,
+# cross-spectra, full correlations) exists only on-chip.
+# ---------------------------------------------------------------------------
+
+
+def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
+                       base_ref, fade_ref, frq_ref, band_ref, mask_ref,
+                       str_ref, sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
+                       win_ref, stat_ref, sig_ref, sr_ref, si_ref, *,
+                       n2, n2_out, wq, num_paths, out_samples, eps,
+                       render_scale, corr_scale, with_noise):
+    m = seed_ref.shape[2]
+    q = pl.program_id(1)
+
+    @pl.when(q == 0)
+    def _():
+        # Phase 1: render — forward the base once, mix per-mic path ramps,
+        # packed inverse per mic couple, finalize (+noise), store signals
+        # (zero-padded to the transform length) in scratch.
+        br_, bi_ = _fwd_one(base_ref[0], mask_ref, str_ref, sti_ref,
+                            twr_ref, twi_ref, w1r_ref, w1i_ref, n2)
+        frq = frq_ref[:]
+        window = fade_ref[:] * render_scale
+
+        def mixed(m_idx):
+            hr = jnp.zeros((n2, _N1), jnp.float32)
+            hi = jnp.zeros((n2, _N1), jnp.float32)
+            for pth in range(num_paths):
+                d = d_ref[0, m_idx, pth]
+                g = g_ref[0, m_idx, pth]
+                theta = frq * d
+                hr = hr + g * jnp.cos(theta)
+                hi = hi - g * jnp.sin(theta)
+            return br_ * hr - bi_ * hi, br_ * hi + bi_ * hr
+
+        for mq in range((m + 1) // 2):
+            i0 = 2 * mq
+            i1 = min(2 * mq + 1, m - 1)
+            z0r, z0i = mixed(i0)
+            z1r, z1i = mixed(i1)
+            y0, y1 = _inv_packed(z0r - z1i, z0i + z1r, mask_ref, str_ref,
+                                 sti_ref, twr_ref, twi_ref, w1r_ref,
+                                 w1i_ref, n2)
+            for k, (y, mi) in enumerate(((y0, i0), (y1, i1))):
+                if k == 1 and i1 == i0:
+                    continue  # odd M: last couple's imag half is a dup
+                y = _render_postprocess(
+                    y[:n2_out] * window, out_samples, True,
+                    seed_ref[0, 0, mi] if with_noise else None, snr_ref)
+                sig_ref[mi, :n2_out] = y
+                sig_ref[mi, n2_out:] = jnp.zeros((n2 - n2_out, _N1),
+                                                 jnp.float32)
+
+        # Phase 2: forward spectra of the finished signals.
+        _fwd_spectra(lambda mm: sig_ref[mm], m, mask_ref, str_ref, sti_ref,
+                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2)
+
+    # Phase 3 (every couple step): whiten + windowed inverse + stats.
+    _couple_window_stats(q, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
+                         mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
+                         w1r_ref, w1i_ref, win_ref, stat_ref, n2, wq, eps,
+                         corr_scale)
+
+
+def bfly_scene_eligible(nfft: int, num_mics: int, num_paths: int,
+                        dtype) -> bool:
+    """Scene kernel fits: f32, nfft = 128*pow2, signals + spectra scratch +
+    temporaries under the raised VMEM cap (no HBM-streaming mode)."""
+    if not available() or jnp.dtype(dtype) != jnp.float32:
+        return False
+    n2 = nfft // _N1
+    if n2 * _N1 != nfft or n2 & (n2 - 1) or n2 < 8:
+        return False
+    vmem = (2 * nfft * 4                  # base input block, d-buffered
+            + num_mics * nfft * 4         # signal scratch planes
+            + 2 * num_mics * nfft * 4     # spectra scratch planes
+            + 5 * nfft * 4                # band/fade/frq/twiddle consts
+            + 10 * nfft * 4)              # stage temporaries (peak)
+    return vmem <= 48 * 1024 * 1024
+
+
+def bfly_scene_windowed(base: jnp.ndarray,
+                        delays: jnp.ndarray,
+                        gains: jnp.ndarray,
+                        pairs_i: np.ndarray,
+                        pairs_j: np.ndarray,
+                        fs: float,
+                        nfft: int,
+                        out_samples: int,
+                        wq: int,
+                        band=None,
+                        fade: Optional[jnp.ndarray] = None,
+                        snr_db: Optional[jnp.ndarray] = None,
+                        noise_seeds: Optional[jnp.ndarray] = None,
+                        eps: float = 1e-10,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-scene fused pipeline: multipath render (+finalize, +noise) ->
+    band-limited GCC-PHAT -> windowed correlations + stats.
+
+    base (..., N<=nfft) real; delays/gains (..., M, P); returns
+    (win (..., PAIRS, 2*wq*128), stats (..., PAIRS, 3)) with the
+    ``bfly_gcc_windowed`` layout/semantics computed on signals identical to
+    ``bfly_delay_sum(..., finalize=True, snr_db=..., noise_seeds=...)``."""
+    pi = jnp.asarray(np.asarray(pairs_i, np.int32))
+    pj = jnp.asarray(np.asarray(pairs_j, np.int32))
+    lead = base.shape[:-1]
+    n_samp = base.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    m, num_paths = delays.shape[-2:]
+    n2 = nfft // _N1
+    n2_out = -(-out_samples // _N1)
+    if not 0 < wq <= n2 // 2:
+        raise ValueError("wq must be in (0, n2//2]")
+    x = base.reshape(b, n_samp)
+    if n_samp < nfft:
+        x = jnp.pad(x, ((0, 0), (0, nfft - n_samp)))
+    x3 = x.reshape(b, n2, _N1)
+    d3 = delays.reshape(b, m, num_paths).astype(jnp.float32)
+    g3 = gains.reshape(b, m, num_paths).astype(jnp.float32)
+    with_noise = snr_db is not None
+    if with_noise:
+        if noise_seeds is None:
+            raise ValueError("snr_db requires noise_seeds")
+        seeds = noise_seeds.reshape(b, 1, m).astype(jnp.int32)
+        snr = snr_db.reshape(b, 1, 1).astype(jnp.float32)
+    else:
+        seeds = jnp.zeros((b, 1, m), jnp.int32)
+        snr = jnp.zeros((b, 1, 1), jnp.float32)
+    consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
+    band_plane = jnp.asarray(bfly_band_plane(nfft, band, fs))
+    t_nat = _bitrev_perm(n2)
+    k = np.arange(_N1)[None, :] * n2 + t_nat[:, None]
+    k_signed = np.where(k <= nfft // 2, k, k - nfft)
+    frq = jnp.asarray((2.0 * np.pi * fs / nfft) * k_signed, jnp.float32)
+    fade_plane = jnp.zeros((n2_out, _N1), jnp.float32).reshape(-1).at[
+        :out_samples].set(jnp.ones(out_samples, jnp.float32)
+                          if fade is None else fade.astype(jnp.float32)
+                          ).reshape(n2_out, _N1)
+    p = pi.shape[0]
+    ph = (p + 1) // 2
+    kernel = functools.partial(_bfly_scene_kernel, n2=n2, n2_out=n2_out,
+                               wq=wq, num_paths=num_paths,
+                               out_samples=out_samples, eps=eps,
+                               render_scale=1.0 / nfft,
+                               corr_scale=1.0 / nfft, with_noise=with_noise)
+
+    def cspec2(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, qq: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    win, stats = pl.pallas_call(
+        kernel,
+        grid=(b, ph),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, m, num_paths), lambda i, qq: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, m, num_paths), lambda i, qq: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 1, m), lambda i, qq: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 1, 1), lambda i, qq: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, n2, _N1), lambda i, qq: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  cspec2(fade_plane.shape), cspec2(frq.shape),
+                  cspec2(band_plane.shape)] +
+                 [cspec2(c.shape) for c in consts],
+        out_specs=(pl.BlockSpec((1, 2, 2 * wq, _N1),
+                                lambda i, qq: (i, qq, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 2, 8, _N1), lambda i, qq: (i, qq, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, 2 * ph, 2 * wq, _N1),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((b, 2 * ph, 8, _N1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((m, n2, _N1), jnp.float32),
+                        pltpu.VMEM((m, n2, _N1), jnp.float32),
+                        pltpu.VMEM((m, n2, _N1), jnp.float32)],
+        compiler_params=_BFLY_PARAMS,
+        interpret=interpret,
+    )(pi, pj, d3, g3, seeds, snr, x3, fade_plane, frq, band_plane, *consts)
+    win = win[:, :p].reshape(lead + (p, 2 * wq * _N1))
+    stats = stats[:, :p, 0, :3].reshape(lead + (p, 3))
+    return win, stats
+
+
+# ---------------------------------------------------------------------------
 # Fused multipath render: base signal -> delayed/attenuated per-mic mixes.
 # Counterpart of ops/delay.delay_and_sum (reference main.py:104-118), fused:
 # forward FFT of the padded base ONCE per scene into scratch, then per mic
@@ -982,49 +1201,58 @@ def _bfly_render_kernel(d_ref, g_ref, seed_ref, snr_ref, x_ref, fade_ref,
     window = fade_ref[:] * scale
 
     def emit(k, y, mic_idx):
-        y = y[:n2_out] * window
-        if finalize:
-            # Per-mic normalize + log compression (ops/signal.py semantics:
-            # peak-normalize, sign*log1p(|x|/0.8 + 1e-8), re-peak-normalize;
-            # silent channels pass through).  The fade plane is zero beyond
-            # out_samples, so the maxima ignore the padded tail.
-            peak = jnp.max(jnp.abs(y))
-            y = jnp.where(peak > 0, y / jnp.where(peak > 0, peak, 1.0), y)
-            comp = jnp.sign(y) * jnp.log1p(jnp.abs(y) / 0.8 + 1e-8)
-            cpeak = jnp.max(jnp.abs(comp))
-            y = jnp.where(cpeak > 0,
-                          comp / jnp.where(cpeak > 0, cpeak, 1.0), comp)
-        if with_noise:
-            # Additive white measurement noise at the scene SNR, generated
-            # by the core PRNG (Box-Muller over hardware random bits) — the
-            # (M, N) Gaussian tensor never exists in HBM.  A different (but
-            # equally seeded-deterministic) stream than the XLA fallback's
-            # jax.random.normal.
-            rms = jnp.sqrt(jnp.sum(y * y) / out_samples)
-            # 10**x as exp(x*ln10): Mosaic cannot legalize math.powf.
-            sigma = rms * jnp.exp(-snr_ref[0, 0] / 20.0 * np.log(10.0))
-            pltpu.prng_seed(seed_ref[0, mic_idx])
-            # Mosaic has no uint32->f32 cast; go through int32 with logical
-            # shifts (top 24 bits are a non-negative int32).
-            b1 = jax.lax.shift_right_logical(
-                pltpu.bitcast(pltpu.prng_random_bits((n2_out, _N1)),
-                              jnp.int32), 8)
-            b2 = jax.lax.shift_right_logical(
-                pltpu.bitcast(pltpu.prng_random_bits((n2_out, _N1)),
-                              jnp.int32), 8)
-            # u1 in (0, 1]: top 24 bits + half-ulp offset keeps log finite.
-            u1 = b1.astype(jnp.float32) * (2.0 ** -24) + 2.0 ** -25
-            u2 = b2.astype(jnp.float32) * (2.0 ** -24)
-            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
-                2.0 * jnp.pi * u2)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (n2_out, _N1), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (n2_out, _N1), 1)
-            valid = (rows * _N1 + cols) < out_samples
-            y = y + jnp.where(valid, sigma * z, 0.0)
+        y = _render_postprocess(y[:n2_out] * window, out_samples, finalize,
+                                seed_ref[0, 0, mic_idx] if with_noise
+                                else None, snr_ref)
         out_ref[0, k] = y
 
     emit(0, y0, 2 * mq)
     emit(1, y1, jnp.minimum(2 * mq + 1, num_m - 1))
+
+
+def _render_postprocess(y, out_samples, finalize, noise_seed, snr_ref):
+    """Per-mic finalize (normalize + log compression) and in-kernel
+    measurement noise on a trimmed (n2_out, 128) render plane.
+
+    ``noise_seed=None`` skips the noise stage (static)."""
+    if finalize:
+        # ops/signal.py semantics: peak-normalize, sign*log1p(|x|/0.8+1e-8),
+        # re-peak-normalize; silent channels pass through.  The fade plane
+        # is zero beyond out_samples, so the maxima ignore the padded tail.
+        peak = jnp.max(jnp.abs(y))
+        y = jnp.where(peak > 0, y / jnp.where(peak > 0, peak, 1.0), y)
+        comp = jnp.sign(y) * jnp.log1p(jnp.abs(y) / 0.8 + 1e-8)
+        cpeak = jnp.max(jnp.abs(comp))
+        y = jnp.where(cpeak > 0,
+                      comp / jnp.where(cpeak > 0, cpeak, 1.0), comp)
+    if noise_seed is not None:
+        # Additive white measurement noise at the scene SNR, generated by
+        # the core PRNG (Box-Muller over hardware random bits) — the (M, N)
+        # Gaussian tensor never exists in HBM.  A different (but equally
+        # seeded-deterministic) stream than the XLA fallback's
+        # jax.random.normal.
+        n2_out = y.shape[0]
+        rms = jnp.sqrt(jnp.sum(y * y) / out_samples)
+        # 10**x as exp(x*ln10): Mosaic cannot legalize math.powf.
+        sigma = rms * jnp.exp(-snr_ref[0, 0, 0] / 20.0 * np.log(10.0))
+        pltpu.prng_seed(noise_seed)
+        # Mosaic has no uint32->f32 cast; go through int32 with logical
+        # shifts (top 24 bits are a non-negative int32).
+        b1 = jax.lax.shift_right_logical(
+            pltpu.bitcast(pltpu.prng_random_bits((n2_out, _N1)),
+                          jnp.int32), 8)
+        b2 = jax.lax.shift_right_logical(
+            pltpu.bitcast(pltpu.prng_random_bits((n2_out, _N1)),
+                          jnp.int32), 8)
+        # u1 in (0, 1]: top 24 bits + half-ulp offset keeps log finite.
+        u1 = b1.astype(jnp.float32) * (2.0 ** -24) + 2.0 ** -25
+        u2 = b2.astype(jnp.float32) * (2.0 ** -24)
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n2_out, _N1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n2_out, _N1), 1)
+        valid = (rows * _N1 + cols) < out_samples
+        y = y + jnp.where(valid, sigma * z, 0.0)
+    return y
 
 
 def bfly_render_eligible(nfft: int, num_mics: int, num_paths: int,
@@ -1076,12 +1304,11 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
     if with_noise:
         if noise_seeds is None:
             raise ValueError("snr_db requires noise_seeds")
-        seeds = noise_seeds.reshape(b, m).astype(jnp.int32)
-        snr = snr_db.reshape(b).astype(jnp.float32)
+        seeds = noise_seeds.reshape(b, 1, m).astype(jnp.int32)
+        snr = snr_db.reshape(b, 1, 1).astype(jnp.float32)
     else:
-        seeds = jnp.zeros((b, m), jnp.int32)
-        snr = jnp.zeros((b,), jnp.float32)
-    snr = snr.reshape(b, 1)
+        seeds = jnp.zeros((b, 1, m), jnp.int32)
+        snr = jnp.zeros((b, 1, 1), jnp.float32)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     # Signed 2*pi*frequency plane (Hermitian ramps) in butterfly layout.
     t_nat = _bitrev_perm(n2)
@@ -1110,9 +1337,9 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, m, num_paths), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, m), lambda i, q: (i, 0),
+                  pl.BlockSpec((1, 1, m), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, 1), lambda i, q: (i, 0),
+                  pl.BlockSpec((1, 1, 1), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, n2, _N1), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -376,6 +376,14 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         return (jnp.where(near, lm.x, srp.position),
                 jnp.where(near, lm.cost, -srp.power), td)
 
+    x, cost = _solve_from_td(spec, mics, pi, pj, td, c, weights, key)
+    return x, cost, td
+
+
+def _solve_from_td(spec: SweepSpec, mics, pi, pj, td, c, weights,
+                   key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solver back half for the 'lm'/'de' solvers: clustered init + bounded
+    multi-start LM, or on-device DE seeded with the heuristic guesses."""
     if spec.solver == "de":
         k_guess, k_de = jax.random.split(key)
         lower, upper = solver_ops.dynamic_bounds(mics, td, c)
@@ -392,7 +400,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
             polish_fn=lambda x: (lambda r: (r.x, r.cost))(
                 solver_ops.lm_solve(x, mics, pi, pj, td, c, weights,
                                     lower, upper)))
-        return de.x, de.energy, td
+        return de.x, de.energy
 
     guesses, _ = solver_ops.heuristic_initial_guesses(
         mics, pi, pj, td, c, key)
@@ -400,7 +408,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
     best = solver_ops.multi_start_lm(
         guesses, mics, pi, pj, td, c, weights, lower, upper)
-    return best.x, best.cost, td
+    return best.x, best.cost
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -462,13 +470,8 @@ def _random_scene(spec: SweepSpec, key: jax.Array, dtype):
     return sources, mics, snr_db
 
 
-def _render_source(spec: SweepSpec, source, mics, c, freq, key: jax.Array,
-                   dtype, finalize: bool, snr_db=None,
-                   noise_key=None) -> jnp.ndarray:
-    """One source's static-shape multipath render (raw when finalize=False;
-    measurement noise fused in when snr_db/noise_key are given)."""
-    base = sig_ops.generate_signal(spec.signal_type, spec.fs, spec.duration,
-                                   freq, key=key, dtype=dtype)
+def _source_paths(spec: SweepSpec, source, mics, c, freq, dtype):
+    """Delay/gain matrix for one source's direct + image paths."""
     absorption = jnp.asarray(spec.material_absorption, dtype)
     freq_tab = jnp.asarray(spec.material_freq, dtype)
     if len(spec.plane_coeffs) and spec.max_reflections > 0:
@@ -481,7 +484,17 @@ def _render_source(spec: SweepSpec, source, mics, c, freq, key: jax.Array,
         images = acoustics.ImageSources(
             jnp.zeros((0, 3), dtype), jnp.zeros((0,), jnp.int32),
             jnp.zeros((0,), bool), jnp.zeros((0,), jnp.int32))
-    paths = scene_paths(source, mics, c, freq, images, absorption, freq_tab)
+    return scene_paths(source, mics, c, freq, images, absorption, freq_tab)
+
+
+def _render_source(spec: SweepSpec, source, mics, c, freq, key: jax.Array,
+                   dtype, finalize: bool, snr_db=None,
+                   noise_key=None) -> jnp.ndarray:
+    """One source's static-shape multipath render (raw when finalize=False;
+    measurement noise fused in when snr_db/noise_key are given)."""
+    base = sig_ops.generate_signal(spec.signal_type, spec.fs, spec.duration,
+                                   freq, key=key, dtype=dtype)
+    paths = _source_paths(spec, source, mics, c, freq, dtype)
     return render_scene(base, paths.delays, paths.gains, spec.fs,
                         spec.total_samples, spec.num_samples, pad_mode="pow2",
                         finalize=finalize, snr_db=snr_db,
@@ -519,6 +532,85 @@ def _simulate(spec: SweepSpec, sources, mics, c, snr_db, key: jax.Array,
     sigma = rms * 10.0 ** (-snr_db / 20.0)
     noise = jax.random.normal(k_noise, sigs.shape, dtype)
     return sigs + sigma * noise
+
+
+def _fused_num_paths(spec: SweepSpec) -> int:
+    """Static path count of the dense reflection tree + direct path
+    (matches _source_paths' paths.delays.shape[1])."""
+    pnum = len(spec.plane_coeffs)
+    if pnum == 0 or spec.max_reflections == 0:
+        return 1
+    total, cnt = 0, pnum
+    for _ in range(spec.max_reflections):
+        total += cnt
+        cnt *= max(pnum - 1, 0)
+    return 1 + total
+
+
+def _tdoa_window_wq(spec: SweepSpec) -> int:
+    """Static sublane half-width of the TDOA lag window (covers the
+    max_expected_delay gate plus the fast path's dilation margin)."""
+    distance = int(spec.fs * 0.001)
+    half = int(np.ceil(spec.max_tdoa * spec.fs)) + 8 * max(distance, 1)
+    return min(max(-(-half // 128) + 1, 1), spec.nfft // 256)
+
+
+def _scene_fused_ok(spec: SweepSpec, dtype) -> bool:
+    """Whether the whole-scene Pallas kernel applies: single source,
+    lm/de solver, gaussian threshold, LTI prefilter (skipped via
+    band-limited whitening), matching render/GCC transform lengths, and a
+    VMEM-feasible working set."""
+    from ..ops import pallas_fft
+    from ..ops.fftutils import next_pow2
+    return (spec.num_sources == 1
+            and spec.solver in ("lm", "de")
+            and spec.threshold_method == "gaussian"
+            and spec.filter_method in ("butterworth", "fir")
+            and next_pow2(spec.total_samples) == spec.nfft
+            and pallas_fft.bfly_scene_eligible(
+                spec.nfft, spec.num_mics, _fused_num_paths(spec), dtype))
+
+
+def _sim_est_fused(spec: SweepSpec, source, mics, c, snr_db,
+                   k_sim: jax.Array, k_est: jax.Array, dtype
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole-scene fused path: ONE Pallas kernel renders the scene
+    (finalize + measurement noise included) and returns windowed
+    correlations + stats; only the tiny TDOA/solver tail runs in XLA.
+    Produces the same estimator as _simulate + _estimate up to the
+    documented in-kernel noise stream difference.
+
+    NOT dispatched by run_scene — measured SLOWER than the two-kernel
+    split (106 vs 87.5 us/scene at 4 mics x 65536 on v5e): Pallas's grid
+    pipelining already hides the intermediate signal traffic under
+    compute, so collapsing render+GCC into one giant grid step saves
+    bytes that weren't on the critical path while worsening the kernel's
+    serial schedule.  Kept (with its equivalence test) as the measured
+    record of that design point."""
+    from ..ops import pallas_fft
+    from ..ops.delay import fade_window
+    pi = np.asarray(spec.pairs[0], np.int32)
+    pj = np.asarray(spec.pairs[1], np.int32)
+    k_sig, k_noise = jax.random.split(k_sim)
+    freq = _source_freq(spec, 0)
+    base = sig_ops.generate_signal(spec.signal_type, spec.fs, spec.duration,
+                                   freq, key=k_sig, dtype=dtype)
+    paths = _source_paths(spec, source, mics, c, freq, dtype)
+    seeds = jax.random.randint(k_noise, (spec.num_mics,), 0, 2 ** 31 - 1)
+    padded = jnp.zeros(spec.total_samples, dtype).at[
+        : base.shape[0]].set(base)
+    fade = fade_window(spec.total_samples, dtype=dtype)[: spec.num_samples]
+    wq = _tdoa_window_wq(spec)
+    win, stats = pallas_fft.bfly_scene_windowed(
+        padded, paths.delays, paths.gains, pi, pj, spec.fs, spec.nfft,
+        spec.num_samples, wq, band=(spec.lowcut, spec.highcut), fade=fade,
+        snr_db=jnp.asarray(snr_db, dtype), noise_seeds=seeds)
+    delays = tdoa_ops.tdoa_single_from_window(
+        win, stats, wq, spec.nfft, spec.fs, spec.max_tdoa)
+    td = -delays
+    weights = jnp.ones(pi.shape[0], dtype)
+    x, cost = _solve_from_td(spec, mics, pi, pj, td, c, weights, k_est)
+    return x, cost, td
 
 
 def run_scene(spec: SweepSpec, key: jax.Array, dtype=jnp.float32) -> SceneResult:

@@ -188,3 +188,31 @@ def test_tdoa_window_fallback_boundary_decode():
     with _pytest.raises(ValueError, match="threshold_multiplier"):
         tdoa_ops.tdoa_single_from_window(win, stats, wq, nfft, fs, 0.01,
                                          threshold_multiplier=1.5)
+
+
+def test_bfly_scene_kernel_matches_two_kernel_path(rng):
+    """The whole-scene kernel (interpret, no noise) equals render-kernel ->
+    windowed-GCC-kernel composition.  (Measured SLOWER on v5e than the
+    two-kernel split — kept as the documented design-point record; see
+    parallel/sweep._sim_est_fused.)"""
+    from pyaudiolocalization_tpu.ops.delay import fade_window
+    fs, nfft, total, out = 8000.0, 4096, 3500, 3000
+    base = np.zeros(total, np.float32)
+    base[:3000] = rng.standard_normal(3000)
+    d = rng.uniform(0, 0.02, (4, 2)).astype(np.float32)
+    g = rng.uniform(0.3, 1.0, (4, 2)).astype(np.float32)
+    pi = np.array([0, 0, 0, 1, 1, 2], np.int32)
+    pj = np.array([1, 2, 3, 2, 3, 3], np.int32)
+    band = (300.0, 3400.0)
+    wq = 3
+    fade = fade_window(total, dtype=jnp.float32)[:out]
+    sigs = pf.bfly_delay_sum(jnp.asarray(base), jnp.asarray(d),
+                             jnp.asarray(g), fs, nfft, out, fade=fade,
+                             finalize=True, interpret=True)
+    win1, st1 = pf.bfly_gcc_windowed(sigs, pi, pj, nfft, wq, band=band,
+                                     fs=fs, interpret=True)
+    win2, st2 = pf.bfly_scene_windowed(
+        jnp.asarray(base), jnp.asarray(d), jnp.asarray(g), pi, pj, fs, nfft,
+        out, wq, band=band, fade=fade, interpret=True)
+    assert float(jnp.max(jnp.abs(win1 - win2))) < 1e-6
+    assert float(jnp.max(jnp.abs(st1 - st2))) < 1e-6
