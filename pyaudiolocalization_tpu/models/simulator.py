@@ -129,7 +129,11 @@ def render_scene(base_signal: jnp.ndarray,
                 return pallas_fft.bfly_delay_sum(
                     padded, paths_delays, paths_gains, fs, nfft,
                     out_samples, fade=fade, finalize=finalize)
-            seeds = jax.random.randint(noise_key, (m,), 0, 2 ** 31 - 1)
+            # Full 64-bit key data as the in-kernel seed words (the mic
+            # index is mixed in-kernel) — no birthday exposure across
+            # mics/scenes, unlike independently drawn 31-bit seeds.
+            seeds = jax.lax.bitcast_convert_type(
+                jax.random.key_data(noise_key).astype(jnp.uint32), jnp.int32)
             return pallas_fft.bfly_delay_sum(
                 padded, paths_delays, paths_gains, fs, nfft, out_samples,
                 fade=fade, finalize=finalize,

@@ -960,7 +960,7 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
                        win_ref, stat_ref, sig_ref, sr_ref, si_ref, *,
                        n2, n2_out, wq, num_paths, out_samples, eps,
                        render_scale, corr_scale, with_noise):
-    m = seed_ref.shape[2]
+    m = d_ref.shape[1]
     q = pl.program_id(1)
 
     @pl.when(q == 0)
@@ -995,9 +995,12 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
             for k, (y, mi) in enumerate(((y0, i0), (y1, i1))):
                 if k == 1 and i1 == i0:
                     continue  # odd M: last couple's imag half is a dup
+                seed = (seed_ref[0, 0, 0],
+                        seed_ref[0, 0, 1] + np.int32(mi * 0x9E3779B9
+                                                     & 0x7FFFFFFF)
+                        ) if with_noise else None
                 y = _render_postprocess(
-                    y[:n2_out] * window, out_samples, True,
-                    seed_ref[0, 0, mi] if with_noise else None, snr_ref)
+                    y[:n2_out] * window, out_samples, True, seed, snr_ref)
                 sig_ref[mi, :n2_out] = y
                 sig_ref[mi, n2_out:] = jnp.zeros((n2 - n2_out, _N1),
                                                  jnp.float32)
@@ -1073,10 +1076,10 @@ def bfly_scene_windowed(base: jnp.ndarray,
     if with_noise:
         if noise_seeds is None:
             raise ValueError("snr_db requires noise_seeds")
-        seeds = noise_seeds.reshape(b, 1, m).astype(jnp.int32)
+        seeds = noise_seeds.reshape(b, 1, 2).astype(jnp.int32)
         snr = snr_db.reshape(b, 1, 1).astype(jnp.float32)
     else:
-        seeds = jnp.zeros((b, 1, m), jnp.int32)
+        seeds = jnp.zeros((b, 1, 2), jnp.int32)
         snr = jnp.zeros((b, 1, 1), jnp.float32)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     band_plane = jnp.asarray(bfly_band_plane(nfft, band, fs))
@@ -1110,7 +1113,7 @@ def bfly_scene_windowed(base: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, m, num_paths), lambda i, qq: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, 1, m), lambda i, qq: (i, 0, 0),
+                  pl.BlockSpec((1, 1, 2), lambda i, qq: (i, 0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, 1, 1), lambda i, qq: (i, 0, 0),
                                memory_space=pltpu.SMEM),
@@ -1201,9 +1204,14 @@ def _bfly_render_kernel(d_ref, g_ref, seed_ref, snr_ref, x_ref, fade_ref,
     window = fade_ref[:] * scale
 
     def emit(k, y, mic_idx):
+        # Mosaic caps prng_seed at 2 words: fold the mic index into the
+        # second scene word with a Weyl increment (distinct per mic,
+        # full 64-bit scene entropy retained).
+        seed = (seed_ref[0, 0, 0],
+                seed_ref[0, 0, 1] + mic_idx * np.int32(-1640531527)
+                ) if with_noise else None
         y = _render_postprocess(y[:n2_out] * window, out_samples, finalize,
-                                seed_ref[0, 0, mic_idx] if with_noise
-                                else None, snr_ref)
+                                seed, snr_ref)
         out_ref[0, k] = y
 
     emit(0, y0, 2 * mq)
@@ -1214,7 +1222,11 @@ def _render_postprocess(y, out_samples, finalize, noise_seed, snr_ref):
     """Per-mic finalize (normalize + log compression) and in-kernel
     measurement noise on a trimmed (n2_out, 128) render plane.
 
-    ``noise_seed=None`` skips the noise stage (static)."""
+    ``noise_seed=None`` skips the noise stage (static); otherwise it is a
+    tuple of TWO seed words (Mosaic's prng_seed limit): the scene key's
+    first word and its second word offset by a per-mic Weyl increment —
+    full 64-bit scene entropy, so per-mic/cross-scene streams cannot
+    collide the way independently drawn 31-bit seeds could."""
     if finalize:
         # ops/signal.py semantics: peak-normalize, sign*log1p(|x|/0.8+1e-8),
         # re-peak-normalize; silent channels pass through.  The fade plane
@@ -1235,7 +1247,7 @@ def _render_postprocess(y, out_samples, finalize, noise_seed, snr_ref):
         rms = jnp.sqrt(jnp.sum(y * y) / out_samples)
         # 10**x as exp(x*ln10): Mosaic cannot legalize math.powf.
         sigma = rms * jnp.exp(-snr_ref[0, 0, 0] / 20.0 * np.log(10.0))
-        pltpu.prng_seed(noise_seed)
+        pltpu.prng_seed(*noise_seed)
         # Mosaic has no uint32->f32 cast; go through int32 with logical
         # shifts (top 24 bits are a non-negative int32).
         b1 = jax.lax.shift_right_logical(
@@ -1284,9 +1296,10 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
     (out_samples,) window; ones if None).  ``finalize=True`` additionally
     applies the per-mic peak-normalize + log compression in VMEM
     (models/simulator.render_scene's trailing stage).  With ``snr_db``
-    ((...,) per-scene dB) and ``noise_seeds`` ((..., M) int32), white
-    measurement noise at that SNR is generated in-kernel from the core
-    PRNG and added before writeback.  Numerically matches
+    ((...,) per-scene dB) and ``noise_seeds`` ((..., 2) int32 scene key
+    words — e.g. the bitcast PRNGKey data), white measurement noise at
+    that SNR is generated in-kernel from the core PRNG (seed words mixed
+    with the mic index) and added before writeback.  Numerically matches
     ops/delay.delay_and_sum at pow2 padding up to float rounding."""
     lead = base.shape[:-1]
     n_samp = base.shape[-1]
@@ -1304,10 +1317,10 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
     if with_noise:
         if noise_seeds is None:
             raise ValueError("snr_db requires noise_seeds")
-        seeds = noise_seeds.reshape(b, 1, m).astype(jnp.int32)
+        seeds = noise_seeds.reshape(b, 1, 2).astype(jnp.int32)
         snr = snr_db.reshape(b, 1, 1).astype(jnp.float32)
     else:
-        seeds = jnp.zeros((b, 1, m), jnp.int32)
+        seeds = jnp.zeros((b, 1, 2), jnp.int32)
         snr = jnp.zeros((b, 1, 1), jnp.float32)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     # Signed 2*pi*frequency plane (Hermitian ramps) in butterfly layout.
@@ -1337,7 +1350,7 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, m, num_paths), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, 1, m), lambda i, q: (i, 0, 0),
+                  pl.BlockSpec((1, 1, 2), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, 1, 1), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),

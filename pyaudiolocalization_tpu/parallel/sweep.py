@@ -332,9 +332,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         # +-window correlation slice + global stats, so the (P, nfft)
         # correlation never reaches HBM; the single-peak ladder then runs
         # on the tiny slice (models/tdoa.tdoa_single_from_window).
-        distance = int(spec.fs * 0.001)
-        half = int(np.ceil(spec.max_tdoa * spec.fs)) + 8 * max(distance, 1)
-        wq = min(max(-(-half // 128) + 1, 1), spec.nfft // 256)
+        wq = _tdoa_window_wq(spec)
         win, stats = pallas_fft.bfly_gcc_windowed(
             filtered, pi, pj, spec.nfft, wq, band=band, fs=spec.fs)
         delays = tdoa_ops.tdoa_single_from_window(
@@ -536,15 +534,13 @@ def _simulate(spec: SweepSpec, sources, mics, c, snr_db, key: jax.Array,
 
 def _fused_num_paths(spec: SweepSpec) -> int:
     """Static path count of the dense reflection tree + direct path
-    (matches _source_paths' paths.delays.shape[1])."""
+    (matches _source_paths' paths.delays.shape[1], derived from the
+    authoritative tree enumeration)."""
     pnum = len(spec.plane_coeffs)
     if pnum == 0 or spec.max_reflections == 0:
         return 1
-    total, cnt = 0, pnum
-    for _ in range(spec.max_reflections):
-        total += cnt
-        cnt *= max(pnum - 1, 0)
-    return 1 + total
+    tree = acoustics.reflection_tree(pnum, spec.max_reflections)
+    return 1 + tree.planes.shape[0]
 
 
 def _tdoa_window_wq(spec: SweepSpec) -> int:
@@ -555,22 +551,6 @@ def _tdoa_window_wq(spec: SweepSpec) -> int:
     return min(max(-(-half // 128) + 1, 1), spec.nfft // 256)
 
 
-def _scene_fused_ok(spec: SweepSpec, dtype) -> bool:
-    """Whether the whole-scene Pallas kernel applies: single source,
-    lm/de solver, gaussian threshold, LTI prefilter (skipped via
-    band-limited whitening), matching render/GCC transform lengths, and a
-    VMEM-feasible working set."""
-    from ..ops import pallas_fft
-    from ..ops.fftutils import next_pow2
-    return (spec.num_sources == 1
-            and spec.solver in ("lm", "de")
-            and spec.threshold_method == "gaussian"
-            and spec.filter_method in ("butterworth", "fir")
-            and next_pow2(spec.total_samples) == spec.nfft
-            and pallas_fft.bfly_scene_eligible(
-                spec.nfft, spec.num_mics, _fused_num_paths(spec), dtype))
-
-
 def _sim_est_fused(spec: SweepSpec, source, mics, c, snr_db,
                    k_sim: jax.Array, k_est: jax.Array, dtype
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -578,7 +558,10 @@ def _sim_est_fused(spec: SweepSpec, source, mics, c, snr_db,
     (finalize + measurement noise included) and returns windowed
     correlations + stats; only the tiny TDOA/solver tail runs in XLA.
     Produces the same estimator as _simulate + _estimate up to the
-    documented in-kernel noise stream difference.
+    documented in-kernel noise stream difference.  Applicability (were it
+    dispatched): single source, lm/de solver, gaussian threshold, LTI
+    prefilter, next_pow2(total_samples) == nfft, and
+    pallas_fft.bfly_scene_eligible(nfft, num_mics, _fused_num_paths(spec)).
 
     NOT dispatched by run_scene — measured SLOWER than the two-kernel
     split (106 vs 87.5 us/scene at 4 mics x 65536 on v5e): Pallas's grid
@@ -596,7 +579,8 @@ def _sim_est_fused(spec: SweepSpec, source, mics, c, snr_db,
     base = sig_ops.generate_signal(spec.signal_type, spec.fs, spec.duration,
                                    freq, key=k_sig, dtype=dtype)
     paths = _source_paths(spec, source, mics, c, freq, dtype)
-    seeds = jax.random.randint(k_noise, (spec.num_mics,), 0, 2 ** 31 - 1)
+    seeds = jax.lax.bitcast_convert_type(
+        jax.random.key_data(k_noise).astype(jnp.uint32), jnp.int32)
     padded = jnp.zeros(spec.total_samples, dtype).at[
         : base.shape[0]].set(base)
     fade = fade_window(spec.total_samples, dtype=dtype)[: spec.num_samples]

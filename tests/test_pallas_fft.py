@@ -216,3 +216,27 @@ def test_bfly_scene_kernel_matches_two_kernel_path(rng):
         out, wq, band=band, fade=fade, interpret=True)
     assert float(jnp.max(jnp.abs(win1 - win2))) < 1e-6
     assert float(jnp.max(jnp.abs(st1 - st2))) < 1e-6
+
+
+def test_render_finalize_matches_signal_ops_oracle(rng):
+    """The in-kernel finalize (normalize + log compression) must match
+    ops/signal.py's XLA implementation, not merely agree between the two
+    Pallas paths that share the helper."""
+    from pyaudiolocalization_tpu.ops.delay import fade_window
+    from pyaudiolocalization_tpu.ops import signal as sig_ops
+    fs, nfft, total, out = 8000.0, 4096, 3500, 3000
+    base = np.zeros(total, np.float32)
+    base[:3000] = rng.standard_normal(3000)
+    d = rng.uniform(0, 0.02, (4, 2)).astype(np.float32)
+    g = rng.uniform(0.3, 1.0, (4, 2)).astype(np.float32)
+    fade = fade_window(total, dtype=jnp.float32)[:out]
+    raw = pf.bfly_delay_sum(jnp.asarray(base), jnp.asarray(d),
+                            jnp.asarray(g), fs, nfft, out, fade=fade,
+                            finalize=False, interpret=True)
+    want = np.asarray(sig_ops.dynamic_range_compression(
+        sig_ops.normalize_signal(raw)))
+    got = np.asarray(pf.bfly_delay_sum(jnp.asarray(base), jnp.asarray(d),
+                                       jnp.asarray(g), fs, nfft, out,
+                                       fade=fade, finalize=True,
+                                       interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
