@@ -280,7 +280,12 @@ def localize_sound_source(config,
     pairs_i = tuple(p[0] for p in pairs)
     pairs_j = tuple(p[1] for p in pairs)
     n = signals.shape[-1]
-    nfft = fft_length(n, n, "exact" if loc.lag_mode == "reference" else "pow2")
+    # Parity mode keeps the exact reference length (n1+n2-1, Bluestein on
+    # TPU); physical mode uses the circular next_pow2(n) transform like the
+    # sweep path — aliasing only raises the far-lag floor, which the
+    # physical lag window never consults, at half the FFT cost.
+    nfft = fft_length(n, n,
+                      "exact" if loc.lag_mode == "reference" else "circular")
 
     core = _estimation_core(
         signals, jnp.asarray(mic_positions, signals.dtype),
