@@ -38,8 +38,8 @@ class StreamState(NamedTuple):
 
 
 class StreamOutput(NamedTuple):
-    position: jnp.ndarray    # (3,)
-    power: jnp.ndarray       # () SRP confidence
+    position: jnp.ndarray    # (3,), or (K, 3) for num_sources=K > 1
+    power: jnp.ndarray       # () SRP confidence, or (K,)
     state: StreamState
 
 
@@ -56,7 +56,9 @@ class StreamingLocalizer:
                  lower, upper, frame: int = 4096, hop: int = 1024,
                  ema: float = 0.7,
                  band: Optional[Tuple[float, float]] = None,
-                 coarse_n: int = 20, fine_n: int = 10):
+                 coarse_n: int = 20, fine_n: int = 10,
+                 num_sources: int = 1,
+                 min_separation: Optional[float] = None):
         if frame & (frame - 1):
             raise ValueError("frame must be a power of two")
         if frame % hop:
@@ -76,6 +78,14 @@ class StreamingLocalizer:
         self.band = band
         self.coarse_n = coarse_n
         self.fine_n = fine_n
+        # num_sources > 1 localizes K simultaneous talkers per hop with
+        # iterative-suppression SRP (models/srp.srp_phat_locate_multi);
+        # outputs gain a leading K axis in coarse extraction order — pair
+        # tracks across hops by nearest-neighbor on the caller's side.
+        if num_sources < 1:
+            raise ValueError("num_sources must be >= 1")
+        self.num_sources = num_sources
+        self.min_separation = min_separation
         self.pool = srp_ops._resolve_pool(None, self.lower, self.upper,
                                           coarse_n, self.fs, self.c)
         n_ = np.arange(frame)
@@ -112,11 +122,18 @@ class StreamingLocalizer:
         if self._mask is not None:
             white = white * self._mask
         corr = jnp.fft.irfft(white, n=self.frame)
+        new_state = StreamState(buf, cr, ci, state.count + 1)
+        if self.num_sources > 1:
+            multi = srp_ops.srp_phat_locate_multi(
+                corr, self.mics, self.pi, self.pj, self.fs, self.c,
+                self.lower, self.upper, num_sources=self.num_sources,
+                coarse_n=self.coarse_n, fine_n=self.fine_n,
+                min_separation=self.min_separation, pool_samples=self.pool)
+            return StreamOutput(multi.positions, multi.powers, new_state)
         out = srp_ops.srp_phat_locate(
             corr, self.mics, self.pi, self.pj, self.fs, self.c,
             self.lower, self.upper, coarse_n=self.coarse_n,
             fine_n=self.fine_n, pool_samples=self.pool)
-        new_state = StreamState(buf, cr, ci, state.count + 1)
         return StreamOutput(out.position, out.power, new_state)
 
     def step(self, state: StreamState, block) -> StreamOutput:
@@ -131,7 +148,7 @@ class StreamingLocalizer:
     def run(self, signals) -> Tuple[np.ndarray, np.ndarray]:
         """Convenience: stream a whole (M, T) capture through ``step``;
         returns (positions (S, 3), powers (S,)) for the S full hops after
-        the first full frame."""
+        the first full frame (with ``num_sources=K``: (S, K, 3), (S, K))."""
         signals = np.asarray(signals, np.float32)
         m, t = signals.shape
         state = self.init_state()
@@ -144,7 +161,10 @@ class StreamingLocalizer:
             state = out.state
             if i + 1 >= warmup:
                 positions.append(np.asarray(out.position))
-                powers.append(float(out.power))
+                powers.append(np.asarray(out.power))
         if not positions:  # capture shorter than one frame
-            return np.zeros((0, 3), np.float32), np.zeros((0,), np.float32)
+            shape = ((0, 3) if self.num_sources == 1
+                     else (0, self.num_sources, 3))
+            pshape = (0,) if self.num_sources == 1 else (0, self.num_sources)
+            return np.zeros(shape, np.float32), np.zeros(pshape, np.float32)
         return np.asarray(positions), np.asarray(powers)

@@ -82,3 +82,33 @@ def test_stream_run_short_capture_shapes():
     positions, powers = loc.run(np.zeros((4, 600), np.float32))
     assert positions.shape == (0, 3)
     assert powers.shape == (0,)
+
+
+def test_streaming_multi_source_two_talkers():
+    """num_sources=2 returns two separable positions per hop (8-mic cube,
+    like the batch multi-source tests — 6-pair arrays ghost too easily)."""
+    import jax
+    from pyaudiolocalization_tpu.models.simulator import simulate_signals
+    from pyaudiolocalization_tpu.models.acoustics import speed_of_sound
+    from pyaudiolocalization_tpu.models.online import StreamingLocalizer
+
+    fs = 16000.0
+    c = float(speed_of_sound(20.0, 50.0))
+    mics8 = np.array([[0., 0., 0.], [1., 0., 0.], [0., 1., 0.], [0., 0., 1.],
+                      [1., 1., 0.], [1., 0., 1.], [0., 1., 1.], [1., 1., 1.]])
+    srcs = np.array([[0.2, 0.2, 0.3], [0.8, 0.7, 0.6]])
+    sigs = sum(
+        np.asarray(simulate_signals(s, mics8, fs, c, duration=0.5,
+                                    signal_type="noise",
+                                    key=jax.random.PRNGKey(i + 1)))
+        for i, s in enumerate(srcs))
+    loc = StreamingLocalizer(mics8, fs, c, lower=(0., 0., 0.),
+                             upper=(1., 1., 1.), frame=4096, hop=1024,
+                             num_sources=2)
+    positions, powers = loc.run(sigs)
+    assert positions.shape[1:] == (2, 3)
+    assert powers.shape[1:] == (2,)
+    got = positions[-1]
+    e1 = np.linalg.norm(got - srcs, axis=-1).max()
+    e2 = np.linalg.norm(got - srcs[::-1], axis=-1).max()
+    assert min(e1, e2) < 0.12
