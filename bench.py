@@ -75,7 +75,7 @@ def bench_gcc_phat(batch: int = 256):
     return pairs / dt
 
 
-def bench_localize(batch: int = 128):
+def bench_localize(batch: int = 256):
     """End-to-end estimation (filter -> GCC-PHAT -> TDOA -> clustered init ->
     multi-start LM) on 4-mic scenes at 44.1 kHz x 1 s."""
     spec = SweepSpec(fs=FS, duration=1.0, signal_type="noise",
@@ -96,7 +96,7 @@ def bench_localize(batch: int = 128):
     return batch / dt
 
 
-def bench_full_sweep(batch: int = 256):
+def bench_full_sweep(batch: int = 512):
     """FULL pipeline throughput: randomized scene -> multipath simulate ->
     filter -> GCC-PHAT -> TDOA -> solve, all on device (44.1 kHz x 1 s,
     4 mics).  The reference needs 0.485 s (simulate) + 0.814 s (localize)
