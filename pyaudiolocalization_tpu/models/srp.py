@@ -51,13 +51,24 @@ def _grid_points(lo: jnp.ndarray, hi: jnp.ndarray, n: int, dtype):
 
 
 def srp_map(corr: jnp.ndarray, points: jnp.ndarray, mic_positions: jnp.ndarray,
-            pairs_i: np.ndarray, pairs_j: np.ndarray, fs: float, c
-            ) -> jnp.ndarray:
+            pairs_i: np.ndarray, pairs_j: np.ndarray, fs: float, c,
+            max_lag: Optional[int] = None) -> jnp.ndarray:
     """SRP value for each candidate point.
 
     corr: (P, nfft) circular-order whitened correlations; points: (G, 3).
     Returns (G,).  Fractional expected lags are linearly interpolated
     between neighboring correlation samples.
+
+    With ``max_lag`` (a STATIC bound on |expected lag| in samples — any
+    physically possible |tau|*fs is at most the pair mic distance over c),
+    the interpolation runs GATHER-FREE: the correlation is sliced to the
+    centered +-max_lag window and each value is a hat-kernel weighted
+    reduction over the window.  XLA fuses the broadcast-reduce, measured
+    ~50x faster than the runtime-index gather on TPU (gathers cost ~25 ns
+    per element; with compile-time-constant grids XLA folds them, which is
+    why this only shows up when mic positions are traced — e.g. the sweep's
+    jittered arrays).  Without ``max_lag`` the exact-equivalent circular
+    gather path runs.
     """
     nfft = corr.shape[-1]
     d = jnp.linalg.norm(points[:, None, :] - mic_positions[None, :, :],
@@ -65,6 +76,13 @@ def srp_map(corr: jnp.ndarray, points: jnp.ndarray, mic_positions: jnp.ndarray,
     # Peak sits at lag -(arrival_j - arrival_i) (see models/tdoa.py).
     tau = -(jnp.take(d, pairs_j, 1) - jnp.take(d, pairs_i, 1)) / c  # (G, P)
     lag = tau * fs
+    if max_lag is not None and 2 * max_lag + 1 <= nfft:
+        win = jnp.concatenate([corr[..., -max_lag:],
+                               corr[..., :max_lag + 1]], -1)  # (P, 2L+1)
+        idx = lag + max_lag                                   # window coords
+        ells = jnp.arange(2 * max_lag + 1, dtype=corr.dtype)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(idx[:, :, None] - ells))
+        return jnp.sum(w * win[None, :, :], axis=(-2, -1))    # (G,)
     lag0 = jnp.floor(lag)
     frac = lag - lag0
     i0 = jnp.mod(lag0.astype(jnp.int32), nfft)
@@ -87,6 +105,25 @@ def max_pool_corr(corr: jnp.ndarray, w: int) -> jnp.ndarray:
         pooled = jnp.maximum(pooled, jnp.maximum(
             jnp.roll(corr, s, axis=-1), jnp.roll(corr, -s, axis=-1)))
     return pooled
+
+
+def _resolve_max_lag(max_lag_samples, mic_positions, fs, c) -> Optional[int]:
+    """Static |lag| bound (samples) for srp_map's gather-free path.
+
+    For ANY candidate point, |tau(x; i, j)| <= |mic_i - mic_j| / c (triangle
+    inequality), so the mic-array diameter bounds every expected lag.  With
+    concrete mic positions the bound is computed here; traced positions
+    (e.g. the sweep's jittered arrays under jit) need the caller to pass
+    ``max_lag_samples`` — None falls back to the circular-gather path."""
+    if max_lag_samples is not None:
+        return int(max_lag_samples) + 2
+    try:
+        mics = np.asarray(mic_positions)
+        diam = float(np.max(np.linalg.norm(
+            mics[:, None, :] - mics[None, :, :], axis=-1)))
+        return int(np.ceil(diam * fs / float(c))) + 2
+    except Exception:
+        return None
 
 
 def _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c) -> int:
@@ -112,7 +149,8 @@ def srp_phat_locate(corr: jnp.ndarray,
                     coarse_n: int = 24,
                     fine_n: int = 12,
                     refine: bool = True,
-                    pool_samples: Optional[int] = None) -> SrpResult:
+                    pool_samples: Optional[int] = None,
+                    max_lag_samples: Optional[int] = None) -> SrpResult:
     """Two-stage SRP-PHAT grid search over the box [lower, upper].
 
     Stage 1: coarse_n^3 lattice over the box, evaluated on a max-pooled
@@ -126,10 +164,11 @@ def srp_phat_locate(corr: jnp.ndarray,
     pi = np.asarray(pairs_i, np.int32)
     pj = np.asarray(pairs_j, np.int32)
     w = _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c)
+    ml = _resolve_max_lag(max_lag_samples, mic_positions, fs, c)
 
     coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
     coarse_val = srp_map(max_pool_corr(corr, w), coarse_pts, mic_positions,
-                         pi, pj, fs, c)
+                         pi, pj, fs, c, max_lag=ml)
     best = jnp.argmax(coarse_val)
     center = coarse_pts[best]
     cell = (upper - lower) / coarse_n
@@ -137,7 +176,8 @@ def srp_phat_locate(corr: jnp.ndarray,
     f_lo = center - 1.5 * cell
     f_hi = center + 1.5 * cell
     fine_pts = _grid_points(f_lo, f_hi, fine_n, dtype)
-    fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c)
+    fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c,
+                       max_lag=ml)
     fbest = jnp.argmax(fine_val)
     pos = fine_pts[fbest]
     power = fine_val[fbest]
@@ -151,10 +191,11 @@ def srp_phat_locate(corr: jnp.ndarray,
             e = jnp.zeros(3, dtype).at[d].set(1.0)
             step = h[d]
             vm = srp_map(corr, (p - step * e)[None], mic_positions, pi, pj,
-                         fs, c)[0]
-            v0 = srp_map(corr, p[None], mic_positions, pi, pj, fs, c)[0]
+                         fs, c, max_lag=ml)[0]
+            v0 = srp_map(corr, p[None], mic_positions, pi, pj, fs, c,
+                         max_lag=ml)[0]
             vp = srp_map(corr, (p + step * e)[None], mic_positions, pi, pj,
-                         fs, c)[0]
+                         fs, c, max_lag=ml)[0]
             denom = vm - 2.0 * v0 + vp
             delta = jnp.where(jnp.abs(denom) > 1e-12,
                               0.5 * (vm - vp) / jnp.where(denom == 0, 1.0,
@@ -164,7 +205,8 @@ def srp_phat_locate(corr: jnp.ndarray,
 
         (pos, _), _ = jax.lax.scan(axis_refine, (pos, power), jnp.arange(3))
         pos = jnp.clip(pos, lower, upper)
-        power = srp_map(corr, pos[None], mic_positions, pi, pj, fs, c)[0]
+        power = srp_map(corr, pos[None], mic_positions, pi, pj, fs, c,
+                        max_lag=ml)[0]
 
     return SrpResult(pos, power, center)
 
@@ -181,7 +223,8 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
                           coarse_n: int = 24,
                           fine_n: int = 12,
                           min_separation: Optional[float] = None,
-                          pool_samples: Optional[int] = None
+                          pool_samples: Optional[int] = None,
+                          max_lag_samples: Optional[int] = None
                           ) -> MultiSrpResult:
     """Localize up to ``num_sources`` simultaneous sources: iteratively take
     the SRP-map argmax and spatially suppress a ``min_separation``-radius
@@ -201,8 +244,10 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
     pi = np.asarray(pairs_i, np.int32)
     pj = np.asarray(pairs_j, np.int32)
     w = _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c)
+    ml = _resolve_max_lag(max_lag_samples, mic_positions, fs, c)
     pts = _grid_points(lower, upper, coarse_n, dtype)
-    vals = srp_map(max_pool_corr(corr, w), pts, mic_positions, pi, pj, fs, c)
+    vals = srp_map(max_pool_corr(corr, w), pts, mic_positions, pi, pj, fs, c,
+                   max_lag=ml)
     cell = (upper - lower) / coarse_n
     # Traced-safe: lower/upper may be tracers inside an outer jit.  Default
     # 3 coarse cells: the fine stage re-grids +-1.5 cells around each coarse
@@ -223,7 +268,8 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
         f_lo = center - 1.5 * cell
         f_hi = center + 1.5 * cell
         fine_pts = _grid_points(f_lo, f_hi, fine_n, dtype)
-        fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c)
+        fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c,
+                           max_lag=ml)
         k = jnp.argmax(fine_val)
         return fine_pts[k], fine_val[k]
 

@@ -281,7 +281,8 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         corr, mics, pi, pj, spec.fs, c,
         jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
         num_sources=spec.num_sources, coarse_n=coarse_n,
-        min_separation=sep, pool_samples=pool)
+        min_separation=sep, pool_samples=pool,
+        max_lag_samples=int(np.ceil(spec.max_tdoa * spec.fs)))
     # Negated SRP power, matching the single-source 'srp' branch's cost
     # convention (lower = better) across both localize_batch shapes.
     return out.positions, -out.powers, td
@@ -359,7 +360,8 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
             corr, mics, pi, pj, spec.fs, c,
             jnp.asarray(blo, signals.dtype),
             jnp.asarray(bhi, signals.dtype), coarse_n=coarse_n,
-            pool_samples=pool)
+            pool_samples=pool,
+            max_lag_samples=int(np.ceil(spec.max_tdoa * spec.fs)))
         if spec.solver == "srp":
             return srp.position, -srp.power, td
         # 'srp+lm': polish the SRP fix with LM on the measured TDOAs, but
