@@ -133,13 +133,14 @@ def _estimation_core(signals: jnp.ndarray,
     if analyze:
         snr = tdoa_ops.correlation_snr(corr)                      # (P,)
         ppr = tdoa_ops.peak_to_peak_ratio(corr)
-        # The null threshold is a percentile over random resamples — the
-        # padding length doesn't change its statistics, so always use the
-        # pow2 transform (the exact length costs 3x via Bluestein on TPU).
+        # The null threshold must be calibrated at the SAME transform length
+        # as the real correlation: the max-over-bins statistic of a whitened
+        # null scales with the bin count, so resampling at a different nfft
+        # biases 'significant' (in parity mode this costs the Bluestein
+        # exact length, matching the reference's own calibration).
         thresholds = jax.vmap(
             lambda s1, s2, k: tdoa_ops.bootstrap_significance(
-                s1, s2, k, num_bootstrap=num_bootstrap,
-                nfft=fft_length(n, n, "pow2"))
+                s1, s2, k, num_bootstrap=num_bootstrap, nfft=nfft)
         )(jnp.take(filtered, pi, 0), jnp.take(filtered, pj, 0),
           jax.random.split(k_metrics, pi.shape[0]))
         significant = (peak_corr > thresholds) & (snr > 2.0)
@@ -281,11 +282,25 @@ def localize_sound_source(config,
     pairs_j = tuple(p[1] for p in pairs)
     n = signals.shape[-1]
     # Parity mode keeps the exact reference length (n1+n2-1, Bluestein on
-    # TPU); physical mode uses the circular next_pow2(n) transform like the
-    # sweep path — aliasing only raises the far-lag floor, which the
-    # physical lag window never consults, at half the FFT cost.
-    nfft = fft_length(n, n,
-                      "exact" if loc.lag_mode == "reference" else "circular")
+    # TPU).  Physical mode uses the circular next_pow2(n) transform like
+    # the sweep path — at half the FFT cost — but ONLY when the peak-search
+    # window is provably alias-free: circular bins beyond nfft-n carry
+    # folded far-lag energy, so the consulted window (max_expected_delay
+    # plus the TDOA fast path's dilation margin) must fit inside the
+    # alias-free margin; otherwise (including max_expected_delay=None,
+    # whose argmax consults every lag) fall back to the alias-free
+    # next_pow2(2n-1).
+    if loc.lag_mode == "reference":
+        nfft = fft_length(n, n, "exact")
+    else:
+        nfft = fft_length(n, n, "circular")
+        if loc.max_expected_delay is None:
+            nfft = fft_length(n, n, "pow2")
+        else:
+            dilation = 8 * max(int(fs * 0.001), 1)
+            needed = int(np.ceil(loc.max_expected_delay * fs)) + dilation + 1
+            if nfft - n < needed:
+                nfft = fft_length(n, n, "pow2")
 
     core = _estimation_core(
         signals, jnp.asarray(mic_positions, signals.dtype),

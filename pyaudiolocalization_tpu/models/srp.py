@@ -52,7 +52,8 @@ def _grid_points(lo: jnp.ndarray, hi: jnp.ndarray, n: int, dtype):
 
 def srp_map(corr: jnp.ndarray, points: jnp.ndarray, mic_positions: jnp.ndarray,
             pairs_i: np.ndarray, pairs_j: np.ndarray, fs: float, c,
-            max_lag: Optional[int] = None) -> jnp.ndarray:
+            max_lag: Optional[int] = None,
+            pre_windowed: bool = False) -> jnp.ndarray:
     """SRP value for each candidate point.
 
     corr: (P, nfft) circular-order whitened correlations; points: (G, 3).
@@ -71,14 +72,27 @@ def srp_map(corr: jnp.ndarray, points: jnp.ndarray, mic_positions: jnp.ndarray,
     gather path runs.
     """
     nfft = corr.shape[-1]
+    if max_lag is not None and max_lag < 1:
+        # corr[..., -0:] would be the WHOLE array (Python slice semantics),
+        # silently corrupting the window math.
+        raise ValueError("max_lag must be >= 1 (or None for the gather path)")
     d = jnp.linalg.norm(points[:, None, :] - mic_positions[None, :, :],
                         axis=-1)                                   # (G, M)
     # Peak sits at lag -(arrival_j - arrival_i) (see models/tdoa.py).
     tau = -(jnp.take(d, pairs_j, 1) - jnp.take(d, pairs_i, 1)) / c  # (G, P)
     lag = tau * fs
-    if max_lag is not None and 2 * max_lag + 1 <= nfft:
-        win = jnp.concatenate([corr[..., -max_lag:],
-                               corr[..., :max_lag + 1]], -1)  # (P, 2L+1)
+    if max_lag is not None and (pre_windowed or 2 * max_lag + 1 <= nfft):
+        if pre_windowed:
+            # corr is ALREADY the centered (P, 2*max_lag+1) window (see
+            # _pooled_window) — callers pre-slice so pooling and repeated
+            # map calls never touch the full transform length.
+            if corr.shape[-1] != 2 * max_lag + 1:
+                raise ValueError("pre_windowed corr must have length "
+                                 "2*max_lag+1")
+            win = corr
+        else:
+            win = jnp.concatenate([corr[..., -max_lag:],
+                                   corr[..., :max_lag + 1]], -1)  # (P, 2L+1)
         idx = lag + max_lag                                   # window coords
         ells = jnp.arange(2 * max_lag + 1, dtype=corr.dtype)
         w = jnp.maximum(0.0, 1.0 - jnp.abs(idx[:, :, None] - ells))
@@ -105,6 +119,22 @@ def max_pool_corr(corr: jnp.ndarray, w: int) -> jnp.ndarray:
         pooled = jnp.maximum(pooled, jnp.maximum(
             jnp.roll(corr, s, axis=-1), jnp.roll(corr, -s, axis=-1)))
     return pooled
+
+
+def _center_window(corr: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Centered +-half lag slice of a circular correlation (lag 0 mid)."""
+    return jnp.concatenate([corr[..., -half:], corr[..., :half + 1]], -1)
+
+
+def _pooled_window(corr: jnp.ndarray, ml: int, w: int) -> jnp.ndarray:
+    """Centered +-ml slice of ``max_pool_corr(corr, w)`` computed WITHOUT
+    pooling the full transform: slice +-(ml+w) first, pool the slice (its
+    circular rolls only contaminate within w of the slice ends), trim w per
+    side — exact, ~nfft/(2*ml) times less traffic on the hot path."""
+    if w <= 0:
+        return _center_window(corr, ml)
+    sl = _center_window(corr, ml + w)
+    return max_pool_corr(sl, w)[..., w:-w]
 
 
 def _resolve_max_lag(max_lag_samples, mic_positions, fs, c) -> Optional[int]:
@@ -165,10 +195,20 @@ def srp_phat_locate(corr: jnp.ndarray,
     pj = np.asarray(pairs_j, np.int32)
     w = _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c)
     ml = _resolve_max_lag(max_lag_samples, mic_positions, fs, c)
+    windowed = ml is not None and 2 * (ml + w) + 1 <= corr.shape[-1]
 
     coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
-    coarse_val = srp_map(max_pool_corr(corr, w), coarse_pts, mic_positions,
-                         pi, pj, fs, c, max_lag=ml)
+    if windowed:
+        raw_win = _center_window(corr, ml)
+        coarse_val = srp_map(_pooled_window(corr, ml, w), coarse_pts,
+                             mic_positions, pi, pj, fs, c, max_lag=ml,
+                             pre_windowed=True)
+        corr = raw_win          # every later stage reads the raw window
+        pw = True
+    else:
+        pw = False
+        coarse_val = srp_map(max_pool_corr(corr, w), coarse_pts,
+                             mic_positions, pi, pj, fs, c, max_lag=ml)
     best = jnp.argmax(coarse_val)
     center = coarse_pts[best]
     cell = (upper - lower) / coarse_n
@@ -177,7 +217,7 @@ def srp_phat_locate(corr: jnp.ndarray,
     f_hi = center + 1.5 * cell
     fine_pts = _grid_points(f_lo, f_hi, fine_n, dtype)
     fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c,
-                       max_lag=ml)
+                       max_lag=ml, pre_windowed=pw)
     fbest = jnp.argmax(fine_val)
     pos = fine_pts[fbest]
     power = fine_val[fbest]
@@ -191,11 +231,11 @@ def srp_phat_locate(corr: jnp.ndarray,
             e = jnp.zeros(3, dtype).at[d].set(1.0)
             step = h[d]
             vm = srp_map(corr, (p - step * e)[None], mic_positions, pi, pj,
-                         fs, c, max_lag=ml)[0]
+                         fs, c, max_lag=ml, pre_windowed=pw)[0]
             v0 = srp_map(corr, p[None], mic_positions, pi, pj, fs, c,
-                         max_lag=ml)[0]
+                         max_lag=ml, pre_windowed=pw)[0]
             vp = srp_map(corr, (p + step * e)[None], mic_positions, pi, pj,
-                         fs, c, max_lag=ml)[0]
+                         fs, c, max_lag=ml, pre_windowed=pw)[0]
             denom = vm - 2.0 * v0 + vp
             delta = jnp.where(jnp.abs(denom) > 1e-12,
                               0.5 * (vm - vp) / jnp.where(denom == 0, 1.0,
@@ -206,7 +246,7 @@ def srp_phat_locate(corr: jnp.ndarray,
         (pos, _), _ = jax.lax.scan(axis_refine, (pos, power), jnp.arange(3))
         pos = jnp.clip(pos, lower, upper)
         power = srp_map(corr, pos[None], mic_positions, pi, pj, fs, c,
-                        max_lag=ml)[0]
+                        max_lag=ml, pre_windowed=pw)[0]
 
     return SrpResult(pos, power, center)
 
@@ -245,9 +285,17 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
     pj = np.asarray(pairs_j, np.int32)
     w = _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c)
     ml = _resolve_max_lag(max_lag_samples, mic_positions, fs, c)
+    windowed = ml is not None and 2 * (ml + w) + 1 <= corr.shape[-1]
     pts = _grid_points(lower, upper, coarse_n, dtype)
-    vals = srp_map(max_pool_corr(corr, w), pts, mic_positions, pi, pj, fs, c,
-                   max_lag=ml)
+    if windowed:
+        vals = srp_map(_pooled_window(corr, ml, w), pts, mic_positions,
+                       pi, pj, fs, c, max_lag=ml, pre_windowed=True)
+        corr = _center_window(corr, ml)
+        pw = True
+    else:
+        pw = False
+        vals = srp_map(max_pool_corr(corr, w), pts, mic_positions, pi, pj,
+                       fs, c, max_lag=ml)
     cell = (upper - lower) / coarse_n
     # Traced-safe: lower/upper may be tracers inside an outer jit.  Default
     # 3 coarse cells: the fine stage re-grids +-1.5 cells around each coarse
@@ -269,7 +317,7 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
         f_hi = center + 1.5 * cell
         fine_pts = _grid_points(f_lo, f_hi, fine_n, dtype)
         fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c,
-                           max_lag=ml)
+                           max_lag=ml, pre_windowed=pw)
         k = jnp.argmax(fine_val)
         return fine_pts[k], fine_val[k]
 

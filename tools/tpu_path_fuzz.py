@@ -29,6 +29,7 @@ CONFIGS = [
 ]
 ok = True
 for ci, cfg in enumerate(CONFIGS):
+    cfg = dict(cfg)
     m = cfg.pop("num_mics")
     mics = tuple(tuple(x) for x in rng.uniform(0, 1, (m, 3)))
     spec = SweepSpec(signal_type="noise", mic_positions=mics,
@@ -38,9 +39,7 @@ for ci, cfg in enumerate(CONFIGS):
     c = jnp.asarray(spec.speed_of_sound, jnp.float32)
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
-    key = jax.random.PRNGKey(100 + ci)
-    sigs = jax.random.normal(key, (4, m, spec.num_samples), jnp.float32)
-    # simulate real-ish scenes instead of pure noise for sensible TDOAs
+    # simulate real-ish scenes (sensible TDOAs rather than pure noise)
     from pyaudiolocalization_tpu.models.simulator import simulate_signals
     scenes = []
     srcs = rng.uniform(0.25, 0.75, (4, 3))
