@@ -166,3 +166,37 @@ def test_synchronize_signals_matches_reference_behavior(rng):
     corr = np.asarray(full_cross_correlation(out[0], out[1]))
     lag = np.argmax(np.abs(corr)) - (out[1].shape[-1] - 1)
     assert lag == -60
+
+
+def test_physical_nfft_alias_guard():
+    """Physical mode picks circular next_pow2(n) only when the peak-search
+    window fits the alias-free margin; short captures and unwindowed
+    (argmax-everywhere) configs must fall back to next_pow2(2n-1)."""
+    import copy
+    from pyaudiolocalization_tpu import localize_sound_source, DEFAULT_CONFIG
+
+    def run(duration, max_expected_delay):
+        cfg = copy.deepcopy(DEFAULT_CONFIG)
+        cfg["duration"] = duration
+        cfg["signal_type"] = "noise"
+        cfg["source_position"] = [0.3, 0.6, 0.4]
+        cfg["localization"]["lag_mode"] = "physical"
+        cfg["localization"]["sync_mode"] = "none"
+        cfg["localization"]["max_expected_delay"] = max_expected_delay
+        cfg["localization"]["analyze_correlation"] = False
+        cfg["localization"]["visualize_correlation"] = False
+        return localize_sound_source(cfg, use_simulation=True,
+                                     show_plots=False)
+
+    # Long capture with a modest window -> accurate either way (smoke).
+    r = run(0.5, 0.01)
+    err = np.linalg.norm(np.asarray(r["estimated_position"])
+                         - np.array([0.3, 0.6, 0.4]))
+    assert err < 0.02
+    # Short capture where the 0.05 s window exceeds the circular alias-free
+    # margin: the guard must keep the estimate accurate (before the guard,
+    # folded far-lag peaks could land inside the search window).
+    r = run(0.15, 0.05)
+    err = np.linalg.norm(np.asarray(r["estimated_position"])
+                         - np.array([0.3, 0.6, 0.4]))
+    assert err < 0.02
