@@ -1,0 +1,141 @@
+"""Narrowband steered-power (Bartlett) localization.
+
+No reference counterpart — this closes a measured estimator gap: GCC-PHAT
+on narrowband sources (e.g. the reference's default 1 kHz sine,
+main.py:26-64) has an inherently periodic correlation, so TDOA peaks are
+ambiguous modulo the carrier period (measured ~17 cm localization error for
+an off-center sine via the physical TDOA path).  A steered beamformer uses
+the array's PHASE response directly: for candidate position x and frequency
+bin k,
+
+    P(x) = sum_k w_k | (1/M) sum_m S_m(k) * exp(+i w_k d_m(x) / c) |^2
+
+which is unambiguous as long as the array is dense enough to avoid spatial
+aliasing (inter-mic spacing vs wavelength), regardless of the source's
+bandwidth.
+
+Measured envelope (unit-cube arrays, free field): a 4-mic tetrahedron is
+ambiguous for pure tones (6 phase constraints, strong grating lobes —
+0.5-1 m errors); an 8-mic cube localizes 500-1000 Hz tones to 3-6 mm
+(where the GCC-PHAT/TDOA chain measures ~17 cm), and re-aliases at 2 kHz
+where the wavelength (17 cm) is far below the 1 m spacing.  Real
+multi-harmonic sources fare better than these single-bin worst cases.
+
+TPU-first shape: the map is pure dense linear algebra — distances (G, M)
+once, per-bin steering phases as cos/sin planes, and the per-bin steered
+sum as a (G, M) x (M,) matvec — no gathers, no data-dependent control flow.
+Bin selection (top-energy bins of the mean spectrum) is a static-size
+top_k.  Two-stage grid search like models/srp.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .srp import _grid_points
+
+
+class BeamResult(NamedTuple):
+    position: jnp.ndarray   # (..., 3)
+    power: jnp.ndarray      # (...,) steered power at the estimate
+    coarse: jnp.ndarray     # (..., 3) stage-1 cell center (diagnostics)
+
+
+def select_bins(spectra: jnp.ndarray, fs: float, nfft: int, num_bins: int,
+                band: Optional[Tuple[float, float]] = None,
+                weight_exponent: float = 0.3):
+    """Pick the ``num_bins`` strongest rfft bins of the mean magnitude
+    spectrum (optionally restricted to ``band`` Hz).  Returns
+    (bin_indices (B,), weights (B,)): weights are the mean powers raised to
+    ``weight_exponent`` and normalized.  TEMPERED weighting matters for
+    tonal sources: with raw powers the fundamental swamps its (compression/
+    nonlinearity) harmonics, and a grating lobe that happens to align the
+    fundamental's phase wins; tempered weights let the harmonics — which
+    misalign at the rival lobe — veto it (measured: fixes the occasional
+    half-meter grating pick on 800 Hz sine sweeps at identical broadband
+    accuracy)."""
+    power = jnp.mean(jnp.abs(spectra) ** 2, axis=0)            # (bins,)
+    freqs = np.fft.rfftfreq(nfft, d=1.0 / fs)
+    if band is not None:
+        mask = jnp.asarray((freqs >= band[0]) & (freqs <= band[1]),
+                           power.dtype)
+        power = power * mask
+    vals, idx = jax.lax.top_k(power, num_bins)
+    tempered = jnp.maximum(vals, 0.0) ** weight_exponent
+    tempered = jnp.where(vals > 0, tempered, 0.0)
+    w = tempered / jnp.maximum(jnp.sum(tempered), 1e-30)
+    return idx, w
+
+
+def steered_power_map(spectra: jnp.ndarray,
+                      bin_idx: jnp.ndarray,
+                      bin_w: jnp.ndarray,
+                      points: jnp.ndarray,
+                      mic_positions: jnp.ndarray,
+                      fs: float,
+                      nfft: int,
+                      c) -> jnp.ndarray:
+    """Bartlett steered power for each candidate point.
+
+    spectra: (M, bins) complex rfft of the mic signals; bin_idx/bin_w: (B,)
+    selected bins + weights; points: (G, 3).  Returns (G,)."""
+    m = spectra.shape[0]
+    d = jnp.linalg.norm(points[:, None, :] - mic_positions[None, :, :],
+                        axis=-1)                                # (G, M)
+    omega = 2.0 * jnp.pi * bin_idx.astype(d.dtype) * (fs / nfft)  # (B,)
+    s_sel = spectra[:, bin_idx]                                 # (M, B)
+    sr, si = jnp.real(s_sel), jnp.imag(s_sel)
+    # Steering aligns each mic's observed phase back to the source:
+    # multiply S_m(k) by exp(+i w d_m / c) and coherently average over mics.
+    theta = (d[:, :, None] / c) * omega[None, None, :]          # (G, M, B)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    yr = jnp.einsum("gmb,mb->gb", ct, sr) - jnp.einsum("gmb,mb->gb", st, si)
+    yi = jnp.einsum("gmb,mb->gb", ct, si) + jnp.einsum("gmb,mb->gb", st, sr)
+    # Normalize out per-bin magnitude so loud bins don't dominate beyond
+    # their selection weight (phase-coherence metric, PHAT-like per bin).
+    mag2 = jnp.sum(sr * sr + si * si, axis=0) + 1e-30           # (B,)
+    return jnp.sum(bin_w[None, :] * (yr * yr + yi * yi) / mag2[None, :],
+                   axis=-1) / m
+
+
+def beamform_locate(signals: jnp.ndarray,
+                    mic_positions: jnp.ndarray,
+                    fs: float,
+                    c,
+                    lower: jnp.ndarray,
+                    upper: jnp.ndarray,
+                    num_bins: int = 12,
+                    band: Optional[Tuple[float, float]] = None,
+                    coarse_n: int = 24,
+                    fine_n: int = 12,
+                    nfft: Optional[int] = None) -> BeamResult:
+    """Two-stage steered-power grid search over the box [lower, upper].
+
+    signals: (M, N) time-domain mic signals.  Unlike the GCC/SRP chain this
+    needs no whitening and no lag decoding, and it localizes NARROWBAND
+    sources (single tones) that defeat correlation-based TDOA outright.
+    Fully jittable; vmap over a leading scene axis for batches."""
+    n = signals.shape[-1]
+    nf = int(nfft) if nfft is not None else n
+    spectra = jnp.fft.rfft(signals, n=nf)
+    bin_idx, bin_w = select_bins(spectra, fs, nf, num_bins, band)
+    dtype = signals.dtype
+
+    coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
+    coarse_val = steered_power_map(spectra, bin_idx, bin_w, coarse_pts,
+                                   mic_positions, fs, nf, c)
+    best = jnp.argmax(coarse_val)
+    center = coarse_pts[best]
+    cell = (upper - lower) / coarse_n
+
+    fine_pts = _grid_points(center - 1.5 * cell, center + 1.5 * cell,
+                            fine_n, dtype)
+    fine_val = steered_power_map(spectra, bin_idx, bin_w, fine_pts,
+                                 mic_positions, fs, nf, c)
+    fbest = jnp.argmax(fine_val)
+    pos = jnp.clip(fine_pts[fbest], lower, upper)
+    return BeamResult(pos, fine_val[fbest], center)

@@ -33,6 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import acoustics
+from ..models import beamformer as beam_ops
 from ..models import solver as solver_ops
 from ..models import srp as srp_ops
 from ..models import tdoa as tdoa_ops
@@ -98,9 +99,12 @@ class SweepSpec:
     # Estimation knobs.  solver: 'lm' (clustered multi-start
     # Levenberg-Marquardt on the measured TDOAs, the reference's approach),
     # 'srp' (initialization-free SRP-PHAT grid search over the source box),
-    # 'srp+lm' (SRP fix polished by LM, gated to the SRP cell), or 'de'
+    # 'srp+lm' (SRP fix polished by LM, gated to the SRP cell), 'de'
     # (on-device differential evolution over the TDOA objective —
-    # BASELINE config 4; population = de_popsize * 3).
+    # BASELINE config 4; population = de_popsize * 3), or 'beam'
+    # (narrowband steered-power beamforming, models/beamformer.py — the
+    # estimator that localizes pure tones, which defeat every
+    # correlation-based TDOA chain; needs adequate spatial sampling).
     solver: str = "lm"
     de_popsize: int = 15
     de_maxiter: int = 200
@@ -317,6 +321,19 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         return _estimate_multi(spec, signals, mics, c)
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
+    if spec.solver == "beam":
+        # Steered-power beamforming consumes raw spectra — no correlation,
+        # no TDOAs (returned as zeros: the narrowband sources this solver
+        # exists for have no well-defined correlation peaks).
+        blo, bhi = _srp_box(spec)
+        band = (spec.lowcut, spec.highcut) \
+            if spec.filter_method in ("butterworth", "fir") else None
+        out = beam_ops.beamform_locate(
+            signals, mics, spec.fs, c,
+            jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
+            band=band, nfft=spec.nfft)
+        td = jnp.zeros(pi.shape[0], signals.dtype)
+        return out.position, -out.power, td
     filtered, band = _prefilter(spec, signals)
 
     from ..ops import pallas_fft
