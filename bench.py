@@ -47,16 +47,25 @@ def _sync(x):
     np.asarray(leaf)
 
 
-def _time(fn, *args, iters=8, warmup=2):
+def _time(fn, *args, iters=8, warmup=2, blocks=1):
     """Median-free honest mean: enqueue ``iters`` steps, one sync at the end.
-    fn must return a small array (so the final fetch is cheap)."""
+    fn must return a small array (so the final fetch is cheap).
+    ``blocks`` > 1 repeats the whole enqueue-sync block and also returns the
+    relative spread across blocks (tunnel variance bars — VERDICT.md r1 §6)."""
     for _ in range(warmup):
         out = fn(*args)
     _sync(out)
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    _sync(outs[-1])
-    return (time.perf_counter() - t0) / iters
+    dts = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        _sync(outs[-1])
+        dts.append((time.perf_counter() - t0) / iters)
+    if blocks == 1:
+        return dts[0]
+    mean = sum(dts) / blocks
+    rel_spread = (max(dts) - min(dts)) / mean
+    return mean, rel_spread
 
 
 def bench_gcc_phat(batch: int = 256):
@@ -108,14 +117,93 @@ def bench_full_sweep(batch: int = 512):
     def step(i):
         return monte_carlo_sweep(spec, jax.random.PRNGKey(i), batch)
 
+    dt, spread = _sweep_time(step, batch)
+    return batch / dt, float(np.asarray(step(0).rmse)), spread
+
+
+def _sweep_time(step, batch, iters=3, blocks=3):
+    """Blocked sweep timing with a relative spread across blocks."""
     out = step(0)
     _sync(out.rmse)
-    t0 = time.perf_counter()
-    iters = 3
-    outs = [step(1 + i) for i in range(iters)]
-    _sync(outs[-1].rmse)
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, float(outs[-1].rmse)
+    dts = []
+    for b in range(blocks):
+        t0 = time.perf_counter()
+        outs = [step(1 + b * iters + i) for i in range(iters)]
+        _sync(outs[-1].rmse)
+        dts.append((time.perf_counter() - t0) / iters)
+    mean = sum(dts) / blocks
+    return mean, (max(dts) - min(dts)) / mean
+
+
+def bench_bootstrap(num_bootstrap: int = 1000):
+    """The reference's dominant cost: the bootstrap significance test over
+    all 6 pairs at 1000 PHAT resamples each (≈258 s of the 274 s default
+    run — /root/reference/utils.py:183-216, BASELINE.md rows 4-5).  Here
+    the resamples are chunked packed-pair FFTs inside one jitted call."""
+    from pyaudiolocalization_tpu.models import tdoa as tdoa_ops
+
+    key = jax.random.PRNGKey(5)
+    signals = jax.random.normal(key, (NUM_MICS, N), jnp.float32)
+
+    @jax.jit
+    def step(sigs, k):
+        thr = jax.vmap(
+            lambda s1, s2, kk: tdoa_ops.bootstrap_significance(
+                s1, s2, kk, num_bootstrap=num_bootstrap, nfft=NFFT)
+        )(jnp.take(sigs, PAIRS_I, 0), jnp.take(sigs, PAIRS_J, 0),
+          jax.random.split(k, PAIRS_I.shape[0]))
+        return jnp.max(thr)
+
+    dt = _time(step, signals, jax.random.PRNGKey(6), iters=4, warmup=1)
+    return PAIRS_I.shape[0] * num_bootstrap / dt
+
+
+def bench_analyze_run():
+    """End-to-end wall time of the reference's full default ``__main__``
+    (chirp calibration + analyze_correlation localization with 1000
+    bootstraps + saved figures — main.py:335-347; reference: 274.4 s,
+    BASELINE.md row 4).  Warm timing: one compile pass, then a timed run
+    with a different seed (seed feeds PRNG key VALUES, so no recompile)."""
+    import logging
+    logging.disable(logging.INFO)  # demo logs are not part of the metric
+    from pyaudiolocalization_tpu.__main__ import main as demo_main
+    try:
+        demo_main(["--no-plots", "--seed", "0"])   # compile/cache warmup
+        t0 = time.perf_counter()
+        demo_main(["--no-plots", "--seed", "1"])
+        return time.perf_counter() - t0
+    finally:
+        logging.disable(logging.NOTSET)
+
+
+def bench_single_scene_latency():
+    """Warm single-scene latency of physical-mode localize_sound_source
+    (analyze/visualize off) INCLUDING host orchestration — the
+    reference-shaped API's interactive cost (reference: 0.814 s,
+    BASELINE.md row 3).  Eligible shapes dispatch the fused windowed
+    Pallas core (api._estimation_core_fast)."""
+    import copy
+    from pyaudiolocalization_tpu import localize_sound_source, DEFAULT_CONFIG
+
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg["signal_type"] = "noise"
+    loc = cfg["localization"]
+    loc.update(lag_mode="physical", sync_mode="none",
+               analyze_correlation=False, visualize_correlation=False,
+               max_expected_delay=0.05)
+
+    def run(seed):
+        return localize_sound_source(cfg, use_simulation=True,
+                                     show_plots=False,
+                                     key=jax.random.PRNGKey(seed))
+
+    run(0)  # compile
+    times = []
+    for s in range(1, 6):
+        t0 = time.perf_counter()
+        run(s)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
 
 
 def bench_multi_source(batch: int = 128):
@@ -134,21 +222,23 @@ def bench_multi_source(batch: int = 128):
     def step(i):
         return monte_carlo_sweep(spec, jax.random.PRNGKey(i), batch)
 
-    out = step(0)
-    _sync(out.rmse)
-    t0 = time.perf_counter()
-    iters = 3
-    outs = [step(1 + i) for i in range(iters)]
-    _sync(outs[-1].rmse)
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, float(outs[-1].rmse)
+    dt, spread = _sweep_time(step, batch)
+    return batch / dt, float(np.asarray(step(0).rmse)), spread
+
+
+BASELINE_ANALYZE_RUN_S = 274.4        # BASELINE.md row 4
+BASELINE_BOOTSTRAP_PAIRS_PER_SEC = 6000.0 / 258.0  # row 5: 6 pairs x 1000
+BASELINE_SINGLE_SCENE_S = 0.814       # row 3 (per-scene latency)
 
 
 def main():
     pairs_per_sec = bench_gcc_phat()
     scenes_per_sec = bench_localize()
-    sweep_per_sec, sweep_rmse = bench_full_sweep()
-    multi_per_sec, multi_rmse = bench_multi_source()
+    sweep_per_sec, sweep_rmse, sweep_spread = bench_full_sweep()
+    multi_per_sec, multi_rmse, multi_spread = bench_multi_source()
+    bootstrap_pps = bench_bootstrap()
+    latency_s = bench_single_scene_latency()
+    analyze_s = bench_analyze_run()
     print(json.dumps({
         "metric": "gccphat_pairs_per_sec_44k1x1s",
         "value": round(pairs_per_sec, 1),
@@ -160,8 +250,19 @@ def main():
                 scenes_per_sec / BASELINE_SCENES_PER_SEC, 1),
             "full_sweep_scenes_per_sec": round(sweep_per_sec, 2),
             "full_sweep_rmse_m": round(sweep_rmse, 4),
+            "full_sweep_rel_spread": round(sweep_spread, 3),
             "multi_source_scenes_per_sec": round(multi_per_sec, 2),
             "multi_source_rmse_m": round(multi_rmse, 4),
+            "multi_source_rel_spread": round(multi_spread, 3),
+            "bootstrap_pair_resamples_per_sec": round(bootstrap_pps, 1),
+            "bootstrap_vs_baseline": round(
+                bootstrap_pps / BASELINE_BOOTSTRAP_PAIRS_PER_SEC, 1),
+            "analyze_run_s": round(analyze_s, 3),
+            "analyze_run_vs_baseline": round(
+                BASELINE_ANALYZE_RUN_S / analyze_s, 1),
+            "single_scene_latency_s": round(latency_s, 4),
+            "single_scene_vs_baseline": round(
+                BASELINE_SINGLE_SCENE_S / latency_s, 2),
             "device": str(jax.devices()[0]),
         },
     }))

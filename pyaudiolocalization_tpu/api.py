@@ -79,7 +79,8 @@ def simulate_signals_with_multipath(source_pos,
     static_argnames=("fs", "pairs_i", "pairs_j", "nfft", "filter_method",
                      "lag_mode", "max_expected_delay", "analyze",
                      "num_bootstrap", "clustering_method", "eps",
-                     "min_samples", "use_calibration", "phat_band"))
+                     "min_samples", "use_calibration", "phat_band",
+                     "threshold_method"))
 def _estimation_core(signals: jnp.ndarray,
                      mic_positions: jnp.ndarray,
                      c: jnp.ndarray,
@@ -99,7 +100,8 @@ def _estimation_core(signals: jnp.ndarray,
                      eps: float,
                      min_samples: int,
                      use_calibration: bool,
-                     phat_band: Optional[Tuple[float, float]] = None
+                     phat_band: Optional[Tuple[float, float]] = None,
+                     threshold_method: str = "median"
                      ) -> Dict[str, jnp.ndarray]:
     """Filter -> all-pairs GCC-PHAT -> TDOA ladder -> (metrics) -> clustered
     init -> bounds -> weighted multi-start LM.  One XLA graph."""
@@ -115,8 +117,8 @@ def _estimation_core(signals: jnp.ndarray,
                                           band=phat_band, fs=fs)  # (P, nfft)
     with jax.named_scope("tdoa"):
         res = tdoa_ops.time_delays_from_corr(
-            corr, n, n, fs, num_peaks=1, max_expected_delay=max_expected_delay,
-            lag_mode=lag_mode)
+            corr, n, n, fs, num_peaks=1, threshold_method=threshold_method,
+            max_expected_delay=max_expected_delay, lag_mode=lag_mode)
     measured = res.delays[..., 0]                                 # (P,)
     # Physical convention: td = arrival_j - arrival_i = -(peak lag)/fs,
     # which is what the residual system (d_j - d_i) = c*td expects.
@@ -174,6 +176,136 @@ def _estimation_core(signals: jnp.ndarray,
         out.update({"snr": snr, "peak_to_peak_ratio": ppr,
                     "significant": significant})
     return out
+
+
+# Test hook: force the fused windowed core through Pallas interpret mode on
+# CPU (bypasses the TPU-backend eligibility check; shape constraints still
+# apply).  Flipped by tests/test_pipeline.py only.
+_FAST_INTERPRET = False
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "pairs_i", "pairs_j", "nfft", "wq",
+                     "filter_method", "max_expected_delay",
+                     "clustering_method", "eps", "min_samples",
+                     "use_calibration", "phat_band", "interpret"))
+def _estimation_core_fast(signals: jnp.ndarray,
+                          mic_positions: jnp.ndarray,
+                          c: jnp.ndarray,
+                          calib_delays: jnp.ndarray,
+                          key: jax.Array,
+                          *,
+                          fs: float,
+                          pairs_i: Tuple[int, ...],
+                          pairs_j: Tuple[int, ...],
+                          nfft: int,
+                          wq: int,
+                          filter_method: str,
+                          max_expected_delay: float,
+                          clustering_method: str,
+                          eps: float,
+                          min_samples: int,
+                          use_calibration: bool,
+                          phat_band: Optional[Tuple[float, float]],
+                          interpret: bool = False
+                          ) -> Dict[str, jnp.ndarray]:
+    """Fused physical-mode estimation core (the sweep's fast path,
+    parallel/sweep.py _estimate, behind the reference-shaped API): the
+    windowed Pallas GCC kernel returns only the ±lag window + global stats
+    — the (P, nfft) correlation never reaches HBM — and the single-peak
+    ladder collapses onto the tiny slice (models/tdoa.py
+    tdoa_single_from_window).  LTI bandpass front-ends are skipped
+    entirely: PHAT's R/|R| cancels |H(f)|² at every in-band bin and the
+    band-limited whitening mask zeroes the rest, so filtfilt buys nothing
+    (see parallel/sweep.py _prefilter).  Dispatched by
+    localize_sound_source when eligible; estimates match _estimation_core
+    with threshold_method='gaussian' whenever the winning peak lies inside
+    the window (guaranteed by wq's sizing)."""
+    pi = np.asarray(pairs_i, np.int32)
+    pj = np.asarray(pairs_j, np.int32)
+    from .ops import pallas_fft
+
+    with jax.named_scope("filter"):
+        if filter_method in ("butterworth", "fir") and phat_band is not None:
+            filtered = signals          # PHAT cancels |H|² — see docstring
+        else:
+            filtered = filter_ops.noise_reduction(signals, fs,
+                                                  method=filter_method)
+
+    with jax.named_scope("gccphat_windowed"):
+        win, stats = pallas_fft.bfly_gcc_windowed(
+            filtered, pi, pj, nfft, wq, band=phat_band, fs=fs,
+            interpret=interpret)
+    with jax.named_scope("tdoa"):
+        measured = tdoa_ops.tdoa_single_from_window(
+            win, stats, wq, nfft, fs, max_expected_delay)
+    td = -measured                       # physical convention (see slow core)
+    if use_calibration:
+        td = td - (jnp.take(calib_delays, pj) - jnp.take(calib_delays, pi))
+
+    peak_corr = stats[..., 1]            # global max per pair (in-kernel)
+    num_mics = mic_positions.shape[0]
+    corr_matrix = jnp.zeros((num_mics, num_mics), signals.dtype)
+    corr_matrix = corr_matrix.at[pi, pj].set(peak_corr).at[pj, pi].set(peak_corr)
+    weights = jnp.ones(pi.shape[0], signals.dtype)
+
+    with jax.named_scope("solver"):
+        guesses, _ = solver_ops.heuristic_initial_guesses(
+            mic_positions, pi, pj, td, c, key,
+            clustering_method=clustering_method, eps=eps,
+            min_samples=min_samples)
+        lower, upper = solver_ops.dynamic_bounds(mic_positions, td, c)
+        guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
+        best = solver_ops.multi_start_lm(
+            guesses, mic_positions, pi, pj, td, c, weights, lower, upper)
+
+    return {
+        "estimated_position": best.x,
+        "cost": best.cost,
+        "tdoas": td,
+        "measured_delays": measured,
+        "correlation_matrix": corr_matrix,
+        "weights": weights,
+        "lower": lower,
+        "upper": upper,
+        "initial_guesses": guesses,
+    }
+
+
+def _resolve_threshold(loc: LocalizationConfig) -> str:
+    """None -> the mode's default statistic: the reference's 'median' in
+    parity mode, the sweep's one-pass 'gaussian' estimate in physical mode
+    (see LocalizationConfig.threshold_method)."""
+    if loc.threshold_method is not None:
+        return loc.threshold_method
+    return "median" if loc.lag_mode == "reference" else "gaussian"
+
+
+def _fast_window_wq(fs: float, max_expected_delay: float, nfft: int) -> int:
+    """Static sublane half-width of the windowed kernel's lag slice —
+    covers the max_expected_delay gate plus the ladder's 8×1 ms dilation
+    margin (mirrors parallel/sweep.py _tdoa_window_wq)."""
+    distance = int(fs * 0.001)
+    half = int(np.ceil(max_expected_delay * fs)) + 8 * max(distance, 1)
+    return min(max(-(-half // 128) + 1, 1), nfft // 256)
+
+
+def _fast_path_eligible(loc: LocalizationConfig, nfft: int,
+                        num_mics: int, dtype) -> bool:
+    """Fused windowed core applicability: physical single-peak gaussian
+    estimation with no full-correlation consumers downstream."""
+    from .ops import pallas_fft
+    if (loc.lag_mode != "physical" or loc.max_expected_delay is None
+            or loc.analyze_correlation or loc.visualize_correlation
+            or _resolve_threshold(loc) != "gaussian"):
+        return False
+    if _FAST_INTERPRET:
+        n2 = nfft // 128
+        return (jnp.dtype(dtype) == jnp.float32 and n2 * 128 == nfft
+                and n2 >= 8 and not n2 & (n2 - 1))
+    return (pallas_fft.bfly_gcc_eligible(nfft, num_mics, dtype)
+            and not pallas_fft._bfly_gcc_hbm_input(nfft, num_mics))
 
 
 def _resolve_phat_band(loc: LocalizationConfig):
@@ -302,20 +434,34 @@ def localize_sound_source(config,
             if nfft - n < needed:
                 nfft = fft_length(n, n, "pow2")
 
-    core = _estimation_core(
-        signals, jnp.asarray(mic_positions, signals.dtype),
-        jnp.asarray(c, signals.dtype),
-        jnp.asarray(calib_delays if calib_delays is not None
-                    else np.zeros(num_mics), signals.dtype),
-        k_core,
-        fs=fs, pairs_i=pairs_i, pairs_j=pairs_j, nfft=nfft,
-        filter_method=loc.filter_method, lag_mode=loc.lag_mode,
-        max_expected_delay=loc.max_expected_delay,
-        analyze=loc.analyze_correlation, num_bootstrap=loc.num_bootstrap,
-        clustering_method=loc.clustering_method, eps=loc.clustering_eps,
-        min_samples=loc.clustering_min_samples,
-        use_calibration=calib_delays is not None,
-        phat_band=_resolve_phat_band(loc))
+    calib_arr = jnp.asarray(calib_delays if calib_delays is not None
+                            else np.zeros(num_mics), signals.dtype)
+    if _fast_path_eligible(loc, nfft, num_mics, signals.dtype):
+        core = _estimation_core_fast(
+            signals, jnp.asarray(mic_positions, signals.dtype),
+            jnp.asarray(c, signals.dtype), calib_arr, k_core,
+            fs=fs, pairs_i=pairs_i, pairs_j=pairs_j, nfft=nfft,
+            wq=_fast_window_wq(fs, loc.max_expected_delay, nfft),
+            filter_method=loc.filter_method,
+            max_expected_delay=loc.max_expected_delay,
+            clustering_method=loc.clustering_method, eps=loc.clustering_eps,
+            min_samples=loc.clustering_min_samples,
+            use_calibration=calib_delays is not None,
+            phat_band=_resolve_phat_band(loc), interpret=_FAST_INTERPRET)
+    else:
+        core = _estimation_core(
+            signals, jnp.asarray(mic_positions, signals.dtype),
+            jnp.asarray(c, signals.dtype), calib_arr,
+            k_core,
+            fs=fs, pairs_i=pairs_i, pairs_j=pairs_j, nfft=nfft,
+            filter_method=loc.filter_method, lag_mode=loc.lag_mode,
+            max_expected_delay=loc.max_expected_delay,
+            analyze=loc.analyze_correlation, num_bootstrap=loc.num_bootstrap,
+            clustering_method=loc.clustering_method, eps=loc.clustering_eps,
+            min_samples=loc.clustering_min_samples,
+            use_calibration=calib_delays is not None,
+            phat_band=_resolve_phat_band(loc),
+            threshold_method=_resolve_threshold(loc))
 
     estimated = np.asarray(core["estimated_position"])
     cost = float(core["cost"])

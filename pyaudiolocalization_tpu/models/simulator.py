@@ -139,8 +139,12 @@ def render_scene(base_signal: jnp.ndarray,
                 fade=fade, finalize=finalize,
                 snr_db=jnp.asarray(snr_db, base_signal.dtype),
                 noise_seeds=seeds)
-    sigs = delay_and_sum(padded, paths_delays, paths_gains, fs,
-                         pad_mode=pad_mode)
+    # render_scene's 'pow2' contract is circular-safe by construction:
+    # total_samples already includes the max path-delay budget, so the
+    # cheaper next_pow2(total_samples) transform cannot wrap active paths.
+    sigs = delay_and_sum(
+        padded, paths_delays, paths_gains, fs,
+        pad_mode="pow2-circular" if pad_mode == "pow2" else pad_mode)
     sigs = sigs[:, :out_samples]
     if finalize:
         sigs = sig_ops.dynamic_range_compression(

@@ -193,12 +193,21 @@ def tdoa_single_from_window(win: jnp.ndarray, stats: jnp.ndarray, wq: int,
     max_expected_delay gate plus the fast path's dilation margin).  For a
     single peak the full ladder collapses: the candidate is the tallest
     in-window strict local maximum above the Gaussian-estimated median
-    threshold; with the alt threshold mean|corr| AT OR ABOVE the primary
-    (requires threshold_multiplier <= 1/0.84535), the alt rung can never
-    rescue a row the primary rejected, so the only fallback is the global
-    argmax (utils.py:157-172 semantics).  Returns peak-lag delays in
-    seconds, shape win.shape[:-1] (same sign convention as
-    TdoaResult.delays: td = -delay).
+    threshold that is not dominated by a taller local maximum within the
+    1 ms peak-spacing ``distance`` (the window's dilation margin makes
+    those neighbors visible); with the alt threshold mean|corr| AT OR
+    ABOVE the primary (requires threshold_multiplier <= 1/0.84535), the
+    alt rung can never rescue a row the primary rejected, so the only
+    fallback is the global argmax (utils.py:157-172 semantics).  Returns
+    peak-lag delays in seconds, shape win.shape[:-1] (same sign
+    convention as TdoaResult.delays: td = -delay).
+
+    Residual divergence from ``time_delays_from_corr``: suppression
+    CHAINS are approximated — a candidate dominated by a taller neighbor
+    is dropped here even when that neighbor is itself suppressed by a
+    still-taller third peak (the full ladder would then keep the
+    candidate).  Requires ever-taller peaks spaced within 1 ms of each
+    other; pathological for whitened correlations.
     """
     if threshold_multiplier > 1.0 / 0.84535:
         raise ValueError(
@@ -212,7 +221,19 @@ def tdoa_single_from_window(win: jnp.ndarray, stats: jnp.ndarray, wq: int,
     thr = 0.84535 * threshold_multiplier * stats[..., 0:1]
     lm = peaks_ops.local_maxima(win)
     inwin = jnp.abs(lags) <= max_expected_delay * fs
-    cand = lm & inwin & (win >= thr)
+    # 1 ms peak-spacing suppression (utils.py:151 distance semantics): a
+    # candidate loses to any strictly taller local maximum within
+    # ±distance samples.  One max-dilation over the local-max heights —
+    # a candidate survives iff it IS the tallest local max in its own
+    # neighborhood (self is included, so equality means undominated).
+    distance = max(int(fs * 0.001), 1)
+    heights = jnp.where(lm, win, -jnp.inf)
+    dil = jax.lax.reduce_window(
+        heights, -jnp.inf, jax.lax.max,
+        window_dimensions=(1,) * (win.ndim - 1) + (2 * distance + 1,),
+        window_strides=(1,) * win.ndim,
+        padding="SAME")
+    cand = lm & inwin & (win >= thr) & (win >= dil)
     neg = jnp.asarray(-jnp.inf, win.dtype)
     best = jnp.argmax(jnp.where(cand, win, neg), axis=-1)
     has = jnp.any(cand, axis=-1)

@@ -69,16 +69,27 @@ def delay_and_sum(base: jnp.ndarray,
     delays: (M, P) seconds.
     gains:  (M, P) linear amplitude per path (0 to disable a path).
     pad_mode: 'exact' uses the reference's 2N transform length (Bluestein on
-    TPU when 2N is not a power of two); 'pow2' uses next_pow2(N): callers on
-    this path (the sweep's render_scene) size N to signal + max path delay,
-    so every active path's support fits without circular wrap and only the
-    periodic-sinc interpolation tails differ from the reference's 2N
-    transform (~1e-3 waveform level — irrelevant for the physical sweep
-    path and ~10x cheaper on TPU).
+    TPU when 2N is not a power of two); 'pow2' uses next_pow2(2N) — alias-free
+    for any delay < N samples, like 'exact', but at a fast power-of-two
+    length; 'pow2-circular' uses next_pow2(N), which is ~2x cheaper again but
+    wraps circularly: the CALLER must guarantee max(delays)*fs fits within
+    next_pow2(N) - support (the sweep's render_scene qualifies because its N
+    already includes the max path-delay budget).  Only the periodic-sinc
+    interpolation tails differ from the reference's 2N transform (~1e-3
+    waveform level).
     returns (M, N).
     """
     n = base.shape[-1]
-    padded = 2 * n if pad_mode == "exact" else next_pow2(n)
+    if pad_mode == "exact":
+        padded = 2 * n
+    elif pad_mode == "pow2":
+        padded = next_pow2(2 * n)
+    elif pad_mode == "pow2-circular":
+        padded = next_pow2(n)
+    else:
+        raise ValueError(
+            f"pad_mode must be 'exact', 'pow2' or 'pow2-circular', got "
+            f"{pad_mode!r}")
     from . import pallas_fft
     if pallas_fft.bfly_render_eligible(padded, delays.shape[-2],
                                        delays.shape[-1], base.dtype):

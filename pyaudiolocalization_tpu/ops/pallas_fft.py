@@ -995,9 +995,11 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
             for k, (y, mi) in enumerate(((y0, i0), (y1, i1))):
                 if k == 1 and i1 == i0:
                     continue  # odd M: last couple's imag half is a dup
+                # Same int32 Weyl mix as _bfly_delay_sum's emit() so both
+                # kernels draw the SAME per-mic noise stream for a given
+                # scene key (0x9E3779B9 as a wrapped int32).
                 seed = (seed_ref[0, 0, 0],
-                        seed_ref[0, 0, 1] + np.int32(mi * 0x9E3779B9
-                                                     & 0x7FFFFFFF)
+                        seed_ref[0, 0, 1] + mi * np.int32(-1640531527)
                         ) if with_noise else None
                 y = _render_postprocess(
                     y[:n2_out] * window, out_samples, True, seed, snr_ref)

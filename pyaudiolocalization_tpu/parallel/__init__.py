@@ -6,6 +6,7 @@ from .checkpoint import (  # noqa: F401
     save_checkpoint,
     load_checkpoint,
 )
+from . import multihost  # noqa: F401
 from .sweep import (  # noqa: F401
     SweepSpec,
     SceneResult,
@@ -17,6 +18,7 @@ from .sweep import (  # noqa: F401
 )
 
 __all__ = [
+    "multihost",
     "run_sweep_checkpointed",
     "save_checkpoint",
     "load_checkpoint",

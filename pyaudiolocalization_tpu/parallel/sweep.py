@@ -322,14 +322,18 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
     if spec.solver == "beam":
-        # Steered-power beamforming consumes raw spectra — no correlation,
+        # Steered-power beamforming consumes spectra — no correlation,
         # no TDOAs (returned as zeros: the narrowband sources this solver
-        # exists for have no well-defined correlation peaks).
+        # exists for have no well-defined correlation peaks).  LTI
+        # front-ends (butterworth/fir) become the band mask below;
+        # nonlinear ones (wiener) really run via _prefilter — steered
+        # power, unlike PHAT, does not cancel |H|^2, but a bandpass is
+        # monotone per-bin scaling inside the band, which the band mask
+        # already expresses.
         blo, bhi = _srp_box(spec)
-        band = (spec.lowcut, spec.highcut) \
-            if spec.filter_method in ("butterworth", "fir") else None
+        beam_sigs, band = _prefilter(spec, signals)
         out = beam_ops.beamform_locate(
-            signals, mics, spec.fs, c,
+            beam_sigs, mics, spec.fs, c,
             jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
             band=band, nfft=spec.nfft)
         td = jnp.zeros(pi.shape[0], signals.dtype)
@@ -702,5 +706,15 @@ def monte_carlo_sweep(spec: SweepSpec,
         # Scan carries inside the solver start replicated and become
         # device-varying; skip the static varying-axis check.
         check_vma=False)
-    keys = jax.device_put(keys, NamedSharding(mesh, P(axis_name)))
+    sharding = NamedSharding(mesh, P(axis_name))
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.flat):
+        # Multi-host mesh (parallel/multihost.py): every process holds the
+        # same replicated host-side key array; materialize only the
+        # addressable shards here — XLA's collectives handle the rest.
+        keys_np = np.asarray(keys)
+        keys = jax.make_array_from_callback(
+            keys.shape, sharding, lambda idx: keys_np[idx])
+    else:
+        keys = jax.device_put(keys, sharding)
     return jax.jit(sharded)(keys)

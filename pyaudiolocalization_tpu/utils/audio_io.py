@@ -86,8 +86,14 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def read_audio_file(path: str) -> Tuple[np.ndarray, int]:
-    """Read one audio file to (frames, channels) float64 + sample rate."""
-    if path.lower().endswith(".wav") or _soundfile is None:
+    """Read one audio file to (frames, channels) float64 + sample rate.
+    WAV and FLAC decode self-contained (utils/flac.py); anything else
+    falls back to soundfile when importable."""
+    lower = path.lower()
+    if lower.endswith(".flac"):
+        from .flac import read_flac
+        return read_flac(path)
+    if lower.endswith(".wav") or _soundfile is None:
         return read_wav(path)
     data, fs = _soundfile.read(path, always_2d=True)  # pragma: no cover
     return np.asarray(data, np.float64), int(fs)

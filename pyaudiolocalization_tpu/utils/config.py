@@ -75,6 +75,12 @@ class LocalizationConfig:
     # passband in physical lag mode (fixes the reference's bandpass+PHAT
     # lag-0 artifact, SURVEY.md Q5), None disables, or an explicit (lo, hi).
     phat_band: Any = "auto"
+    # TDOA-ladder threshold statistic: None resolves to 'median' in
+    # reference-parity mode (the reference's utils.py:148 statistic) and to
+    # 'gaussian' in physical mode (one-pass scaled mean-|x| median estimate,
+    # same default as the sweep path — enables the fused windowed TPU fast
+    # path).  Explicit 'median'/'gaussian'/'adaptive' override either mode.
+    threshold_method: Optional[str] = None
 
     @staticmethod
     def from_dict(d: Mapping[str, Any] | None) -> "LocalizationConfig":
@@ -94,6 +100,7 @@ class LocalizationConfig:
             sync_mode=d.get("sync_mode", "reference"),
             num_bootstrap=int(d.get("num_bootstrap", 1000)),
             phat_band=d.get("phat_band", "auto"),
+            threshold_method=d.get("threshold_method", None),
         )
 
 

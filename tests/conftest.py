@@ -24,6 +24,23 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "multihost: two-process distributed tests (run with -m multihost)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # The multihost tests spawn two cold JAX processes (~1 min); keep them
+    # out of the default suite — select explicitly with `-m multihost`.
+    if "multihost" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="multihost: run with -m multihost")
+    for item in items:
+        if "multihost" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

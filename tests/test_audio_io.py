@@ -90,3 +90,73 @@ def test_resample_identity():
     x = jnp.asarray(np.sin(np.linspace(0, 20, 1000)))
     y = resample(x, 8000.0, 8000.0)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# FLAC (utils/flac.py — closes the reference's sf.read non-WAV surface,
+# utils.py:465; no external decoder exists in this environment, so the
+# contract is spec-conformant self-roundtrip: CRC-8/CRC-16 verified on read)
+# ---------------------------------------------------------------------------
+
+def test_flac_roundtrip_fixed_and_verbatim(tmp_path, rng):
+    from pyaudiolocalization_tpu.utils.flac import read_flac, write_flac
+    n = 5000
+    t = np.arange(n) / 16000.0
+    for bits, tol in [(16, 2.0 ** -15), (24, 2.0 ** -23)]:
+        for method in ("fixed", "verbatim"):
+            sig = np.clip(0.4 * np.sin(2 * np.pi * 440 * t)
+                          + 0.1 * rng.standard_normal(n), -1, 0.999)
+            path = str(tmp_path / f"t_{bits}_{method}.flac")
+            write_flac(path, sig, 16000, bits=bits, method=method,
+                       block_size=1024)
+            out, fs = read_flac(path)
+            assert fs == 16000 and out.shape == (n, 1)
+            assert np.abs(out[:, 0] - sig).max() <= tol * 1.01
+
+
+def test_flac_multichannel_and_constant(tmp_path, rng):
+    from pyaudiolocalization_tpu.utils.flac import read_flac, write_flac
+    sig = rng.uniform(-0.9, 0.9, (3001, 3))
+    path = str(tmp_path / "m.flac")
+    write_flac(path, sig, 44100, bits=16, block_size=512)
+    out, fs = read_flac(path)
+    assert fs == 44100 and out.shape == (3001, 3)
+    assert np.abs(out - sig).max() <= 2.0 ** -15 * 1.01
+    # Constant blocks take the CONSTANT subframe path.
+    path2 = str(tmp_path / "c.flac")
+    write_flac(path2, np.full(300, 0.25), 8000)
+    out, fs = read_flac(path2)
+    assert np.abs(out - np.round(0.25 * 32768) / 32768).max() == 0
+
+
+def test_flac_corruption_detected(tmp_path, rng):
+    from pyaudiolocalization_tpu.utils.flac import read_flac, write_flac
+    path = str(tmp_path / "x.flac")
+    write_flac(path, rng.uniform(-0.5, 0.5, 2000), 16000)
+    data = bytearray(open(path, "rb").read())
+    data[-40] ^= 0x10  # flip a bit inside the last frame's payload
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(RuntimeError):
+        read_flac(path)
+
+
+def test_read_audio_files_flac(tmp_path, rng):
+    """End-to-end ingestion through read_audio_files: FLAC captures decode,
+    downmix, resample and normalize exactly like WAV ones."""
+    from pyaudiolocalization_tpu.utils.audio_io import read_audio_files
+    from pyaudiolocalization_tpu.utils.flac import write_flac
+    fs = 16000
+    t = np.arange(8000) / fs
+    sig = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 880 * t)], 1) * 0.5
+    path = str(tmp_path / "cap.flac")
+    write_flac(path, sig, fs)
+    (out,) = read_audio_files([path], float(fs))
+    out = np.asarray(out)
+    assert out.shape == (8000,)
+    assert np.max(np.abs(out)) <= 1.0 + 1e-6
+    # Downmix of the two tones retains both spectral lines.
+    spec = np.abs(np.fft.rfft(out))
+    freqs = np.fft.rfftfreq(out.shape[0], 1 / fs)
+    for f0 in (440.0, 880.0):
+        assert spec[np.argmin(np.abs(freqs - f0))] > 10.0
