@@ -23,7 +23,7 @@ from .models import acoustics
 from .models import solver as solver_ops
 from .models import tdoa as tdoa_ops
 from .models.calibration import run_calibration  # re-export  # noqa: F401
-from .models.simulator import simulate_signals
+from .models.simulator import simulate_signals, simulate_signals_fast
 from .models.sync import synchronize_signals
 from .ops import gccphat
 from .ops import filters as filter_ops
@@ -175,6 +175,14 @@ def _estimation_core(signals: jnp.ndarray,
     if analyze:
         out.update({"snr": snr, "peak_to_peak_ratio": ppr,
                     "significant": significant})
+    # Everything the host reads unconditionally, as ONE flat vector: each
+    # tunnel fetch is a ~27 ms round trip, so estimated/cost/tdoas/
+    # corr-matrix (+ analyze metrics) must come back in a single transfer.
+    parts = [best.x, best.cost.reshape(1), td, corr_matrix.ravel()]
+    if analyze:
+        parts += [snr, ppr, significant.astype(signals.dtype)]
+    out["host_pack"] = jnp.concatenate(
+        [p.astype(signals.dtype) for p in parts])
     return out
 
 
@@ -270,6 +278,11 @@ def _estimation_core_fast(signals: jnp.ndarray,
         "lower": lower,
         "upper": upper,
         "initial_guesses": guesses,
+        # One-transfer host readback (see _estimation_core).
+        "host_pack": jnp.concatenate(
+            [p.astype(signals.dtype)
+             for p in (best.x, best.cost.reshape(1), td,
+                       corr_matrix.ravel())]),
     }
 
 
@@ -292,13 +305,19 @@ def _fast_window_wq(fs: float, max_expected_delay: float, nfft: int) -> int:
 
 
 def _fast_path_eligible(loc: LocalizationConfig, nfft: int,
-                        num_mics: int, dtype) -> bool:
+                        num_mics: int, dtype, fs: float) -> bool:
     """Fused windowed core applicability: physical single-peak gaussian
-    estimation with no full-correlation consumers downstream."""
+    estimation with no full-correlation consumers downstream, and a lag
+    window that fully covers the max_expected_delay gate (wq is capped at
+    nfft//256 sublanes by the kernel)."""
     from .ops import pallas_fft
     if (loc.lag_mode != "physical" or loc.max_expected_delay is None
             or loc.analyze_correlation or loc.visualize_correlation
             or _resolve_threshold(loc) != "gaussian"):
+        return False
+    distance = max(int(fs * 0.001), 1)
+    half = int(np.ceil(loc.max_expected_delay * fs)) + 8 * distance
+    if half > (nfft // 256) * 128:
         return False
     if _FAST_INTERPRET:
         n2 = nfft // 128
@@ -364,7 +383,7 @@ def localize_sound_source(config,
                                "Ignoring calibration.", e)
                 calib_delays = None
 
-    c = float(acoustics.speed_of_sound(scene.celsius, scene.humidity))
+    c = acoustics.speed_of_sound_host(scene.celsius, scene.humidity)
     logger.info("Computed speed of sound: %.2f m/s", c)
 
     if signals is not None:
@@ -379,14 +398,28 @@ def localize_sound_source(config,
         if scene.source_position is None:
             raise ValueError(
                 "source_position must be provided when use_simulation=True.")
-        sigs = simulate_signals(
-            scene.source_position, mic_positions, fs, c, scene.duration,
-            scene.signal_type, scene.freq, scene.plane_coeffs,
-            scene.plane_material_ids,
-            jnp.asarray(scene.materials.absorption),
-            jnp.asarray(scene.materials.freq),
-            loc.max_reflections, loc.absorption_threshold,
-            trim_to_duration=True, key=k_sim, dtype=dtype)
+        if loc.lag_mode == "physical":
+            # Physical mode renders at a static pow2 length from a host-side
+            # delay budget: no per-call device sync for the data-dependent
+            # max path delay, and the fused render kernel applies (waveform
+            # difference vs the exact 2N transform is ~1e-3 periodic-sinc
+            # tails).  Parity mode keeps the reference's concrete padding
+            # rule below.
+            sigs = simulate_signals_fast(
+                scene.source_position, mic_positions, fs, c, scene.duration,
+                scene.signal_type, scene.freq, scene.plane_coeffs,
+                scene.plane_material_ids, scene.materials.absorption,
+                scene.materials.freq, loc.max_reflections,
+                loc.absorption_threshold, key=k_sim, dtype=dtype)
+        else:
+            sigs = simulate_signals(
+                scene.source_position, mic_positions, fs, c, scene.duration,
+                scene.signal_type, scene.freq, scene.plane_coeffs,
+                scene.plane_material_ids,
+                jnp.asarray(scene.materials.absorption),
+                jnp.asarray(scene.materials.freq),
+                loc.max_reflections, loc.absorption_threshold,
+                trim_to_duration=True, key=k_sim, dtype=dtype)
         signal_list = [sigs[i] for i in range(num_mics)]
         logger.info("Simulated signals generated.")
     else:
@@ -436,7 +469,7 @@ def localize_sound_source(config,
 
     calib_arr = jnp.asarray(calib_delays if calib_delays is not None
                             else np.zeros(num_mics), signals.dtype)
-    if _fast_path_eligible(loc, nfft, num_mics, signals.dtype):
+    if _fast_path_eligible(loc, nfft, num_mics, signals.dtype, fs):
         core = _estimation_core_fast(
             signals, jnp.asarray(mic_positions, signals.dtype),
             jnp.asarray(c, signals.dtype), calib_arr, k_core,
@@ -463,9 +496,15 @@ def localize_sound_source(config,
             phat_band=_resolve_phat_band(loc),
             threshold_method=_resolve_threshold(loc))
 
-    estimated = np.asarray(core["estimated_position"])
-    cost = float(core["cost"])
-    td_np = np.asarray(core["tdoas"])
+    # Single host round trip for every unconditionally-read output.
+    num_pairs = len(pairs)
+    pk = np.asarray(core["host_pack"], np.float64)
+    estimated = pk[:3]
+    cost = float(pk[3])
+    td_np = pk[4:4 + num_pairs]
+    corr_matrix = pk[4 + num_pairs:4 + num_pairs + num_mics * num_mics
+                     ].reshape(num_mics, num_mics)
+    off = 4 + num_pairs + num_mics * num_mics
     for (i, j), td in zip(pairs, td_np):
         logger.info("Time difference for mic pair %d-%d: %.6f s", i + 1, j + 1, td)
         logger.info("Distance difference for mic pair %d-%d: %.3f m",
@@ -493,8 +532,13 @@ def localize_sound_source(config,
                 jnp.asarray(td_np, signals.dtype), c, weights, lower, upper)
             return res.x, res.cost
 
+        # Parity mode matches the reference's scipy defaults (main.py:281-292:
+        # tol=0.01); physical mode keeps the tighter 1e-6 convergence.  The
+        # polish step is bounded LM either way (scipy's is L-BFGS-B —
+        # documented deviation, PARITY.md).
         de = solver_ops.differential_evolution(
-            objective, lower, upper, k_de, polish_fn=polish)
+            objective, lower, upper, k_de, polish_fn=polish,
+            tol=0.01 if loc.lag_mode == "reference" else 1e-6)
         if np.isfinite(float(de.energy)):
             estimated = np.asarray(de.x)
             logger.info("Estimated source (differential evolution): %s", estimated)
@@ -507,11 +551,14 @@ def localize_sound_source(config,
 
     correlation_metrics = None
     if loc.analyze_correlation:
+        snr_np = pk[off:off + num_pairs]
+        ppr_np = pk[off + num_pairs:off + 2 * num_pairs]
+        sig_np = pk[off + 2 * num_pairs:off + 3 * num_pairs]
         correlation_metrics = {
             (i, j): {
-                "peak_to_peak_ratio": float(np.asarray(core["peak_to_peak_ratio"])[k]),
-                "snr": float(np.asarray(core["snr"])[k]),
-                "significant": bool(np.asarray(core["significant"])[k]),
+                "peak_to_peak_ratio": float(ppr_np[k]),
+                "snr": float(snr_np[k]),
+                "significant": bool(sig_np[k] > 0.5),
             }
             for k, (i, j) in enumerate(pairs)
         }
@@ -519,8 +566,12 @@ def localize_sound_source(config,
             logger.info("Cross-correlation metrics for mic pair %d-%d: %s",
                         pair[0] + 1, pair[1] + 1, metrics)
 
-    corr_matrix = np.asarray(core["correlation_matrix"])
-    if use_simulation:
+    # The reference plots the 3-D scatter on every simulated run
+    # (main.py:300-315, blocking plt.show()).  Headless callers
+    # (show_plots=False) only get the saved figure when visualization is
+    # configured on — a silent matplotlib savefig per call costs ~0.2 s of
+    # host time, dominating the warm single-scene latency otherwise.
+    if use_simulation and (show_plots or loc.visualize_correlation):
         plotting.plot_localization_3d(mic_positions, scene.source_position,
                                       estimated, show_plot=show_plots)
     if loc.visualize_correlation:

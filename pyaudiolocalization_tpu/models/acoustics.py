@@ -33,6 +33,16 @@ def speed_of_sound(temperature, humidity, pressure: float = 101.325):
     return 331.0 + 0.6 * t + 0.0124 * h + 0.0006 * (pressure - 101.325)
 
 
+def speed_of_sound_host(temperature: float, humidity: float,
+                        pressure: float = 101.325) -> float:
+    """Host-side scalar version (same clamps): callers that need a concrete
+    Python float should not pay a device dispatch + tunnel fetch for three
+    multiplies."""
+    t = 20.0 if (temperature < -50 or temperature > 50) else temperature
+    h = 50.0 if (humidity < 0 or humidity > 100) else humidity
+    return 331.0 + 0.6 * t + 0.0124 * h + 0.0006 * (pressure - 101.325)
+
+
 def reflect_point_across_plane(point: jnp.ndarray, plane: jnp.ndarray) -> jnp.ndarray:
     """Mirror ``point`` (..., 3) across plane ax+by+cz+d=0 given as (..., 4)
     (utils.py:29-42).  Degenerate planes (a=b=c=0) must be rejected by the

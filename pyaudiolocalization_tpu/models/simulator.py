@@ -242,3 +242,71 @@ def simulate_signals(source_pos,
     out_samples = int(duration * fs) if trim_to_duration else total_samples
     return render_scene(base, path_delays, path_gains, fs,
                         total_samples, out_samples)
+
+
+def static_delay_budget(source_pos, mic_positions, plane_coeffs,
+                        max_reflections: int, fs: float) -> float:
+    """Conservative HOST-side bound on the longest path delay (s), no
+    device sync: scene diameter plus one plane-mirror "reach" per
+    reflection order (mirrors parallel/sweep.SweepSpec.delay_budget with a
+    point source)."""
+    pts = np.vstack([np.asarray(mic_positions, float).reshape(-1, 3),
+                     np.asarray(source_pos, float).reshape(1, 3)])
+    diam = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+    reach = 0.0
+    coeffs = np.asarray(plane_coeffs, float).reshape(-1, 4)
+    for row in coeffs:
+        n = row[:3]
+        reach = max(reach, 2.0 * abs(row[3]) / max(np.linalg.norm(n), 1e-9)
+                    + 2.0 * diam)
+    return (diam + max_reflections * reach) / 300.0 + 1.0 / fs
+
+
+def simulate_signals_fast(source_pos,
+                          mic_positions,
+                          fs: float,
+                          c: float,
+                          duration: float,
+                          signal_type: str,
+                          freq: float,
+                          plane_coeffs,
+                          plane_material_ids,
+                          absorption_table,
+                          freq_table,
+                          max_reflections: int,
+                          absorption_threshold: float,
+                          key: jax.Array,
+                          dtype=None) -> jnp.ndarray:
+    """Physical-mode scene simulation: same geometry/paths as
+    ``simulate_signals`` but rendered at a STATIC power-of-two length from a
+    conservative host-side delay budget — no per-call device sync for the
+    data-dependent max path delay, and the fused pow2 render kernel applies
+    (waveforms differ from the reference's exact-2N transform only in the
+    periodic-sinc interpolation tails, ~1e-3 — see ops/delay.delay_and_sum).
+    Reference-parity callers must keep ``simulate_signals``."""
+    dt = jnp.dtype(dtype) if dtype is not None else jnp.result_type(float)
+    source = jnp.asarray(np.asarray(source_pos), dt)
+    mics = jnp.asarray(np.asarray(mic_positions), dt)
+    if plane_coeffs is None or np.asarray(plane_coeffs).size == 0:
+        plane_np = np.zeros((0, 4))
+        plane_coeffs = jnp.zeros((0, 4), dt)
+        plane_material_ids = jnp.zeros((0,), jnp.int32)
+    else:
+        plane_np = np.asarray(plane_coeffs, float)
+        plane_coeffs = jnp.asarray(plane_np, dt)
+        plane_material_ids = jnp.asarray(np.asarray(plane_material_ids),
+                                         jnp.int32)
+    base = _base_signal(key, jnp.asarray(freq, dt), signal_type=signal_type,
+                        fs=fs, duration=duration, dtype=dt)
+    path_delays, path_gains, _ = _scene_geometry(
+        source, mics, plane_coeffs, plane_material_ids,
+        jnp.asarray(absorption_table, dt), jnp.asarray(freq_table, dt),
+        jnp.asarray(freq, dt), jnp.asarray(c, dt),
+        max_reflections=max_reflections,
+        absorption_threshold=absorption_threshold)
+    budget = static_delay_budget(np.asarray(source_pos), mic_positions,
+                                 plane_np, max_reflections, fs)
+    out_samples = int(duration * fs)
+    total_samples = out_samples + int(np.ceil(budget * fs))
+    return render_scene(base, path_delays, path_gains, fs,
+                        total_samples, out_samples, pad_mode="pow2")

@@ -135,10 +135,17 @@ def time_delays_from_corr(corr: jnp.ndarray,
             # candidates are present in the candidate set (see select_peaks).
             dilated = max_expected_delay + 4.0 * distance / fs
             window_mask = jnp.abs(time_lags) <= dilated
+        # Parity mode is bit-exact scipy find_peaks, plateau midpoints
+        # included (utils.py:152); physical mode keeps the strict (cheaper)
+        # local-maxima test — plateaus are measure-zero on whitened
+        # correlations.
+        plateaus = lag_mode == "reference"
         set_a = peaks_ops.select_peaks(corr, thr_primary, distance,
-                                       num_candidates, window_mask=window_mask)
+                                       num_candidates, window_mask=window_mask,
+                                       plateaus=plateaus)
         set_b = peaks_ops.select_peaks(corr, thr_alt, distance,
-                                       num_candidates, window_mask=window_mask)
+                                       num_candidates, window_mask=window_mask,
+                                       plateaus=plateaus)
         cnt_a = jnp.sum(set_a[2], -1, keepdims=True)
         cnt_b = jnp.sum(set_b[2], -1, keepdims=True)
 

@@ -997,15 +997,17 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
                     continue  # odd M: last couple's imag half is a dup
                 # Same int32 Weyl mix as _bfly_delay_sum's emit() so both
                 # kernels draw the SAME per-mic noise stream for a given
-                # scene key (0x9E3779B9 as a wrapped int32).
-                seed = (seed_ref[0, 0, 0],
-                        seed_ref[0, 0, 1] + mi * np.int32(-1640531527)
+                # scene key (0x9E3779B9 as a wrapped int32; mi is a Python
+                # int here, so wrap explicitly before the int32 cast).
+                weyl = np.int32((mi * -1640531527 + 2**31) % 2**32 - 2**31)
+                seed = (seed_ref[0, 0, 0], seed_ref[0, 0, 1] + weyl
                         ) if with_noise else None
                 y = _render_postprocess(
                     y[:n2_out] * window, out_samples, True, seed, snr_ref)
                 sig_ref[mi, :n2_out] = y
-                sig_ref[mi, n2_out:] = jnp.zeros((n2 - n2_out, _N1),
-                                                 jnp.float32)
+                if n2_out < n2:  # empty slices are rejected by Pallas
+                    sig_ref[mi, n2_out:] = jnp.zeros((n2 - n2_out, _N1),
+                                                     jnp.float32)
 
         # Phase 2: forward spectra of the finished signals.
         _fwd_spectra(lambda mm: sig_ref[mm], m, mask_ref, str_ref, sti_ref,

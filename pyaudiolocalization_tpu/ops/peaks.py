@@ -4,9 +4,12 @@ The reference calls scipy's C find_peaks per mic pair (utils.py:151-152) with
 a height threshold and a minimum peak distance.  Here detection is branchless
 array math over a whole (scenes, pairs) batch:
 
-  * local maxima: strict three-point comparison (plateaus — a measure-zero
-    event for whitened correlations — resolve to no peak rather than scipy's
-    plateau midpoint; documented deviation);
+  * local maxima: strict three-point comparison by default; with
+    ``plateaus=True`` (used by the reference-parity lag mode) equal-valued
+    plateaus resolve to scipy's plateau midpoint via two segmented scans —
+    bit-exact find_peaks semantics.  Physical mode keeps the strict
+    comparison: plateaus are a measure-zero event for whitened correlations
+    and the segmented scans cost two O(n log n) passes on the hot path;
   * a static top-K candidate set per row (K >= any realistic surviving peak
     count; the tallest peak always survives pruning, so num_peaks=1 —
     the pipeline's setting, main.py:204 — is exact);
@@ -24,20 +27,59 @@ import jax.numpy as jnp
 NEG_INF = -jnp.inf
 
 
-def local_maxima(x: jnp.ndarray) -> jnp.ndarray:
-    """Strict interior local maxima along the last axis."""
-    left = x[..., 1:-1] > x[..., :-2]
-    right = x[..., 1:-1] > x[..., 2:]
-    core = left & right
-    pad = [(0, 0)] * (x.ndim - 1) + [(1, 1)]
-    return jnp.pad(core, pad, constant_values=False)
+def local_maxima(x: jnp.ndarray, plateaus: bool = False) -> jnp.ndarray:
+    """Local maxima along the last axis.
+
+    ``plateaus=False``: strict interior three-point maxima (fast path).
+    ``plateaus=True``: scipy.signal.find_peaks semantics — an equal-valued
+    plateau whose left edge rises and right edge falls marks ONE peak at the
+    plateau midpoint (scipy's ``(left_edge + right_edge) // 2``, reference:
+    utils.py:152).  Implemented with two segmented copy-scans (forward run
+    starts, backward run ends), no data-dependent gathers."""
+    if not plateaus:
+        left = x[..., 1:-1] > x[..., :-2]
+        right = x[..., 1:-1] > x[..., 2:]
+        core = left & right
+        pad = [(0, 0)] * (x.ndim - 1) + [(1, 1)]
+        return jnp.pad(core, pad, constant_values=False)
+
+    n = x.shape[-1]
+    if n < 3:
+        return jnp.zeros_like(x, bool)
+    t = jnp.arange(n)
+    pad1 = [(0, 0)] * (x.ndim - 1)
+    # Run boundaries: start[t] = first sample of t's equal-value run.
+    change = jnp.pad(x[..., 1:] != x[..., :-1], pad1 + [(1, 0)],
+                     constant_values=True)
+    rising = jnp.pad(x[..., 1:] > x[..., :-1], pad1 + [(1, 0)],
+                     constant_values=False)
+    endb = jnp.pad(x[..., :-1] != x[..., 1:], pad1 + [(0, 1)],
+                   constant_values=True)
+    falling = jnp.pad(x[..., :-1] > x[..., 1:], pad1 + [(0, 1)],
+                      constant_values=False)
+
+    def seg_op(a, b):
+        # Segmented copy: a reset element overrides everything to its left.
+        (av, ai, ab), (bv, bi, bb) = a, b
+        return (jnp.where(bb, bv, av), jnp.where(bb, bi, ai), ab | bb)
+
+    tb = jnp.broadcast_to(t, x.shape)
+    ok_left, start, _ = jax.lax.associative_scan(
+        seg_op, (rising, tb, change), axis=-1)
+    okr_r, endr_r, _ = jax.lax.associative_scan(
+        seg_op, (jnp.flip(falling, -1), jnp.flip(tb, -1), jnp.flip(endb, -1)),
+        axis=-1)
+    ok_right = jnp.flip(okr_r, -1)
+    end = jnp.flip(endr_r, -1)
+    return ok_left & ok_right & (tb == (start + end) // 2)
 
 
 def select_peaks(x: jnp.ndarray,
                  threshold: jnp.ndarray,
                  distance: int,
                  k: int = 128,
-                 window_mask: jnp.ndarray | None = None
+                 window_mask: jnp.ndarray | None = None,
+                 plateaus: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-K peaks with height >= threshold and min separation ``distance``.
 
@@ -53,7 +95,7 @@ def select_peaks(x: jnp.ndarray,
     the top-K *within the window* are merged in so the tallest surviving
     in-window peak is present even when globally short.
     """
-    mask = local_maxima(x) & (x >= threshold)
+    mask = local_maxima(x, plateaus=plateaus) & (x >= threshold)
     vals = jnp.where(mask, x, NEG_INF)
     heights, pos = jax.lax.top_k(vals, k)          # sorted desc
     if window_mask is not None:

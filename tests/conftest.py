@@ -20,6 +20,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the suite is compile-dominated (big prefix-scan
+# filter graphs, sweep pipelines) and re-runs identical shapes every round —
+# cached reruns cut wall time several-fold.  CPU-specific dir (TPU runs use
+# /root/.cache/jaxcomp; sharing a dir across hosts triggers AOT
+# machine-feature warnings).
+os.makedirs("/root/.cache/jaxcomp-cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp-cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 

@@ -240,3 +240,31 @@ def test_render_finalize_matches_signal_ops_oracle(rng):
                                        fade=fade, finalize=True,
                                        interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_bfly_scene_kernel_full_length_block(rng):
+    """Regression (found on-chip, r2): when the kept samples fill the whole
+    transform (n2_out == n2, i.e. out_samples > nfft - 128) the scene
+    kernel's zero-tail write is an EMPTY slice, which Pallas rejects at
+    trace time.  Exercise out = nfft here."""
+    from pyaudiolocalization_tpu.ops.delay import fade_window
+    fs, nfft = 8000.0, 2048
+    total = out = nfft
+    base = np.zeros(total, np.float32)
+    base[:1800] = rng.standard_normal(1800)
+    d = rng.uniform(0, 0.01, (4, 2)).astype(np.float32)
+    g = rng.uniform(0.3, 1.0, (4, 2)).astype(np.float32)
+    pi = np.array([0, 0, 0, 1, 1, 2], np.int32)
+    pj = np.array([1, 2, 3, 2, 3, 3], np.int32)
+    wq = 3
+    fade = fade_window(total, dtype=jnp.float32)[:out]
+    sigs = pf.bfly_delay_sum(jnp.asarray(base), jnp.asarray(d),
+                             jnp.asarray(g), fs, nfft, out, fade=fade,
+                             finalize=True, interpret=True)
+    win1, st1 = pf.bfly_gcc_windowed(sigs, pi, pj, nfft, wq, fs=fs,
+                                     interpret=True)
+    win2, st2 = pf.bfly_scene_windowed(
+        jnp.asarray(base), jnp.asarray(d), jnp.asarray(g), pi, pj, fs, nfft,
+        out, wq, fade=fade, interpret=True)
+    assert float(jnp.max(jnp.abs(win1 - win2))) < 1e-6
+    assert float(jnp.max(jnp.abs(st1 - st2))) < 1e-6

@@ -123,9 +123,9 @@ def test_srp_beats_lm_in_reverb():
                   max_reflections=2, source_box_lo=(0.1, 0.1, 0.1),
                   source_box_hi=(0.9, 0.9, 0.9), snr_db=(10.0, 25.0))
     srp = monte_carlo_sweep(SweepSpec(solver="srp", **common),
-                            jax.random.PRNGKey(0), 16)
+                            jax.random.PRNGKey(0), 8)
     lm = monte_carlo_sweep(SweepSpec(solver="lm", **common),
-                           jax.random.PRNGKey(0), 16)
+                           jax.random.PRNGKey(0), 8)
     assert float(srp.hit_rate) >= float(lm.hit_rate)
     assert float(srp.rmse) < 0.5
 

@@ -233,7 +233,8 @@ def _fast_vs_slow(filter_method, key=11):
     try:
         scene_cfg = pal.SceneConfig.from_dict(cfg)
         assert api._fast_path_eligible(
-            scene_cfg.localization, 4096, scene_cfg.num_mics, jnp.float32), \
+            scene_cfg.localization, 4096, scene_cfg.num_mics, jnp.float32,
+            scene_cfg.fs), \
             "test scene must dispatch the fast path"
         fast = run()
     finally:
@@ -269,12 +270,12 @@ def test_fast_path_matches_full_core_butterworth():
 def test_fast_path_not_dispatched_in_parity_or_analyze_modes():
     from pyaudiolocalization_tpu import api
     loc_parity = pal.LocalizationConfig(lag_mode="reference")
-    assert not api._fast_path_eligible(loc_parity, 4096, 4, jnp.float32)
+    assert not api._fast_path_eligible(loc_parity, 4096, 4, jnp.float32, 8000.0)
     loc_analyze = pal.LocalizationConfig(
         lag_mode="physical", max_expected_delay=0.05,
         analyze_correlation=True)
-    assert not api._fast_path_eligible(loc_analyze, 4096, 4, jnp.float32)
+    assert not api._fast_path_eligible(loc_analyze, 4096, 4, jnp.float32, 8000.0)
     # CPU backend without the interpret hook: never eligible.
     loc_ok = pal.LocalizationConfig(lag_mode="physical",
                                     max_expected_delay=0.05)
-    assert not api._fast_path_eligible(loc_ok, 4096, 4, jnp.float32)
+    assert not api._fast_path_eligible(loc_ok, 4096, 4, jnp.float32, 8000.0)
