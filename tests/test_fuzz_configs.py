@@ -13,7 +13,7 @@ def _config(rng, num_mics, signal_type, filter_method, lag_mode, sync_mode,
     mics = rng.uniform(0.0, 1.0, (num_mics, 3)).round(3).tolist()
     return {
         "fs": 8000,
-        "duration": 0.15,
+        "duration": 0.1,
         "celsius": float(rng.uniform(-10, 40)),
         "humidity": float(rng.uniform(10, 90)),
         "mic_positions": mics,

@@ -304,7 +304,8 @@ def test_parity_ladder_resolves_plateaus(rng):
     n = 400
     corr = jnp.zeros(n).at[100:105].set(1.0).at[250].set(0.5)
     res = tdoa.time_delays_from_corr(corr[None], n // 2 + 1, n // 2, 1000.0,
-                                     num_peaks=2, lag_mode="reference")
+                                     num_peaks=2, lag_mode="reference",
+                                     num_candidates=32)
     pos_ref, _ = scipy.signal.find_peaks(np.asarray(corr), height=0.1)
     lags = np.asarray(res.time_lags) * 1000.0
     # scipy midpoint of the [100, 104] plateau is 102.

@@ -147,7 +147,7 @@ def test_bfly_windowed_tdoa_matches_full_ladder(rng):
     nfft = 4096
     max_td = 1.25 * np.sqrt(2) / c
     band = (300.0, 3400.0)
-    for trial in range(3):
+    for trial in range(2):
         src = rng.uniform(0.1, 0.9, 3)
         sigs = simulate_signals(src, mics, fs, c, duration=0.2,
                                 signal_type="noise",
@@ -196,13 +196,13 @@ def test_bfly_scene_kernel_matches_two_kernel_path(rng):
     two-kernel split — kept as the documented design-point record; see
     parallel/sweep._sim_est_fused.)"""
     from pyaudiolocalization_tpu.ops.delay import fade_window
-    fs, nfft, total, out = 8000.0, 4096, 3500, 3000
+    fs, nfft, total, out = 8000.0, 2048, 1800, 1500
     base = np.zeros(total, np.float32)
-    base[:3000] = rng.standard_normal(3000)
-    d = rng.uniform(0, 0.02, (4, 2)).astype(np.float32)
-    g = rng.uniform(0.3, 1.0, (4, 2)).astype(np.float32)
-    pi = np.array([0, 0, 0, 1, 1, 2], np.int32)
-    pj = np.array([1, 2, 3, 2, 3, 3], np.int32)
+    base[:1500] = rng.standard_normal(1500)
+    d = rng.uniform(0, 0.02, (3, 2)).astype(np.float32)
+    g = rng.uniform(0.3, 1.0, (3, 2)).astype(np.float32)
+    pi = np.array([0, 0, 1], np.int32)
+    pj = np.array([1, 2, 2], np.int32)
     band = (300.0, 3400.0)
     wq = 3
     fade = fade_window(total, dtype=jnp.float32)[:out]
@@ -248,15 +248,15 @@ def test_bfly_scene_kernel_full_length_block(rng):
     kernel's zero-tail write is an EMPTY slice, which Pallas rejects at
     trace time.  Exercise out = nfft here."""
     from pyaudiolocalization_tpu.ops.delay import fade_window
-    fs, nfft = 8000.0, 2048
+    fs, nfft = 8000.0, 1024
     total = out = nfft
     base = np.zeros(total, np.float32)
-    base[:1800] = rng.standard_normal(1800)
-    d = rng.uniform(0, 0.01, (4, 2)).astype(np.float32)
-    g = rng.uniform(0.3, 1.0, (4, 2)).astype(np.float32)
-    pi = np.array([0, 0, 0, 1, 1, 2], np.int32)
-    pj = np.array([1, 2, 3, 2, 3, 3], np.int32)
-    wq = 3
+    base[:900] = rng.standard_normal(900)
+    d = rng.uniform(0, 0.01, (2, 2)).astype(np.float32)
+    g = rng.uniform(0.3, 1.0, (2, 2)).astype(np.float32)
+    pi = np.array([0], np.int32)
+    pj = np.array([1], np.int32)
+    wq = 2
     fade = fade_window(total, dtype=jnp.float32)[:out]
     sigs = pf.bfly_delay_sum(jnp.asarray(base), jnp.asarray(d),
                              jnp.asarray(g), fs, nfft, out, fade=fade,

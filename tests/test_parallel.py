@@ -38,8 +38,9 @@ def test_sweep_mesh_matches_single_device():
     same per-scene errors, psum-reduced summary equals the local one."""
     mesh = make_mesh(8)
     key = jax.random.PRNGKey(42)
-    single = monte_carlo_sweep(SPEC, key, 16)
-    sharded = monte_carlo_sweep(SPEC, key, 16, mesh=mesh)
+    # 8 scenes: reuses test_sweep_single_device's compiled 8-scene graph.
+    single = monte_carlo_sweep(SPEC, key, 8)
+    sharded = monte_carlo_sweep(SPEC, key, 8, mesh=mesh)
     np.testing.assert_allclose(np.asarray(sharded.results.error),
                                np.asarray(single.results.error),
                                rtol=1e-4, atol=1e-5)
@@ -173,7 +174,7 @@ def test_sweep_speech_signal():
 MICS8 = ((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
          (1.0, 1.0, 0.0), (1.0, 0.0, 1.0), (0.0, 1.0, 1.0), (1.0, 1.0, 1.0))
 
-MULTI_SPEC = SweepSpec(fs=16000.0, duration=0.25, signal_type="noise",
+MULTI_SPEC = SweepSpec(fs=16000.0, duration=0.125, signal_type="noise",
                        mic_positions=MICS8, solver="srp",
                        num_sources=2, source_min_separation=0.4,
                        source_box_lo=(0.1, 0.1, 0.1),

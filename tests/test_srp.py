@@ -57,7 +57,7 @@ def test_srp_multi_source_two_talkers():
     pj8 = pj8.astype(np.int32)
     srcs = np.array([[0.2, 0.2, 0.3], [0.8, 0.7, 0.6]])
     sigs = sum(
-        simulate_signals(s, mics8, FS, C, duration=0.25, signal_type="noise",
+        simulate_signals(s, mics8, FS, C, duration=0.15, signal_type="noise",
                          key=jax.random.PRNGKey(i + 1))
         for i, s in enumerate(srcs))
     corr = gccphat.gcc_phat_all_pairs(jnp.asarray(sigs), pi8, pj8, nfft=8192)
