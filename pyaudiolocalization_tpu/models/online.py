@@ -98,6 +98,7 @@ class StreamingLocalizer:
         else:
             self._mask = None
         self._step = jax.jit(self._step_impl)
+        self._run = jax.jit(self._run_impl)
 
     def init_state(self) -> StreamState:
         m = self.mics.shape[0]
@@ -145,26 +146,35 @@ class StreamingLocalizer:
                 f"({self.mics.shape[0]}, {self.hop}), got {block.shape}")
         return self._step(state, block)
 
+    def _run_impl(self, state: StreamState, blocks: jnp.ndarray):
+        def scan_step(st, block):
+            out = self._step_impl(st, block)
+            return out.state, (out.position, out.power)
+        _, (positions, powers) = jax.lax.scan(scan_step, state, blocks)
+        return positions, powers
+
     def run(self, signals) -> Tuple[np.ndarray, np.ndarray]:
-        """Convenience: stream a whole (M, T) capture through ``step``;
-        returns (positions (S, 3), powers (S,)) for the S full hops after
-        the first full frame (with ``num_sources=K``: (S, K, 3), (S, K))."""
+        """Convenience: stream a whole (M, T) capture through the step
+        update under ONE ``lax.scan`` (one host→device upload, one
+        dispatch, one fetch — driving ``step`` per hop from the host costs
+        a ~27 ms tunnel round trip per block upload); returns
+        (positions (S, 3), powers (S,)) for the S full hops after the
+        first full frame (with ``num_sources=K``: (S, K, 3), (S, K)).
+        Recompiles per distinct hop count; real-time callers drive
+        ``step`` directly."""
         signals = np.asarray(signals, np.float32)
         m, t = signals.shape
-        state = self.init_state()
-        positions, powers = [], []
         num_blocks = t // self.hop
         warmup = self.frame // self.hop
-        for i in range(num_blocks):
-            block = signals[:, i * self.hop:(i + 1) * self.hop]
-            out = self.step(state, block)
-            state = out.state
-            if i + 1 >= warmup:
-                positions.append(np.asarray(out.position))
-                powers.append(np.asarray(out.power))
-        if not positions:  # capture shorter than one frame
+        if num_blocks < warmup:  # capture shorter than one frame
             shape = ((0, 3) if self.num_sources == 1
                      else (0, self.num_sources, 3))
             pshape = (0,) if self.num_sources == 1 else (0, self.num_sources)
             return np.zeros(shape, np.float32), np.zeros(pshape, np.float32)
-        return np.asarray(positions), np.asarray(powers)
+        blocks = jnp.asarray(
+            signals[:, :num_blocks * self.hop]
+            .reshape(m, num_blocks, self.hop)
+            .transpose(1, 0, 2))                       # (S_all, M, hop)
+        positions, powers = self._run(self.init_state(), blocks)
+        return (np.asarray(positions[warmup - 1:]),
+                np.asarray(powers[warmup - 1:]))
