@@ -3,8 +3,9 @@
 Counterpart of ``read_audio_files`` (reference: utils.py:459-482), which
 uses soundfile + resampy.  soundfile is not available in this environment,
 so WAV decoding is a small self-contained RIFF parser (PCM 8/16/24/32-bit
-and IEEE float 32/64); if soundfile happens to be importable it is used for
-non-WAV formats.  Resampling uses ops/resample (Kaiser-windowed sinc).
+and IEEE float 32/64), FLAC decodes via utils/flac.py, and AIFF/AIFC via
+``read_aiff`` below; if soundfile happens to be importable it is used for
+any other format.  Resampling uses ops/resample (Kaiser-windowed sinc).
 """
 
 from __future__ import annotations
@@ -85,14 +86,99 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return frames, int(fs)
 
 
+def _read_extended80(b: bytes) -> float:
+    """Decode an 80-bit IEEE 754 extended float (AIFF COMM sample rate):
+    1 sign bit, 15 exponent bits (bias 16383), 64-bit explicit-integer-bit
+    mantissa."""
+    sign_exp, mant = struct.unpack(">HQ", b[:10])
+    sign = -1.0 if sign_exp & 0x8000 else 1.0
+    exp = sign_exp & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * float(mant) * 2.0 ** (exp - 16383 - 63)
+
+
+def read_aiff(path: str) -> Tuple[np.ndarray, int]:
+    """Decode an AIFF / AIFF-C file to ((frames, channels) float64, fs).
+
+    Big-endian IFF container: FORM/{AIFF,AIFC}, COMM (channels, numFrames,
+    bits, 80-bit extended-float rate [+ compression id for AIFC]), SSND
+    (offset, blockSize, payload).  Supports PCM 8/16/24/32 ('NONE'),
+    'sowt' (little-endian 16-bit) and 'fl32'/'FL32'/'fl64' floats.
+    Closes the reference's soundfile format surface (utils.py:465) for
+    AIFF captures alongside WAV and FLAC.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (b"AIFF",
+                                                                   b"AIFC"):
+        raise RuntimeError(f"Not an AIFF/AIFC file: {path}")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    comm = None
+    compression = b"NONE"
+    ssnd = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos:pos + 4]
+        size = struct.unpack(">I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if chunk_id == b"COMM":
+            channels, num_frames, bits = struct.unpack(">HIH", body[:8])
+            fs = _read_extended80(body[8:18])
+            if is_aifc and len(body) >= 22:
+                compression = body[18:22]
+            comm = (channels, num_frames, bits, fs)
+        elif chunk_id == b"SSND":
+            offset, _block = struct.unpack(">II", body[:8])
+            ssnd = body[8 + offset:]
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise RuntimeError(f"Missing COMM/SSND chunk in AIFF: {path}")
+    channels, num_frames, bits, fs = comm
+    if compression in (b"NONE", b"sowt"):
+        order = "<" if compression == b"sowt" else ">"
+        if bits == 8:  # AIFF 8-bit PCM is SIGNED (unlike WAV)
+            samples = np.frombuffer(ssnd, np.int8).astype(np.float64) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(ssnd, order + "i2").astype(
+                np.float64) / 32768.0
+        elif bits == 24:
+            b3 = np.frombuffer(ssnd, np.uint8)
+            b3 = b3[:len(b3) - len(b3) % 3].reshape(-1, 3)
+            if compression == b"sowt":
+                b3 = b3[:, ::-1]
+            vals = ((b3[:, 0].astype(np.int32) << 16)
+                    | (b3[:, 1].astype(np.int32) << 8)
+                    | b3[:, 2].astype(np.int32))
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            samples = vals.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(ssnd, order + "i4").astype(
+                np.float64) / float(1 << 31)
+        else:
+            raise RuntimeError(f"Unsupported AIFF bit depth {bits} in {path}")
+    elif compression in (b"fl32", b"FL32"):
+        samples = np.frombuffer(ssnd, ">f4").astype(np.float64)
+    elif compression in (b"fl64", b"FL64"):
+        samples = np.frombuffer(ssnd, ">f8").astype(np.float64)
+    else:
+        raise RuntimeError(
+            f"Unsupported AIFC compression {compression!r} in {path}")
+    samples = samples[:num_frames * channels]
+    frames = samples.reshape(-1, channels)
+    return frames, int(round(fs))
+
+
 def read_audio_file(path: str) -> Tuple[np.ndarray, int]:
     """Read one audio file to (frames, channels) float64 + sample rate.
-    WAV and FLAC decode self-contained (utils/flac.py); anything else
-    falls back to soundfile when importable."""
+    WAV, FLAC (utils/flac.py) and AIFF/AIFC decode self-contained;
+    anything else falls back to soundfile when importable."""
     lower = path.lower()
     if lower.endswith(".flac"):
         from .flac import read_flac
         return read_flac(path)
+    if lower.endswith((".aiff", ".aif", ".aifc")):
+        return read_aiff(path)
     if lower.endswith(".wav") or _soundfile is None:
         return read_wav(path)
     data, fs = _soundfile.read(path, always_2d=True)  # pragma: no cover

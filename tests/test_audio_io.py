@@ -160,3 +160,115 @@ def test_read_audio_files_flac(tmp_path, rng):
     freqs = np.fft.rfftfreq(out.shape[0], 1 / fs)
     for f0 in (440.0, 880.0):
         assert spec[np.argmin(np.abs(freqs - f0))] > 10.0
+
+
+# ---------------------------------------------------------------------------
+# AIFF / AIFF-C (big-endian IFF; independent encoder to validate read_aiff)
+
+def _extended80(rate: float) -> bytes:
+    """Encode a positive sample rate as an 80-bit IEEE extended float
+    (independent of the decoder in audio_io for a real cross-check)."""
+    import math
+    if rate == 0:
+        return b"\x00" * 10
+    exp = math.floor(math.log2(rate))
+    mant = int(rate / 2.0 ** (exp - 63))
+    return struct.pack(">HQ", exp + 16383, mant)
+
+
+def write_aiff(path, data, fs, channels=1, compression=b"NONE", bits=16):
+    """Minimal AIFF/AIFC writer for fixtures. `data` is interleaved."""
+    data = np.asarray(data, np.float64)
+    num_frames = data.size // channels
+    if compression == b"NONE" and bits == 16:
+        payload = np.clip(np.round(data * 32768), -32768, 32767).astype(
+            ">i2").tobytes()
+    elif compression == b"NONE" and bits == 8:
+        payload = np.clip(np.round(data * 128), -128, 127).astype(
+            np.int8).tobytes()
+    elif compression == b"NONE" and bits == 24:
+        v = np.clip(np.round(data * (1 << 23)), -(1 << 23),
+                    (1 << 23) - 1).astype(np.int32)
+        b = np.empty((v.size, 3), np.uint8)
+        b[:, 0] = (v >> 16) & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = v & 0xFF
+        payload = b.tobytes()
+    elif compression == b"sowt":
+        bits = 16
+        payload = np.clip(np.round(data * 32768), -32768, 32767).astype(
+            "<i2").tobytes()
+    elif compression == b"fl32":
+        bits = 32
+        payload = data.astype(">f4").tobytes()
+    else:
+        raise ValueError(compression)
+    is_aifc = compression != b"NONE"
+    comm = struct.pack(">HIH", channels, num_frames, bits) + _extended80(fs)
+    if is_aifc:
+        comm += compression + b"\x00\x00"  # empty pstring name, padded
+    ssnd = struct.pack(">II", 0, 0) + payload
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    if len(comm) & 1:
+        chunks += b"\x00"
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    form_type = b"AIFC" if is_aifc else b"AIFF"
+    body = form_type + chunks
+    with open(path, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", len(body)) + body)
+
+
+def test_read_aiff_pcm16_roundtrip(tmp_path, rng):
+    from pyaudiolocalization_tpu.utils.audio_io import read_aiff
+    fs = 44100
+    x = np.clip(rng.normal(size=4000) * 0.2, -0.99, 0.99)
+    p = str(tmp_path / "a.aiff")
+    write_aiff(p, x, fs)
+    frames, got_fs = read_aiff(p)
+    assert got_fs == fs
+    np.testing.assert_allclose(frames[:, 0], x, atol=1.5 / 32768)
+
+
+@pytest.mark.parametrize("compression,bits,atol", [
+    (b"NONE", 8, 1.0 / 128),
+    (b"NONE", 24, 1.0 / (1 << 23)),
+    (b"sowt", 16, 1.0 / 32768),
+    (b"fl32", 32, 1e-7),
+])
+def test_read_aiff_variants(tmp_path, rng, compression, bits, atol):
+    from pyaudiolocalization_tpu.utils.audio_io import read_aiff
+    fs = 16000
+    x = np.clip(rng.normal(size=1024) * 0.3, -0.99, 0.99)
+    p = str(tmp_path / "v.aifc")
+    write_aiff(p, x, fs, compression=compression, bits=bits)
+    frames, got_fs = read_aiff(p)
+    assert got_fs == fs
+    np.testing.assert_allclose(frames[:, 0], x, atol=atol)
+
+
+def test_read_aiff_stereo_odd_rate(tmp_path, rng):
+    """Non-integer-power rate (22050) exercises the 80-bit float decode;
+    stereo exercises de-interleave + read_audio_files downmix."""
+    from pyaudiolocalization_tpu.utils.audio_io import read_aiff
+    fs = 22050
+    t = np.arange(2000) / fs
+    inter = np.empty(4000)
+    inter[0::2] = np.sin(2 * np.pi * 440 * t) * 0.5
+    inter[1::2] = np.cos(2 * np.pi * 440 * t) * 0.5
+    p = str(tmp_path / "st.aif")
+    write_aiff(p, inter, fs, channels=2)
+    frames, got_fs = read_aiff(p)
+    assert got_fs == fs and frames.shape == (2000, 2)
+    sigs = read_audio_files([p], float(fs))
+    assert sigs[0].shape == (2000,)
+
+
+def test_read_aiff_rejects_garbage(tmp_path):
+    from pyaudiolocalization_tpu.utils.audio_io import read_aiff
+    p = str(tmp_path / "bad.aiff")
+    open(p, "wb").write(b"not an aiff file at all")
+    with pytest.raises(RuntimeError):
+        read_aiff(p)
+    # read_audio_files wraps it in its RuntimeError contract
+    with pytest.raises(RuntimeError):
+        read_audio_files([p], 8000.0)
