@@ -197,6 +197,16 @@ def lfilter(b, a, x: jnp.ndarray, zi: jnp.ndarray | None = None,
     """
     b = tuple(np.atleast_1d(b).tolist())
     a = tuple(np.atleast_1d(a).tolist())
+    return _lfilter_jit(b, a, x, zi, method)
+
+
+# Jitted at definition (eager per-op dispatch of the prefix path costs
+# hundreds of one-off XLA op compiles per new shape on CPU hosts; one
+# persistent-cacheable whole-graph compile under jit).  Coefficients are
+# normalized to hashable tuples by the public wrappers above/below.
+@functools.partial(jax.jit, static_argnames=("b", "a", "method"))
+def _lfilter_jit(b: tuple, a: tuple, x: jnp.ndarray,
+                 zi: jnp.ndarray | None, method: str) -> jnp.ndarray:
     if len(a) == 1:
         return _fir_lfilter(b, a[0], x, zi)
     b0, M, kvec = _df2t_matrices(b, a)

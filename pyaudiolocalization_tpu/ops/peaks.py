@@ -19,6 +19,7 @@ array math over a whole (scenes, pairs) batch:
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -26,7 +27,14 @@ import jax.numpy as jnp
 
 NEG_INF = -jnp.inf
 
+# These entry points are jitted at definition: the plateau path lowers to two
+# associative scans whose EAGER execution costs hundreds of per-op XLA
+# compiles (~25 ms each on a 1-core host) on every new shape, vs one
+# persistent-cacheable compile under jit.  All callers inside outer jits just
+# inline (nested jit is free at trace time).
 
+
+@functools.partial(jax.jit, static_argnames=("plateaus",))
 def local_maxima(x: jnp.ndarray, plateaus: bool = False) -> jnp.ndarray:
     """Local maxima along the last axis.
 
@@ -74,6 +82,7 @@ def local_maxima(x: jnp.ndarray, plateaus: bool = False) -> jnp.ndarray:
     return ok_left & ok_right & (tb == (start + end) // 2)
 
 
+@functools.partial(jax.jit, static_argnames=("distance", "k", "plateaus"))
 def select_peaks(x: jnp.ndarray,
                  threshold: jnp.ndarray,
                  distance: int,
@@ -131,6 +140,7 @@ def compact_valid(pos: jnp.ndarray, heights: jnp.ndarray, keep: jnp.ndarray):
             jnp.take_along_axis(keep, order, -1))
 
 
+@functools.partial(jax.jit, static_argnames=("distance", "k"))
 def select_peaks_two(x: jnp.ndarray, thr_a: jnp.ndarray, thr_b: jnp.ndarray,
                      distance: int, k: int = 128):
     """Two-threshold variant of ``select_peaks`` sharing one candidate set.
