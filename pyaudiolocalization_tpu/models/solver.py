@@ -17,6 +17,7 @@ td = (arrival_j - arrival_i) = -(peak lag)/fs (see models/tdoa.py).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -85,11 +86,21 @@ def optimal_cluster_count(points: jnp.ndarray, valid: jnp.ndarray,
     """Silhouette-selected cluster count (utils.py:273-302), branchless:
     evaluate every k in 2..min(max_clusters, n) and pick the best score
     (strict improvement, like the reference's `>`)."""
-    n = points.shape[0]
-    n_valid = jnp.sum(valid)
     if method not in ("kmeans", "dbscan"):
         # Reference raises for unknown methods (utils.py:298-302).
         raise ValueError("Unknown clustering method. Use 'kmeans' or 'dbscan'.")
+    return _optimal_cluster_count_jit(points, valid, key,
+                                      max_clusters=max_clusters,
+                                      method=method, eps=eps,
+                                      min_samples=min_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("max_clusters", "method", "eps",
+                                             "min_samples"))
+def _optimal_cluster_count_jit(points, valid, key, *, max_clusters, method,
+                               eps, min_samples) -> jnp.ndarray:
+    n = points.shape[0]
+    n_valid = jnp.sum(valid)
     if method == "dbscan":
         res = cluster_ops.dbscan(points, eps, min_samples, valid)
         labels = jnp.maximum(res.labels, 0)
@@ -112,6 +123,8 @@ def optimal_cluster_count(points: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(n_valid < 2, 1, best_k)
 
 
+@functools.partial(jax.jit, static_argnames=("clustering_method", "eps",
+                                             "min_samples", "max_clusters"))
 def heuristic_initial_guesses(mic_positions: jnp.ndarray,
                               pairs_i: jnp.ndarray, pairs_j: jnp.ndarray,
                               tdoas: jnp.ndarray, c, key: jax.Array,
@@ -124,7 +137,8 @@ def heuristic_initial_guesses(mic_positions: jnp.ndarray,
 
     Returns (guesses, valid) with static shape (G, 3): G = max_clusters + 1
     for kmeans, P + 1 for dbscan.  Invalid rows are filled with the centroid
-    (harmless duplicate restarts for the solver).
+    (harmless duplicate restarts for the solver).  Jitted at definition so
+    eager callers (the compat layer) get one compiled graph per shape.
     """
     centroid = jnp.mean(mic_positions, 0)
     points, pvalid = pair_guesses(mic_positions, pairs_i, pairs_j, tdoas, c)

@@ -20,6 +20,7 @@ needed.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -188,13 +189,26 @@ def srp_phat_locate(corr: jnp.ndarray,
     1-2-sample-wide peaks); stage 2: fine_n^3 lattice over the
     +-1-coarse-cell neighborhood of the peak on the RAW correlation;
     optional per-axis quadratic interpolation of the fine peak.  Everything
-    is one jitted graph; vmap over a leading scene axis for batches.
+    is one jitted graph (jitted here at definition — eager callers such as
+    the tracking/online serving paths would otherwise pay per-op dispatch);
+    vmap over a leading scene axis for batches.
     """
+    return _srp_locate_jit(
+        corr, mic_positions, c, lower, upper,
+        pi=tuple(np.asarray(pairs_i, np.int32).tolist()),
+        pj=tuple(np.asarray(pairs_j, np.int32).tolist()),
+        fs=float(fs), coarse_n=coarse_n, fine_n=fine_n, refine=refine,
+        w=_resolve_pool(pool_samples, lower, upper, coarse_n, fs, c),
+        ml=_resolve_max_lag(max_lag_samples, mic_positions, fs, c))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pi", "pj", "fs", "coarse_n", "fine_n", "refine", "w", "ml"))
+def _srp_locate_jit(corr, mic_positions, c, lower, upper, *, pi, pj, fs,
+                    coarse_n, fine_n, refine, w, ml) -> SrpResult:
     dtype = corr.dtype
-    pi = np.asarray(pairs_i, np.int32)
-    pj = np.asarray(pairs_j, np.int32)
-    w = _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c)
-    ml = _resolve_max_lag(max_lag_samples, mic_positions, fs, c)
+    pi = np.asarray(pi, np.int32)
+    pj = np.asarray(pj, np.int32)
     windowed = ml is not None and 2 * (ml + w) + 1 <= corr.shape[-1]
 
     coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
@@ -280,11 +294,25 @@ def srp_phat_locate_multi(corr: jnp.ndarray,
     sources must be mutually low-correlated (e.g. independent talkers) for
     their SRP peaks to separate.
     """
+    return _srp_locate_multi_jit(
+        corr, mic_positions, c, lower, upper,
+        pi=tuple(np.asarray(pairs_i, np.int32).tolist()),
+        pj=tuple(np.asarray(pairs_j, np.int32).tolist()),
+        fs=float(fs), num_sources=num_sources, coarse_n=coarse_n,
+        fine_n=fine_n, min_separation=min_separation,
+        w=_resolve_pool(pool_samples, lower, upper, coarse_n, fs, c),
+        ml=_resolve_max_lag(max_lag_samples, mic_positions, fs, c))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pi", "pj", "fs", "num_sources", "coarse_n", "fine_n", "min_separation",
+    "w", "ml"))
+def _srp_locate_multi_jit(corr, mic_positions, c, lower, upper, *, pi, pj,
+                          fs, num_sources, coarse_n, fine_n, min_separation,
+                          w, ml) -> MultiSrpResult:
     dtype = corr.dtype
-    pi = np.asarray(pairs_i, np.int32)
-    pj = np.asarray(pairs_j, np.int32)
-    w = _resolve_pool(pool_samples, lower, upper, coarse_n, fs, c)
-    ml = _resolve_max_lag(max_lag_samples, mic_positions, fs, c)
+    pi = np.asarray(pi, np.int32)
+    pj = np.asarray(pj, np.int32)
     windowed = ml is not None and 2 * (ml + w) + 1 <= corr.shape[-1]
     pts = _grid_points(lower, upper, coarse_n, dtype)
     if windowed:
