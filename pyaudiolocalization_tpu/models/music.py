@@ -1,0 +1,281 @@
+"""MUSIC (MUltiple SIgnal Classification) narrowband localization.
+
+No reference counterpart — a beyond-parity estimator that complements the
+Bartlett beamformer (models/beamformer.py): where the steered-power scan's
+resolution is limited by the array's beamwidth (closely spaced sources merge
+into one lobe), MUSIC projects steering vectors onto the NOISE subspace of
+the spatial covariance and peaks sharply wherever a steering vector is
+orthogonal to it — super-resolution for uncorrelated narrowband sources.
+
+Estimator shape (incoherent wideband MUSIC, per selected rfft bin k):
+
+    R_k   = (1/F) sum_f  x_f(k) x_f(k)^H          (M x M snapshot covariance)
+    E_s,k = top-num_sources eigenvectors of R_k   (signal subspace)
+    P(x)  = sum_k w_k / (||a_k(x)||^2 - ||E_s,k^H a_k(x)||^2 + eps)
+
+with near-field phase-only steering a_m(x) = exp(-i w_k d_m(x) / c).
+
+TPU-first design decisions:
+
+  * NO complex linear algebra: the Hermitian covariance C = A + iB embeds as
+    the real symmetric (2M, 2M) matrix [[A, -B], [B, A]] whose spectrum is
+    C's doubled — each complex eigenvector v = vr + i vi appears as the two
+    real eigenvectors [vr; vi], [-vi; vr].  The complex projection norm
+    ||E_s^H a||^2 equals the real embedded projection of [Re a; Im a], so
+    one real `eigh` on a tiny (2M, 2M) matrix replaces complex EVD (which
+    the TPU tunnel cannot even transfer).  Signal subspace = top
+    2*num_sources embedded eigenvectors.
+  * Snapshots come from a strided frame matrix (F frames x `frame` samples,
+    one batched rfft); bin selection reuses the beamformer's tempered
+    top-energy rule.
+  * The grid scan is dense linear algebra over (G, M) distance planes —
+    cos/sin steering planes contracted against the (2M, 2K) subspace — no
+    gathers; coarse->fine two-stage search like models/srp.py, and a
+    multi-source variant with the same spatial-suppression loop as
+    srp_phat_locate_multi.
+
+Caveats (standard MUSIC limits, documented for users): sources must be
+mutually uncorrelated at the selected bins (fully coherent copies — e.g.
+strong specular multipath of the SAME tone — collapse the signal subspace;
+use the SRP/GCC chain there), and F must exceed num_sources for the
+covariance to attain rank.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .beamformer import select_bins
+from .srp import _grid_points
+
+
+class MusicResult(NamedTuple):
+    position: jnp.ndarray    # (..., 3)
+    power: jnp.ndarray       # (...,) pseudo-spectrum value at the estimate
+    coarse: jnp.ndarray      # (..., 3) stage-1 cell center (diagnostics)
+
+
+class MultiMusicResult(NamedTuple):
+    positions: jnp.ndarray   # (..., K, 3) descending coarse power
+    powers: jnp.ndarray      # (..., K) fine-stage pseudo-spectrum values
+
+
+def snapshot_frames(signals: jnp.ndarray, frame: int,
+                    hop: Optional[int] = None) -> jnp.ndarray:
+    """(M, N) time signals -> (M, F, frame//2+1) complex rfft snapshots.
+
+    Frames start every ``hop`` samples (default frame//2, 50% overlap) — a
+    static strided slice, so the whole STFT is one batched rfft."""
+    m, n = signals.shape
+    h = frame // 2 if hop is None else int(hop)
+    if n < frame:
+        raise ValueError(
+            f"signals ({n} samples) shorter than the analysis frame ({frame}).")
+    num = 1 + (n - frame) // h
+    starts = np.arange(num) * h
+    idx = starts[:, None] + np.arange(frame)[None, :]       # (F, L) static
+    frames = signals[:, idx]                                # (M, F, L)
+    win = jnp.asarray(np.hanning(frame), signals.dtype)
+    return jnp.fft.rfft(frames * win[None, None, :], axis=-1)
+
+
+def _signal_subspaces(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
+                      num_sources: int) -> jnp.ndarray:
+    """Embedded signal subspaces for each selected bin.
+
+    snaps: (M, F, bins) complex; returns (B, 2M, 2K) orthonormal columns
+    spanning the real embedding of each bin's top-K eigenspace."""
+    m = snaps.shape[0]
+    sel = snaps[:, :, bin_idx]                              # (M, F, B)
+    xr = jnp.real(sel).transpose(2, 0, 1)                   # (B, M, F)
+    xi = jnp.imag(sel).transpose(2, 0, 1)
+    f = sel.shape[1]
+    # C = (1/F) X X^H = A + iB:  A = (xr xr^T + xi xi^T)/F (symmetric),
+    # B = (xi xr^T - xr xi^T)/F (antisymmetric).
+    a_mat = (xr @ jnp.swapaxes(xr, -1, -2)
+             + xi @ jnp.swapaxes(xi, -1, -2)) / f           # (B, M, M)
+    b_mat = (xi @ jnp.swapaxes(xr, -1, -2)
+             - xr @ jnp.swapaxes(xi, -1, -2)) / f
+    top = jnp.concatenate([a_mat, -b_mat], axis=-1)
+    bot = jnp.concatenate([b_mat, a_mat], axis=-1)
+    emb = jnp.concatenate([top, bot], axis=-2)              # (B, 2M, 2M)
+    _, vecs = jnp.linalg.eigh(emb)                          # ascending
+    return vecs[:, :, 2 * m - 2 * num_sources:]             # (B, 2M, 2K)
+
+
+def refine_bin_freqs(power: jnp.ndarray, bin_idx: jnp.ndarray,
+                     fs: float, nfft: int) -> jnp.ndarray:
+    """Per-bin frequency refinement: log-parabolic (Gaussian) interpolation
+    of the mean power spectrum around each selected bin.
+
+    A tone off the DFT grid still yields a rank-1 snapshot covariance whose
+    signal eigenvector is the steering vector at the tone's TRUE frequency
+    (the Hann leakage factor is common to all mics), so steering at the bin
+    CENTER mis-rotates phases by up to half a bin — measured 2.2 cm error
+    for a 600 Hz tone in 62.5 Hz bins, vs 6 mm with refinement.  Returns
+    angular frequencies (B,) rad/s, offsets clamped to +-0.5 bin."""
+    n_bins = power.shape[-1]
+    k = bin_idx
+    km = jnp.clip(k - 1, 0, n_bins - 1)
+    kp = jnp.clip(k + 1, 0, n_bins - 1)
+    eps = jnp.asarray(1e-30, power.dtype)
+    lm = jnp.log(power[km] + eps)
+    l0 = jnp.log(power[k] + eps)
+    lp = jnp.log(power[kp] + eps)
+    denom = lm - 2.0 * l0 + lp
+    delta = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (lm - lp) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    # Edge bins get no refinement (their neighbors are clamped copies).
+    delta = jnp.where((k > 0) & (k < n_bins - 1), delta, 0.0)
+    return 2.0 * jnp.pi * (k.astype(power.dtype) + delta) * (fs / nfft)
+
+
+def music_map(subspaces: jnp.ndarray, omega: jnp.ndarray,
+              bin_w: jnp.ndarray, points: jnp.ndarray,
+              mic_positions: jnp.ndarray, c) -> jnp.ndarray:
+    """MUSIC pseudo-spectrum for each candidate point.
+
+    subspaces: (B, 2M, 2K) embedded signal subspaces; omega: (B,) angular
+    frequencies (rad/s, see ``refine_bin_freqs``); points: (G, 3).
+    Returns (G,).  Steering is phase-only (unit modulus), ||a||^2 = M."""
+    m = mic_positions.shape[0]
+    d = jnp.linalg.norm(points[:, None, :] - mic_positions[None, :, :],
+                        axis=-1)                            # (G, M)
+    theta = (d[:, :, None] / c) * omega.astype(d.dtype)[None, None, :]
+    # a_m = exp(-i theta): embedded [Re a; Im a] = [cos; -sin].
+    ar = jnp.cos(theta)
+    ai = -jnp.sin(theta)
+    a_emb = jnp.concatenate([ar, ai], axis=1)               # (G, 2M, B)
+    # ||E_s^H a||^2 per (G, B): contract the embedded subspace columns.
+    proj = jnp.einsum("bmk,gmb->gbk", subspaces, a_emb)     # (G, B, 2K)
+    sig = jnp.sum(proj * proj, axis=-1)                     # (G, B)
+    noise = jnp.maximum(m - sig, 1e-7 * m)
+    return jnp.sum(bin_w[None, :] / noise, axis=-1)
+
+
+def music_locate(signals: jnp.ndarray,
+                 mic_positions: jnp.ndarray,
+                 fs: float,
+                 c,
+                 lower: jnp.ndarray,
+                 upper: jnp.ndarray,
+                 num_sources: int = 1,
+                 frame: int = 256,
+                 hop: Optional[int] = None,
+                 num_bins: int = 8,
+                 band: Optional[Tuple[float, float]] = None,
+                 coarse_n: int = 24,
+                 fine_n: int = 12) -> MusicResult:
+    """Two-stage MUSIC grid search over the box [lower, upper].
+
+    signals: (M, N) time-domain mic signals.  Set ``num_sources`` to the
+    number of simultaneous narrowband emitters whose subspace should be
+    protected (the returned estimate is the single strongest peak — use
+    ``music_locate_multi`` to extract all of them)."""
+    return _music_locate_jit(
+        signals, mic_positions, c, lower, upper,
+        fs=float(fs), num_sources=num_sources, frame=frame,
+        hop=hop, num_bins=num_bins, band=band, coarse_n=coarse_n,
+        fine_n=fine_n)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fs", "num_sources", "frame", "hop", "num_bins", "band", "coarse_n",
+    "fine_n"))
+def _music_locate_jit(signals, mic_positions, c, lower, upper, *, fs,
+                      num_sources, frame, hop, num_bins, band, coarse_n,
+                      fine_n) -> MusicResult:
+    dtype = signals.dtype
+    snaps = snapshot_frames(signals, frame, hop)
+    bin_idx, bin_w = select_bins(
+        jnp.mean(jnp.abs(snaps), axis=1), fs, frame, num_bins, band)
+    subs = _signal_subspaces(snaps, bin_idx, num_sources)
+    omega = refine_bin_freqs(jnp.mean(jnp.abs(snaps) ** 2, axis=(0, 1)),
+                             bin_idx, fs, frame)
+
+    coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
+    coarse_val = music_map(subs, omega, bin_w, coarse_pts, mic_positions, c)
+    best = jnp.argmax(coarse_val)
+    center = coarse_pts[best]
+    cell = (upper - lower) / coarse_n
+
+    fine_pts = _grid_points(center - 1.5 * cell, center + 1.5 * cell,
+                            fine_n, dtype)
+    fine_val = music_map(subs, omega, bin_w, fine_pts, mic_positions, c)
+    fbest = jnp.argmax(fine_val)
+    pos = jnp.clip(fine_pts[fbest], lower, upper)
+    return MusicResult(pos, fine_val[fbest], center)
+
+
+def music_locate_multi(signals: jnp.ndarray,
+                       mic_positions: jnp.ndarray,
+                       fs: float,
+                       c,
+                       lower: jnp.ndarray,
+                       upper: jnp.ndarray,
+                       num_sources: int,
+                       frame: int = 256,
+                       hop: Optional[int] = None,
+                       num_bins: int = 8,
+                       band: Optional[Tuple[float, float]] = None,
+                       coarse_n: int = 24,
+                       fine_n: int = 12,
+                       min_separation: Optional[float] = None
+                       ) -> MultiMusicResult:
+    """Extract ``num_sources`` peaks of the MUSIC map: iterative coarse
+    argmax + spatial suppression (same protocol as srp_phat_locate_multi:
+    default radius 3 coarse cells), then a fine re-grid around each peak."""
+    return _music_locate_multi_jit(
+        signals, mic_positions, c, lower, upper,
+        fs=float(fs), num_sources=num_sources, frame=frame, hop=hop,
+        num_bins=num_bins, band=band, coarse_n=coarse_n, fine_n=fine_n,
+        min_separation=min_separation)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fs", "num_sources", "frame", "hop", "num_bins", "band", "coarse_n",
+    "fine_n", "min_separation"))
+def _music_locate_multi_jit(signals, mic_positions, c, lower, upper, *, fs,
+                            num_sources, frame, hop, num_bins, band,
+                            coarse_n, fine_n, min_separation
+                            ) -> MultiMusicResult:
+    dtype = signals.dtype
+    snaps = snapshot_frames(signals, frame, hop)
+    bin_idx, bin_w = select_bins(
+        jnp.mean(jnp.abs(snaps), axis=1), fs, frame, num_bins, band)
+    subs = _signal_subspaces(snaps, bin_idx, num_sources)
+    omega = refine_bin_freqs(jnp.mean(jnp.abs(snaps) ** 2, axis=(0, 1)),
+                             bin_idx, fs, frame)
+
+    pts = _grid_points(lower, upper, coarse_n, dtype)
+    vals = music_map(subs, omega, bin_w, pts, mic_positions, c)
+    cell = (upper - lower) / coarse_n
+    radius = (3.0 * jnp.max(cell) if min_separation is None
+              else jnp.asarray(min_separation, dtype))
+
+    def pick(carry, _):
+        v = carry
+        idx = jnp.argmax(v)
+        center = pts[idx]
+        close = jnp.linalg.norm(pts - center[None, :], axis=-1) <= radius
+        return jnp.where(close, -jnp.inf, v), center
+
+    _, centers = jax.lax.scan(pick, vals, None, length=num_sources)
+
+    def refine_one(center):
+        fine_pts = _grid_points(center - 1.5 * cell, center + 1.5 * cell,
+                                fine_n, dtype)
+        fine_val = music_map(subs, omega, bin_w, fine_pts, mic_positions, c)
+        k = jnp.argmax(fine_val)
+        return fine_pts[k], fine_val[k]
+
+    positions, powers = jax.vmap(refine_one)(centers)
+    return MultiMusicResult(
+        jnp.clip(positions, lower[None, :], upper[None, :]), powers)
