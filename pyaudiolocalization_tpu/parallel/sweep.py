@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import acoustics
 from ..models import beamformer as beam_ops
+from ..models import music as music_ops
 from ..models import solver as solver_ops
 from ..models import srp as srp_ops
 from ..models import tdoa as tdoa_ops
@@ -101,10 +102,13 @@ class SweepSpec:
     # 'srp' (initialization-free SRP-PHAT grid search over the source box),
     # 'srp+lm' (SRP fix polished by LM, gated to the SRP cell), 'de'
     # (on-device differential evolution over the TDOA objective —
-    # BASELINE config 4; population = de_popsize * 3), or 'beam'
+    # BASELINE config 4; population = de_popsize * 3), 'beam'
     # (narrowband steered-power beamforming, models/beamformer.py — the
     # estimator that localizes pure tones, which defeat every
-    # correlation-based TDOA chain; needs adequate spatial sampling).
+    # correlation-based TDOA chain; needs adequate spatial sampling), or
+    # 'music' (subspace localization, models/music.py — same narrowband
+    # regime as 'beam' with super-resolution of closely spaced sources;
+    # also valid for multi-source sweeps).
     solver: str = "lm"
     de_popsize: int = 15
     de_maxiter: int = 200
@@ -231,10 +235,11 @@ def _check_spec(spec: SweepSpec) -> None:
     if spec.num_sources < 1:
         raise ValueError("num_sources must be >= 1")
     if spec.num_sources > 1:
-        if spec.solver != "srp":
+        if spec.solver not in ("srp", "music"):
             raise ValueError(
-                "multi-source sweeps (num_sources > 1) require solver='srp': "
-                "per-pair TDOA solvers assume a single dominant source")
+                "multi-source sweeps (num_sources > 1) require solver='srp' "
+                "or 'music': per-pair TDOA solvers assume a single dominant "
+                "source")
         if spec.num_sources > 6:
             raise ValueError(
                 "num_sources > 6 not supported (K! assignment matching)")
@@ -245,7 +250,7 @@ def _check_spec(spec: SweepSpec) -> None:
             raise ValueError(
                 "multi-source 'sine' scenes need distinct source_freqs: "
                 "same-frequency sines are fully coherent and cannot be "
-                "separated by SRP-PHAT")
+                "separated (SRP-PHAT or MUSIC)")
 
 
 def _srp_box(spec: SweepSpec):
@@ -265,6 +270,19 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
     filtered, band = _prefilter(spec, signals)
+    if spec.solver == "music":
+        # Subspace multi-source extraction: no correlation stage at all
+        # (TDOA diagnostics are zeros, like the single-source 'beam'/'music'
+        # branches — narrowband sources have no usable correlation peaks).
+        blo, bhi = _srp_box(spec)
+        sep = (0.8 * spec.source_min_separation
+               if spec.source_min_separation > 0 else None)
+        out = music_ops.music_locate_multi(
+            filtered, mics, spec.fs, c,
+            jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
+            num_sources=spec.num_sources, band=band, min_separation=sep)
+        td = jnp.zeros(pi.shape[0], signals.dtype)
+        return out.positions, -out.powers, td
     corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
                                       band=band, fs=spec.fs)
     # Diagnostic per-pair argmax TDOA (dominated by the strongest source):
@@ -336,6 +354,20 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
             beam_sigs, mics, spec.fs, c,
             jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
             band=band, nfft=spec.nfft)
+        td = jnp.zeros(pi.shape[0], signals.dtype)
+        return out.position, -out.power, td
+    if spec.solver == "music":
+        # Subspace localization: same narrowband regime and front-end
+        # treatment as 'beam' (band mask instead of redundant LTI filter;
+        # wiener really runs), but the estimate comes from the noise-
+        # subspace projection — super-resolution where the Bartlett scan's
+        # beamwidth merges sources.
+        blo, bhi = _srp_box(spec)
+        m_sigs, band = _prefilter(spec, signals)
+        out = music_ops.music_locate(
+            m_sigs, mics, spec.fs, c,
+            jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
+            band=band)
         td = jnp.zeros(pi.shape[0], signals.dtype)
         return out.position, -out.power, td
     filtered, band = _prefilter(spec, signals)

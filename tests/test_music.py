@@ -97,3 +97,33 @@ def test_music_short_signal_raises():
     with pytest.raises(ValueError, match="shorter"):
         music.music_locate(jnp.zeros((4, 100)), jnp.asarray(MICS[:4]), FS, C,
                            LO, HI, frame=256)
+
+
+def test_music_sweep_solver_on_sine_scenes():
+    """SweepSpec(solver='music') localizes randomized SINE scenes like the
+    'beam' solver (and via the same band-mask front-end treatment)."""
+    from pyaudiolocalization_tpu.parallel import SweepSpec, monte_carlo_sweep
+    mics8 = tuple(tuple(r) for r in MICS)
+    spec = SweepSpec(fs=16000.0, duration=0.25, signal_type="sine",
+                     freq=800.0, mic_positions=mics8, solver="music",
+                     source_box_lo=(0.2, 0.2, 0.2),
+                     source_box_hi=(0.8, 0.8, 0.8), snr_db=(25.0, 35.0))
+    s = monte_carlo_sweep(spec, jax.random.PRNGKey(5), 8)
+    assert float(s.rmse) < 0.05
+    assert float(s.hit_rate) == 1.0
+
+
+def test_music_sweep_multi_source_tones():
+    """Multi-source sweeps accept solver='music': two tones per scene,
+    assignment-matched errors stay small."""
+    from pyaudiolocalization_tpu.parallel import SweepSpec, run_scene
+    mics8 = tuple(tuple(r) for r in MICS)
+    spec = SweepSpec(fs=16000.0, duration=0.25, signal_type="sine",
+                     mic_positions=mics8, solver="music", num_sources=2,
+                     source_freqs=(600.0, 950.0),
+                     source_min_separation=0.35,
+                     source_box_lo=(0.15, 0.15, 0.15),
+                     source_box_hi=(0.85, 0.85, 0.85), snr_db=(25.0, 35.0))
+    res = run_scene(spec, jax.random.PRNGKey(1))
+    assert res.estimate.shape == (2, 3)
+    assert float(np.max(np.asarray(res.error))) < 0.08, np.asarray(res.error)
