@@ -10,8 +10,8 @@ orthogonal to it — super-resolution for uncorrelated narrowband sources.
 Estimator shape (incoherent wideband MUSIC, per selected rfft bin k):
 
     R_k   = (1/F) sum_f  x_f(k) x_f(k)^H          (M x M snapshot covariance)
-    E_s,k = top-num_sources eigenvectors of R_k   (signal subspace)
-    P(x)  = sum_k w_k / (||a_k(x)||^2 - ||E_s,k^H a_k(x)||^2 + eps)
+    E_n,k = all-but-top-num_sources eigenvectors  (noise subspace)
+    P(x)  = sum_k w_k / max(||E_n,k^H a_k(x)||^2, eps)
 
 with near-field phase-only steering a_m(x) = exp(-i w_k d_m(x) / c).
 
@@ -84,12 +84,17 @@ def snapshot_frames(signals: jnp.ndarray, frame: int,
     return jnp.fft.rfft(frames * win[None, None, :], axis=-1)
 
 
-def _signal_subspaces(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
-                      num_sources: int) -> jnp.ndarray:
-    """Embedded signal subspaces for each selected bin.
+def _noise_subspaces(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
+                     num_sources: int) -> jnp.ndarray:
+    """Embedded NOISE subspaces for each selected bin.
 
-    snaps: (M, F, bins) complex; returns (B, 2M, 2K) orthonormal columns
-    spanning the real embedding of each bin's top-K eigenspace."""
+    snaps: (M, F, bins) complex; returns (B, 2M, 2M-2K) orthonormal columns
+    spanning the real embedding of each bin's noise eigenspace (everything
+    below the top-K).  The pseudo-spectrum projects onto THIS subspace
+    directly — computing it as ||a||^2 - ||E_s^H a||^2 subtracts two nearly
+    equal numbers exactly where the MUSIC peak is sharpest, which in
+    float32 on the TPU blurs the fine-stage map into quantization noise
+    (measured: p90 35 mm via the signal-subspace complement, 7 mm direct)."""
     m = snaps.shape[0]
     sel = snaps[:, :, bin_idx]                              # (M, F, B)
     xr = jnp.real(sel).transpose(2, 0, 1)                   # (B, M, F)
@@ -105,36 +110,43 @@ def _signal_subspaces(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
     bot = jnp.concatenate([b_mat, a_mat], axis=-1)
     emb = jnp.concatenate([top, bot], axis=-2)              # (B, 2M, 2M)
     _, vecs = jnp.linalg.eigh(emb)                          # ascending
-    return vecs[:, :, 2 * m - 2 * num_sources:]             # (B, 2M, 2K)
+    return vecs[:, :, :2 * m - 2 * num_sources]             # (B, 2M, 2M-2K)
 
 
-def refine_bin_freqs(power: jnp.ndarray, bin_idx: jnp.ndarray,
-                     fs: float, nfft: int) -> jnp.ndarray:
-    """Per-bin frequency refinement: log-parabolic (Gaussian) interpolation
-    of the mean power spectrum around each selected bin.
+def refine_bin_freqs(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
+                     fs: float, nfft: int, hop: int) -> jnp.ndarray:
+    """Per-bin frequency refinement via the phase-vocoder estimator: the
+    mean inter-frame phase advance of bin k, summed over mics and frame
+    pairs, gives the tone's TRUE frequency to a fraction of a Hz.
 
-    A tone off the DFT grid still yields a rank-1 snapshot covariance whose
-    signal eigenvector is the steering vector at the tone's TRUE frequency
-    (the Hann leakage factor is common to all mics), so steering at the bin
-    CENTER mis-rotates phases by up to half a bin — measured 2.2 cm error
-    for a 600 Hz tone in 62.5 Hz bins, vs 6 mm with refinement.  Returns
-    angular frequencies (B,) rad/s, offsets clamped to +-0.5 bin."""
-    n_bins = power.shape[-1]
-    k = bin_idx
-    km = jnp.clip(k - 1, 0, n_bins - 1)
-    kp = jnp.clip(k + 1, 0, n_bins - 1)
-    eps = jnp.asarray(1e-30, power.dtype)
-    lm = jnp.log(power[km] + eps)
-    l0 = jnp.log(power[k] + eps)
-    lp = jnp.log(power[kp] + eps)
-    denom = lm - 2.0 * l0 + lp
-    delta = jnp.where(jnp.abs(denom) > 1e-12,
-                      0.5 * (lm - lp) / jnp.where(denom == 0, 1.0, denom),
-                      0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
-    # Edge bins get no refinement (their neighbors are clamped copies).
-    delta = jnp.where((k > 0) & (k < n_bins - 1), delta, 0.0)
-    return 2.0 * jnp.pi * (k.astype(power.dtype) + delta) * (fs / nfft)
+    Why it matters: a tone off the DFT grid still yields a rank-1 snapshot
+    covariance whose signal eigenvector is the steering vector at the
+    tone's true frequency (the Hann leakage factor is common to all mics),
+    so steering at the bin CENTER mis-rotates phases by up to half a bin —
+    measured 2.2 cm localization error for a 600 Hz tone in 62.5 Hz bins,
+    vs ~6 mm refined.  The phase-advance estimator beats magnitude
+    parabolic interpolation (windowed-peak interpolation is biased) and
+    keeps COARSE frames viable — coarse bins retain the frequency
+    DIVERSITY across selected bins that vetoes grating lobes, while
+    refinement restores fine-bin steering precision.
+
+    snaps: (M, F, bins) complex rfft snapshots with frame hop ``hop``.
+    Returns angular frequencies (B,) rad/s, offsets clamped to +-0.55 bin
+    (a top-energy bin's true tone is always within half a bin)."""
+    rdtype = jnp.real(snaps).dtype
+    base = 2.0 * jnp.pi * bin_idx.astype(rdtype) / nfft     # rad/sample
+    if snaps.shape[1] < 2:
+        return base * fs
+    sel = snaps[:, :, bin_idx]                              # (M, F, B)
+    prod = sel[:, 1:, :] * jnp.conj(sel[:, :-1, :])
+    s_sum = jnp.sum(prod, axis=(0, 1))                      # (B,)
+    adv = jnp.arctan2(jnp.imag(s_sum), jnp.real(s_sum))     # (-pi, pi]
+    expected = base * hop
+    two_pi = 2.0 * jnp.pi
+    delta = (adv - expected + jnp.pi) % two_pi - jnp.pi     # wrapped residual
+    half_bin = 0.55 * two_pi / nfft                         # rad/sample
+    delta = jnp.clip(delta / hop, -half_bin, half_bin)
+    return (base + delta) * fs
 
 
 def music_map(subspaces: jnp.ndarray, omega: jnp.ndarray,
@@ -142,9 +154,11 @@ def music_map(subspaces: jnp.ndarray, omega: jnp.ndarray,
               mic_positions: jnp.ndarray, c) -> jnp.ndarray:
     """MUSIC pseudo-spectrum for each candidate point.
 
-    subspaces: (B, 2M, 2K) embedded signal subspaces; omega: (B,) angular
-    frequencies (rad/s, see ``refine_bin_freqs``); points: (G, 3).
-    Returns (G,).  Steering is phase-only (unit modulus), ||a||^2 = M."""
+    subspaces: (B, 2M, 2M-2K) embedded NOISE subspaces (_noise_subspaces);
+    omega: (B,) angular frequencies (rad/s, see ``refine_bin_freqs``);
+    points: (G, 3).  Returns (G,).  Steering is phase-only (unit modulus),
+    ||a||^2 = M; the noise projection is computed directly (float32-stable,
+    see _noise_subspaces)."""
     m = mic_positions.shape[0]
     d = jnp.linalg.norm(points[:, None, :] - mic_positions[None, :, :],
                         axis=-1)                            # (G, M)
@@ -153,10 +167,9 @@ def music_map(subspaces: jnp.ndarray, omega: jnp.ndarray,
     ar = jnp.cos(theta)
     ai = -jnp.sin(theta)
     a_emb = jnp.concatenate([ar, ai], axis=1)               # (G, 2M, B)
-    # ||E_s^H a||^2 per (G, B): contract the embedded subspace columns.
-    proj = jnp.einsum("bmk,gmb->gbk", subspaces, a_emb)     # (G, B, 2K)
-    sig = jnp.sum(proj * proj, axis=-1)                     # (G, B)
-    noise = jnp.maximum(m - sig, 1e-7 * m)
+    # ||E_n^H a||^2 per (G, B): contract the embedded noise columns.
+    proj = jnp.einsum("bmk,gmb->gbk", subspaces, a_emb)     # (G, B, 2M-2K)
+    noise = jnp.maximum(jnp.sum(proj * proj, axis=-1), 1e-7 * m)
     return jnp.sum(bin_w[None, :] / noise, axis=-1)
 
 
@@ -196,9 +209,9 @@ def _music_locate_jit(signals, mic_positions, c, lower, upper, *, fs,
     snaps = snapshot_frames(signals, frame, hop)
     bin_idx, bin_w = select_bins(
         jnp.mean(jnp.abs(snaps), axis=1), fs, frame, num_bins, band)
-    subs = _signal_subspaces(snaps, bin_idx, num_sources)
-    omega = refine_bin_freqs(jnp.mean(jnp.abs(snaps) ** 2, axis=(0, 1)),
-                             bin_idx, fs, frame)
+    subs = _noise_subspaces(snaps, bin_idx, num_sources)
+    omega = refine_bin_freqs(snaps, bin_idx, fs, frame,
+                             frame // 2 if hop is None else int(hop))
 
     coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
     coarse_val = music_map(subs, omega, bin_w, coarse_pts, mic_positions, c)
@@ -250,9 +263,9 @@ def _music_locate_multi_jit(signals, mic_positions, c, lower, upper, *, fs,
     snaps = snapshot_frames(signals, frame, hop)
     bin_idx, bin_w = select_bins(
         jnp.mean(jnp.abs(snaps), axis=1), fs, frame, num_bins, band)
-    subs = _signal_subspaces(snaps, bin_idx, num_sources)
-    omega = refine_bin_freqs(jnp.mean(jnp.abs(snaps) ** 2, axis=(0, 1)),
-                             bin_idx, fs, frame)
+    subs = _noise_subspaces(snaps, bin_idx, num_sources)
+    omega = refine_bin_freqs(snaps, bin_idx, fs, frame,
+                             frame // 2 if hop is None else int(hop))
 
     pts = _grid_points(lower, upper, coarse_n, dtype)
     vals = music_map(subs, omega, bin_w, pts, mic_positions, c)

@@ -74,7 +74,8 @@ def test_music_super_resolution_same_bin():
     sigs = (_tone_scene(srcs[0], 600.0, jax.random.PRNGKey(7))
             + _tone_scene(srcs[1], 612.0, jax.random.PRNGKey(8)))
     out = music.music_locate_multi(sigs, jnp.asarray(MICS), FS, C, LO, HI,
-                                   num_sources=2, min_separation=0.12)
+                                   num_sources=2, frame=256,
+                                   min_separation=0.12)
     got = np.asarray(out.positions)
     e1 = np.linalg.norm(got - srcs, axis=-1).max()
     e2 = np.linalg.norm(got - srcs[::-1], axis=-1).max()

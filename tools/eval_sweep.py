@@ -3,7 +3,7 @@
 Run on the real TPU:
     PYTHONPATH=/root/.axon_site:/root/repo python tools/eval_sweep.py
 Options:
-    --sections snr,hard,multi,beam   subset to run (default: all four)
+    --sections snr,hard,multi,beam,music   subset to run (default: all five)
     --quick                          1/8 scene counts (CPU smoke / debugging)
 
 Each section prints the corresponding EVALUATION.md markdown table.  Seeds
@@ -119,13 +119,38 @@ def section_beam(scale):
     print(f"| {rmse:.4f} | {p90:.4f} | {hit:.0%} |")
 
 
+def section_music(scale):
+    scenes = max(16 // max(scale // 2, 1), 4)
+    base = dict(fs=16000.0, duration=0.25, signal_type="sine",
+                freq=800.0, mic_positions=CUBE8,
+                source_box_lo=(0.2,) * 3, source_box_hi=(0.8,) * 3,
+                snr_db=(25.0, 35.0))
+    print(f"\n## MUSIC vs Bartlett — 800 Hz pure tone, same {scenes} scenes "
+          f"(seed 400)\n")
+    print("| solver | RMSE (m) | p90 (m) | hit@10 cm |")
+    print("|---|---|---|---|")
+    for solver in ("beam", "music"):
+        rmse, p90, hit = run(SweepSpec(solver=solver, **base), 400, scenes)
+        print(f"| {solver} | {rmse:.4f} | {p90:.4f} | {hit:.0%} |")
+    mspec = SweepSpec(fs=16000.0, duration=0.25, signal_type="sine",
+                      mic_positions=CUBE8, solver="music", num_sources=2,
+                      source_freqs=(600.0, 950.0),
+                      source_min_separation=0.35,
+                      source_box_lo=(0.15,) * 3, source_box_hi=(0.85,) * 3,
+                      snr_db=(25.0, 35.0))
+    rmse, p90, hit = run(mspec, 410, scenes)
+    print(f"| music, 2 tones/scene (600+950 Hz) | {rmse:.4f} | {p90:.4f} "
+          f"| {hit:.0%} |")
+
+
 SECTIONS = {"snr": section_snr, "hard": section_hard,
-            "multi": section_multi, "beam": section_beam}
+            "multi": section_multi, "beam": section_beam,
+            "music": section_music}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sections", default="snr,hard,multi,beam")
+    ap.add_argument("--sections", default="snr,hard,multi,beam,music")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     scale = 8 if args.quick else 1
