@@ -114,6 +114,28 @@ def test_music_sweep_solver_on_sine_scenes():
     assert float(s.hit_rate) == 1.0
 
 
+def test_music_sweep_mesh_matches_single_device():
+    """solver='music' under shard_map (batched eigh inside the sharded
+    scene pipeline) must match the single-device run exactly."""
+    from pyaudiolocalization_tpu.parallel import (SweepSpec, make_mesh,
+                                                  monte_carlo_sweep)
+    mics8 = tuple(tuple(r) for r in MICS)
+    # Same spec/batch as test_music_sweep_solver_on_sine_scenes: the
+    # single-device 8-scene graph is already compiled in-process.
+    spec = SweepSpec(fs=16000.0, duration=0.25, signal_type="sine",
+                     freq=800.0, mic_positions=mics8, solver="music",
+                     source_box_lo=(0.2, 0.2, 0.2),
+                     source_box_hi=(0.8, 0.8, 0.8), snr_db=(25.0, 35.0))
+    key = jax.random.PRNGKey(5)
+    single = monte_carlo_sweep(spec, key, 8)
+    sharded = monte_carlo_sweep(spec, key, 8, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(sharded.results.error),
+                               np.asarray(single.results.error),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(sharded.rmse), float(single.rmse),
+                               rtol=1e-4)
+
+
 def test_music_sweep_multi_source_tones():
     """Multi-source sweeps accept solver='music': two tones per scene,
     assignment-matched errors stay small."""
