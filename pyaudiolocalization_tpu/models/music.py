@@ -173,6 +173,17 @@ def music_map(subspaces: jnp.ndarray, omega: jnp.ndarray,
     return jnp.sum(bin_w[None, :] / noise, axis=-1)
 
 
+def _check_num_sources(num_sources: int, num_mics: int) -> None:
+    """MUSIC needs a non-empty noise subspace: K < M strictly (with K = M
+    every steering vector lies in the signal span and the pseudo-spectrum
+    is flat)."""
+    if not 1 <= num_sources < num_mics:
+        raise ValueError(
+            f"num_sources must satisfy 1 <= num_sources < num_mics "
+            f"({num_mics}); got {num_sources} — MUSIC requires at least one "
+            f"noise-subspace dimension.")
+
+
 def music_locate(signals: jnp.ndarray,
                  mic_positions: jnp.ndarray,
                  fs: float,
@@ -192,6 +203,7 @@ def music_locate(signals: jnp.ndarray,
     number of simultaneous narrowband emitters whose subspace should be
     protected (the returned estimate is the single strongest peak — use
     ``music_locate_multi`` to extract all of them)."""
+    _check_num_sources(num_sources, signals.shape[0])
     return _music_locate_jit(
         signals, mic_positions, c, lower, upper,
         fs=float(fs), num_sources=num_sources, frame=frame,
@@ -245,6 +257,7 @@ def music_locate_multi(signals: jnp.ndarray,
     """Extract ``num_sources`` peaks of the MUSIC map: iterative coarse
     argmax + spatial suppression (same protocol as srp_phat_locate_multi:
     default radius 3 coarse cells), then a fine re-grid around each peak."""
+    _check_num_sources(num_sources, signals.shape[0])
     return _music_locate_multi_jit(
         signals, mic_positions, c, lower, upper,
         fs=float(fs), num_sources=num_sources, frame=frame, hop=hop,

@@ -98,6 +98,9 @@ def test_music_short_signal_raises():
     with pytest.raises(ValueError, match="shorter"):
         music.music_locate(jnp.zeros((4, 100)), jnp.asarray(MICS[:4]), FS, C,
                            LO, HI, frame=256)
+    with pytest.raises(ValueError, match="noise-subspace"):
+        music.music_locate(jnp.zeros((4, 1000)), jnp.asarray(MICS[:4]), FS,
+                           C, LO, HI, num_sources=4)
 
 
 def test_music_sweep_solver_on_sine_scenes():
