@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .srp import _grid_points
+from .srp import two_stage_search
 
 
 class BeamResult(NamedTuple):
@@ -123,19 +123,11 @@ def beamform_locate(signals: jnp.ndarray,
     nf = int(nfft) if nfft is not None else n
     spectra = jnp.fft.rfft(signals, n=nf)
     bin_idx, bin_w = select_bins(spectra, fs, nf, num_bins, band)
-    dtype = signals.dtype
 
-    coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
-    coarse_val = steered_power_map(spectra, bin_idx, bin_w, coarse_pts,
-                                   mic_positions, fs, nf, c)
-    best = jnp.argmax(coarse_val)
-    center = coarse_pts[best]
-    cell = (upper - lower) / coarse_n
+    def map_fn(p):
+        return steered_power_map(spectra, bin_idx, bin_w, p, mic_positions,
+                                 fs, nf, c)
 
-    fine_pts = _grid_points(center - 1.5 * cell, center + 1.5 * cell,
-                            fine_n, dtype)
-    fine_val = steered_power_map(spectra, bin_idx, bin_w, fine_pts,
-                                 mic_positions, fs, nf, c)
-    fbest = jnp.argmax(fine_val)
-    pos = jnp.clip(fine_pts[fbest], lower, upper)
-    return BeamResult(pos, fine_val[fbest], center)
+    pos, power, center, _ = two_stage_search(map_fn, map_fn, lower, upper,
+                                             coarse_n, fine_n, signals.dtype)
+    return BeamResult(jnp.clip(pos, lower, upper), power, center)

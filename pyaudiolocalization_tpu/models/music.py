@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .beamformer import select_bins
-from .srp import _grid_points
+from .srp import suppressed_multi_search, two_stage_search
 
 
 class MusicResult(NamedTuple):
@@ -132,10 +132,16 @@ def refine_bin_freqs(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
 
     snaps: (M, F, bins) complex rfft snapshots with frame hop ``hop``.
     Returns angular frequencies (B,) rad/s, offsets clamped to +-0.55 bin
-    (a top-energy bin's true tone is always within half a bin)."""
+    (a top-energy bin's true tone is always within half a bin).
+
+    Validity: the wrapped residual is unambiguous only while
+    |delta_true * hop| <= pi, i.e. hop <= nfft/1.1 given the 0.55-bin
+    clamp; for larger (gapped-frame) hops the phase advance aliases
+    (measured: a 658 Hz tone refines to 699.7 Hz at frame=256, hop=384),
+    so refinement is skipped and bin centers are used as-is."""
     rdtype = jnp.real(snaps).dtype
     base = 2.0 * jnp.pi * bin_idx.astype(rdtype) / nfft     # rad/sample
-    if snaps.shape[1] < 2:
+    if snaps.shape[1] < 2 or hop > nfft / 1.1:
         return base * fs
     sel = snaps[:, :, bin_idx]                              # (M, F, B)
     prod = sel[:, 1:, :] * jnp.conj(sel[:, :-1, :])
@@ -225,18 +231,12 @@ def _music_locate_jit(signals, mic_positions, c, lower, upper, *, fs,
     omega = refine_bin_freqs(snaps, bin_idx, fs, frame,
                              frame // 2 if hop is None else int(hop))
 
-    coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
-    coarse_val = music_map(subs, omega, bin_w, coarse_pts, mic_positions, c)
-    best = jnp.argmax(coarse_val)
-    center = coarse_pts[best]
-    cell = (upper - lower) / coarse_n
+    def map_fn(p):
+        return music_map(subs, omega, bin_w, p, mic_positions, c)
 
-    fine_pts = _grid_points(center - 1.5 * cell, center + 1.5 * cell,
-                            fine_n, dtype)
-    fine_val = music_map(subs, omega, bin_w, fine_pts, mic_positions, c)
-    fbest = jnp.argmax(fine_val)
-    pos = jnp.clip(fine_pts[fbest], lower, upper)
-    return MusicResult(pos, fine_val[fbest], center)
+    pos, power, center, _ = two_stage_search(map_fn, map_fn, lower, upper,
+                                             coarse_n, fine_n, dtype)
+    return MusicResult(jnp.clip(pos, lower, upper), power, center)
 
 
 def music_locate_multi(signals: jnp.ndarray,
@@ -280,28 +280,10 @@ def _music_locate_multi_jit(signals, mic_positions, c, lower, upper, *, fs,
     omega = refine_bin_freqs(snaps, bin_idx, fs, frame,
                              frame // 2 if hop is None else int(hop))
 
-    pts = _grid_points(lower, upper, coarse_n, dtype)
-    vals = music_map(subs, omega, bin_w, pts, mic_positions, c)
-    cell = (upper - lower) / coarse_n
-    radius = (3.0 * jnp.max(cell) if min_separation is None
-              else jnp.asarray(min_separation, dtype))
+    def map_fn(p):
+        return music_map(subs, omega, bin_w, p, mic_positions, c)
 
-    def pick(carry, _):
-        v = carry
-        idx = jnp.argmax(v)
-        center = pts[idx]
-        close = jnp.linalg.norm(pts - center[None, :], axis=-1) <= radius
-        return jnp.where(close, -jnp.inf, v), center
-
-    _, centers = jax.lax.scan(pick, vals, None, length=num_sources)
-
-    def refine_one(center):
-        fine_pts = _grid_points(center - 1.5 * cell, center + 1.5 * cell,
-                                fine_n, dtype)
-        fine_val = music_map(subs, omega, bin_w, fine_pts, mic_positions, c)
-        k = jnp.argmax(fine_val)
-        return fine_pts[k], fine_val[k]
-
-    positions, powers = jax.vmap(refine_one)(centers)
-    return MultiMusicResult(
-        jnp.clip(positions, lower[None, :], upper[None, :]), powers)
+    positions, powers = suppressed_multi_search(
+        map_fn, map_fn, lower, upper, coarse_n, fine_n, num_sources,
+        min_separation, dtype)
+    return MultiMusicResult(positions, powers)

@@ -51,6 +51,70 @@ def _grid_points(lo: jnp.ndarray, hi: jnp.ndarray, n: int, dtype):
     return jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
 
 
+# ---------------------------------------------------------------------------
+# Shared grid-search machinery (SRP, Bartlett beamformer, MUSIC)
+# ---------------------------------------------------------------------------
+
+def two_stage_search(coarse_fn, fine_fn, lower, upper, coarse_n: int,
+                     fine_n: int, dtype):
+    """Coarse argmax over the box, then a fine re-grid of +-1.5 coarse
+    cells around the peak.
+
+    ``coarse_fn``/``fine_fn`` map a (G, 3) point lattice to (G,) values
+    (they may differ — SRP evaluates the coarse stage on a max-pooled
+    correlation).  Returns (pos, power, center, cell); ``pos`` is NOT
+    clipped to the box (the fine grid extends half a cell beyond it) —
+    clip at the call site if required."""
+    pts = _grid_points(lower, upper, coarse_n, dtype)
+    vals = coarse_fn(pts)
+    center = pts[jnp.argmax(vals)]
+    cell = (upper - lower) / coarse_n
+    fine_pts = _grid_points(center - 1.5 * cell, center + 1.5 * cell,
+                            fine_n, dtype)
+    fine_val = fine_fn(fine_pts)
+    k = jnp.argmax(fine_val)
+    return fine_pts[k], fine_val[k], center, cell
+
+
+def suppressed_multi_search(coarse_fn, fine_fn, lower, upper, coarse_n: int,
+                            fine_n: int, num_sources: int, min_separation,
+                            dtype):
+    """Iterative argmax + spatial suppression over the coarse map, then the
+    fine stage around each extracted peak.
+
+    Suppression radius defaults to THREE coarse cells: the fine stage
+    re-grids +-1.5 cells around each peak, so smaller radii would let
+    distinct peaks' fine boxes overlap (pass ``min_separation`` to
+    override, accepting that risk for known-close sources).  Returns
+    (positions (K, 3) clipped to the box, powers (K,)) in descending
+    coarse-power extraction order; ``powers`` are fine-stage values and
+    may not be monotone."""
+    pts = _grid_points(lower, upper, coarse_n, dtype)
+    vals = coarse_fn(pts)
+    cell = (upper - lower) / coarse_n
+    radius = (3.0 * jnp.max(cell) if min_separation is None
+              else jnp.asarray(min_separation, dtype))
+
+    def pick(carry, _):
+        v = carry
+        idx = jnp.argmax(v)
+        center = pts[idx]
+        close = jnp.linalg.norm(pts - center[None, :], axis=-1) <= radius
+        return jnp.where(close, -jnp.inf, v), center
+
+    _, centers = jax.lax.scan(pick, vals, None, length=num_sources)
+
+    def refine_one(center):
+        fine_pts = _grid_points(center - 1.5 * cell, center + 1.5 * cell,
+                                fine_n, dtype)
+        fine_val = fine_fn(fine_pts)
+        k = jnp.argmax(fine_val)
+        return fine_pts[k], fine_val[k]
+
+    positions, powers = jax.vmap(refine_one)(centers)
+    return jnp.clip(positions, lower[None, :], upper[None, :]), powers
+
+
 def srp_map(corr: jnp.ndarray, points: jnp.ndarray, mic_positions: jnp.ndarray,
             pairs_i: np.ndarray, pairs_j: np.ndarray, fs: float, c,
             max_lag: Optional[int] = None,
@@ -211,45 +275,34 @@ def _srp_locate_jit(corr, mic_positions, c, lower, upper, *, pi, pj, fs,
     pj = np.asarray(pj, np.int32)
     windowed = ml is not None and 2 * (ml + w) + 1 <= corr.shape[-1]
 
-    coarse_pts = _grid_points(lower, upper, coarse_n, dtype)
     if windowed:
-        raw_win = _center_window(corr, ml)
-        coarse_val = srp_map(_pooled_window(corr, ml, w), coarse_pts,
-                             mic_positions, pi, pj, fs, c, max_lag=ml,
-                             pre_windowed=True)
-        corr = raw_win          # every later stage reads the raw window
-        pw = True
+        coarse_src, pw = _pooled_window(corr, ml, w), True
+        corr = _center_window(corr, ml)  # later stages read the raw window
     else:
-        pw = False
-        coarse_val = srp_map(max_pool_corr(corr, w), coarse_pts,
-                             mic_positions, pi, pj, fs, c, max_lag=ml)
-    best = jnp.argmax(coarse_val)
-    center = coarse_pts[best]
-    cell = (upper - lower) / coarse_n
+        coarse_src, pw = max_pool_corr(corr, w), False
 
-    f_lo = center - 1.5 * cell
-    f_hi = center + 1.5 * cell
-    fine_pts = _grid_points(f_lo, f_hi, fine_n, dtype)
-    fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c,
+    def coarse_fn(p):
+        return srp_map(coarse_src, p, mic_positions, pi, pj, fs, c,
                        max_lag=ml, pre_windowed=pw)
-    fbest = jnp.argmax(fine_val)
-    pos = fine_pts[fbest]
-    power = fine_val[fbest]
+
+    def fine_fn(p):
+        return srp_map(corr, p, mic_positions, pi, pj, fs, c,
+                       max_lag=ml, pre_windowed=pw)
+
+    pos, power, center, cell = two_stage_search(
+        coarse_fn, fine_fn, lower, upper, coarse_n, fine_n, dtype)
 
     if refine:
         # Per-axis quadratic fit through (pos - h, pos, pos + h).
-        h = (f_hi - f_lo) / fine_n
+        h = 3.0 * cell / fine_n
 
         def axis_refine(carry, d):
             p, _ = carry
             e = jnp.zeros(3, dtype).at[d].set(1.0)
             step = h[d]
-            vm = srp_map(corr, (p - step * e)[None], mic_positions, pi, pj,
-                         fs, c, max_lag=ml, pre_windowed=pw)[0]
-            v0 = srp_map(corr, p[None], mic_positions, pi, pj, fs, c,
-                         max_lag=ml, pre_windowed=pw)[0]
-            vp = srp_map(corr, (p + step * e)[None], mic_positions, pi, pj,
-                         fs, c, max_lag=ml, pre_windowed=pw)[0]
+            vm = fine_fn((p - step * e)[None])[0]
+            v0 = fine_fn(p[None])[0]
+            vp = fine_fn((p + step * e)[None])[0]
             denom = vm - 2.0 * v0 + vp
             delta = jnp.where(jnp.abs(denom) > 1e-12,
                               0.5 * (vm - vp) / jnp.where(denom == 0, 1.0,
@@ -259,8 +312,7 @@ def _srp_locate_jit(corr, mic_positions, c, lower, upper, *, pi, pj, fs,
 
         (pos, _), _ = jax.lax.scan(axis_refine, (pos, power), jnp.arange(3))
         pos = jnp.clip(pos, lower, upper)
-        power = srp_map(corr, pos[None], mic_positions, pi, pj, fs, c,
-                        max_lag=ml, pre_windowed=pw)[0]
+        power = fine_fn(pos[None])[0]
 
     return SrpResult(pos, power, center)
 
@@ -314,41 +366,21 @@ def _srp_locate_multi_jit(corr, mic_positions, c, lower, upper, *, pi, pj,
     pi = np.asarray(pi, np.int32)
     pj = np.asarray(pj, np.int32)
     windowed = ml is not None and 2 * (ml + w) + 1 <= corr.shape[-1]
-    pts = _grid_points(lower, upper, coarse_n, dtype)
     if windowed:
-        vals = srp_map(_pooled_window(corr, ml, w), pts, mic_positions,
-                       pi, pj, fs, c, max_lag=ml, pre_windowed=True)
+        coarse_src, pw = _pooled_window(corr, ml, w), True
         corr = _center_window(corr, ml)
-        pw = True
     else:
-        pw = False
-        vals = srp_map(max_pool_corr(corr, w), pts, mic_positions, pi, pj,
-                       fs, c, max_lag=ml)
-    cell = (upper - lower) / coarse_n
-    # Traced-safe: lower/upper may be tracers inside an outer jit.  Default
-    # 3 coarse cells: the fine stage re-grids +-1.5 cells around each coarse
-    # peak, so smaller radii would let distinct peaks' fine boxes overlap.
-    radius = (3.0 * jnp.max(cell) if min_separation is None
-              else jnp.asarray(min_separation, dtype))
+        coarse_src, pw = max_pool_corr(corr, w), False
 
-    def pick(carry, _):
-        v = carry
-        idx = jnp.argmax(v)
-        center = pts[idx]
-        close = jnp.linalg.norm(pts - center[None, :], axis=-1) <= radius
-        return jnp.where(close, -jnp.inf, v), center
+    def coarse_fn(p):
+        return srp_map(coarse_src, p, mic_positions, pi, pj, fs, c,
+                       max_lag=ml, pre_windowed=pw)
 
-    _, centers = jax.lax.scan(pick, vals, None, length=num_sources)
+    def fine_fn(p):
+        return srp_map(corr, p, mic_positions, pi, pj, fs, c,
+                       max_lag=ml, pre_windowed=pw)
 
-    def refine_one(center):
-        f_lo = center - 1.5 * cell
-        f_hi = center + 1.5 * cell
-        fine_pts = _grid_points(f_lo, f_hi, fine_n, dtype)
-        fine_val = srp_map(corr, fine_pts, mic_positions, pi, pj, fs, c,
-                           max_lag=ml, pre_windowed=pw)
-        k = jnp.argmax(fine_val)
-        return fine_pts[k], fine_val[k]
-
-    positions, fine_powers = jax.vmap(refine_one)(centers)
-    return MultiSrpResult(jnp.clip(positions, lower[None, :], upper[None, :]),
-                          fine_powers)
+    positions, fine_powers = suppressed_multi_search(
+        coarse_fn, fine_fn, lower, upper, coarse_n, fine_n, num_sources,
+        min_separation, dtype)
+    return MultiSrpResult(positions, fine_powers)

@@ -12,7 +12,7 @@ are fixed constants, so reruns on the same software reproduce the tables
 streaming rows of the "Scale points" table keep their own commands
 (examples/monte_carlo_sweep.py, examples/online_localization.py) — this
 script covers the judge-checkable accuracy tables: SNR sweep, hard
-regimes, multi-source, beamformer envelope.
+regimes, multi-source, beamformer envelope, MUSIC vs Bartlett.
 """
 
 import argparse
