@@ -84,18 +84,15 @@ def snapshot_frames(signals: jnp.ndarray, frame: int,
     return jnp.fft.rfft(frames * win[None, None, :], axis=-1)
 
 
-def _noise_subspaces(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
-                     num_sources: int) -> jnp.ndarray:
-    """Embedded NOISE subspaces for each selected bin.
+def embedded_covariances(snaps: jnp.ndarray,
+                         bin_idx: jnp.ndarray) -> jnp.ndarray:
+    """Real-embedded snapshot covariances for each selected bin.
 
-    snaps: (M, F, bins) complex; returns (B, 2M, 2M-2K) orthonormal columns
-    spanning the real embedding of each bin's noise eigenspace (everything
-    below the top-K).  The pseudo-spectrum projects onto THIS subspace
-    directly — computing it as ||a||^2 - ||E_s^H a||^2 subtracts two nearly
-    equal numbers exactly where the MUSIC peak is sharpest, which in
-    float32 on the TPU blurs the fine-stage map into quantization noise
-    (measured: p90 35 mm via the signal-subspace complement, 7 mm direct)."""
-    m = snaps.shape[0]
+    snaps: (M, F, bins) complex; returns (B, 2M, 2M) real symmetric
+    matrices [[A, -B], [B, A]] embedding C = A + iB = (1/F) X X^H.  The
+    embedding is a ring homomorphism (products/inverses of embedded
+    matrices embed the complex products/inverses), so downstream subspace
+    (MUSIC) and quadratic-form (Capon/MVDR) math stays complex-free."""
     sel = snaps[:, :, bin_idx]                              # (M, F, B)
     xr = jnp.real(sel).transpose(2, 0, 1)                   # (B, M, F)
     xi = jnp.imag(sel).transpose(2, 0, 1)
@@ -108,7 +105,34 @@ def _noise_subspaces(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
              - xr @ jnp.swapaxes(xi, -1, -2)) / f
     top = jnp.concatenate([a_mat, -b_mat], axis=-1)
     bot = jnp.concatenate([b_mat, a_mat], axis=-1)
-    emb = jnp.concatenate([top, bot], axis=-2)              # (B, 2M, 2M)
+    return jnp.concatenate([top, bot], axis=-2)             # (B, 2M, 2M)
+
+
+def embedded_steering(points: jnp.ndarray, mic_positions: jnp.ndarray,
+                      omega: jnp.ndarray, c) -> jnp.ndarray:
+    """Real-embedded near-field phase-only steering vectors.
+
+    a_m(x) = exp(-i omega d_m(x) / c) embeds as [Re a; Im a] = [cos; -sin].
+    points: (G, 3); omega: (B,) rad/s.  Returns (G, 2M, B)."""
+    d = jnp.linalg.norm(points[:, None, :] - mic_positions[None, :, :],
+                        axis=-1)                            # (G, M)
+    theta = (d[:, :, None] / c) * omega.astype(d.dtype)[None, None, :]
+    return jnp.concatenate([jnp.cos(theta), -jnp.sin(theta)], axis=1)
+
+
+def _noise_subspaces(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
+                     num_sources: int) -> jnp.ndarray:
+    """Embedded NOISE subspaces for each selected bin.
+
+    snaps: (M, F, bins) complex; returns (B, 2M, 2M-2K) orthonormal columns
+    spanning the real embedding of each bin's noise eigenspace (everything
+    below the top-K).  The pseudo-spectrum projects onto THIS subspace
+    directly — computing it as ||a||^2 - ||E_s^H a||^2 subtracts two nearly
+    equal numbers exactly where the MUSIC peak is sharpest, which in
+    float32 on the TPU blurs the fine-stage map into quantization noise
+    (measured: p90 35 mm via the signal-subspace complement, 7 mm direct)."""
+    m = snaps.shape[0]
+    emb = embedded_covariances(snaps, bin_idx)              # (B, 2M, 2M)
     _, vecs = jnp.linalg.eigh(emb)                          # ascending
     return vecs[:, :, :2 * m - 2 * num_sources]             # (B, 2M, 2M-2K)
 
@@ -166,13 +190,7 @@ def music_map(subspaces: jnp.ndarray, omega: jnp.ndarray,
     ||a||^2 = M; the noise projection is computed directly (float32-stable,
     see _noise_subspaces)."""
     m = mic_positions.shape[0]
-    d = jnp.linalg.norm(points[:, None, :] - mic_positions[None, :, :],
-                        axis=-1)                            # (G, M)
-    theta = (d[:, :, None] / c) * omega.astype(d.dtype)[None, None, :]
-    # a_m = exp(-i theta): embedded [Re a; Im a] = [cos; -sin].
-    ar = jnp.cos(theta)
-    ai = -jnp.sin(theta)
-    a_emb = jnp.concatenate([ar, ai], axis=1)               # (G, 2M, B)
+    a_emb = embedded_steering(points, mic_positions, omega, c)  # (G, 2M, B)
     # ||E_n^H a||^2 per (G, B): contract the embedded noise columns.
     proj = jnp.einsum("bmk,gmb->gbk", subspaces, a_emb)     # (G, B, 2M-2K)
     noise = jnp.maximum(jnp.sum(proj * proj, axis=-1), 1e-7 * m)

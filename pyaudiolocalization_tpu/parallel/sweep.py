@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import acoustics
 from ..models import beamformer as beam_ops
+from ..models import capon as capon_ops
 from ..models import music as music_ops
 from ..models import solver as solver_ops
 from ..models import srp as srp_ops
@@ -108,7 +109,9 @@ class SweepSpec:
     # correlation-based TDOA chain; needs adequate spatial sampling), or
     # 'music' (subspace localization, models/music.py — same narrowband
     # regime as 'beam' with super-resolution of closely spaced sources;
-    # also valid for multi-source sweeps).
+    # also valid for multi-source sweeps), or 'capon' (MVDR adaptive scan,
+    # models/capon.py — nulls loud interferers; multi-source capable, no
+    # source-count dependence in the map itself).
     solver: str = "lm"
     de_popsize: int = 15
     de_maxiter: int = 200
@@ -235,11 +238,11 @@ def _check_spec(spec: SweepSpec) -> None:
     if spec.num_sources < 1:
         raise ValueError("num_sources must be >= 1")
     if spec.num_sources > 1:
-        if spec.solver not in ("srp", "music"):
+        if spec.solver not in ("srp", "music", "capon"):
             raise ValueError(
-                "multi-source sweeps (num_sources > 1) require solver='srp' "
-                "or 'music': per-pair TDOA solvers assume a single dominant "
-                "source")
+                "multi-source sweeps (num_sources > 1) require solver='srp', "
+                "'music', or 'capon': per-pair TDOA solvers assume a single "
+                "dominant source")
         if spec.num_sources > 6:
             raise ValueError(
                 "num_sources > 6 not supported (K! assignment matching)")
@@ -270,14 +273,17 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     pi = np.asarray(spec.pairs[0], np.int32)
     pj = np.asarray(spec.pairs[1], np.int32)
     filtered, band = _prefilter(spec, signals)
-    if spec.solver == "music":
-        # Subspace multi-source extraction: no correlation stage at all
-        # (TDOA diagnostics are zeros, like the single-source 'beam'/'music'
-        # branches — narrowband sources have no usable correlation peaks).
+    if spec.solver in ("music", "capon"):
+        # Snapshot-covariance multi-source extraction: no correlation stage
+        # at all (TDOA diagnostics are zeros, like the single-source
+        # 'beam'/'music'/'capon' branches — narrowband sources have no
+        # usable correlation peaks).
         blo, bhi = _srp_box(spec)
         sep = (0.8 * spec.source_min_separation
                if spec.source_min_separation > 0 else None)
-        out = music_ops.music_locate_multi(
+        locate = (music_ops.music_locate_multi if spec.solver == "music"
+                  else capon_ops.capon_locate_multi)
+        out = locate(
             filtered, mics, spec.fs, c,
             jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
             num_sources=spec.num_sources, band=band, min_separation=sep)
@@ -356,15 +362,18 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
             band=band, nfft=spec.nfft)
         td = jnp.zeros(pi.shape[0], signals.dtype)
         return out.position, -out.power, td
-    if spec.solver == "music":
-        # Subspace localization: same narrowband regime and front-end
-        # treatment as 'beam' (band mask instead of redundant LTI filter;
-        # wiener really runs), but the estimate comes from the noise-
-        # subspace projection — super-resolution where the Bartlett scan's
-        # beamwidth merges sources.
+    if spec.solver in ("music", "capon"):
+        # Snapshot-covariance estimators: same narrowband regime and
+        # front-end treatment as 'beam' (band mask instead of redundant LTI
+        # filter; wiener really runs).  'music' projects onto the noise
+        # subspace (super-resolution where the Bartlett beamwidth merges
+        # sources); 'capon' scans the MVDR spectrum (nulls loud
+        # interferers, no source-count dependence).
         blo, bhi = _srp_box(spec)
         m_sigs, band = _prefilter(spec, signals)
-        out = music_ops.music_locate(
+        locate = (music_ops.music_locate if spec.solver == "music"
+                  else capon_ops.capon_locate)
+        out = locate(
             m_sigs, mics, spec.fs, c,
             jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
             band=band)
