@@ -125,11 +125,11 @@ def section_music(scale):
                 freq=800.0, mic_positions=CUBE8,
                 source_box_lo=(0.2,) * 3, source_box_hi=(0.8,) * 3,
                 snr_db=(25.0, 35.0))
-    print(f"\n## MUSIC vs Bartlett — 800 Hz pure tone, same {scenes} scenes "
+    print(f"\n## Narrowband trio — 800 Hz pure tone, same {scenes} scenes "
           f"(seed 400)\n")
     print("| solver | RMSE (m) | p90 (m) | hit@10 cm |")
     print("|---|---|---|---|")
-    for solver in ("beam", "music"):
+    for solver in ("beam", "capon", "music"):
         rmse, p90, hit = run(SweepSpec(solver=solver, **base), 400, scenes)
         print(f"| {solver} | {rmse:.4f} | {p90:.4f} | {hit:.0%} |")
     mspec = SweepSpec(fs=16000.0, duration=0.25, signal_type="sine",
