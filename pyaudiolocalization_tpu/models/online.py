@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import capon as capon_ops
+from . import music as music_ops
 from . import srp as srp_ops
+from .srp import suppressed_multi_search, two_stage_search
 from ..ops import gccphat
 
 
@@ -37,6 +40,18 @@ class StreamState(NamedTuple):
     # applied)
 
 
+class CovStreamState(NamedTuple):
+    """State for the narrowband methods ('capon'/'music'): instead of
+    per-pair cross-spectra, an EMA of the FULL per-bin spatial covariance
+    (all M x M mic products as real/imag planes, ~2 MB at M=8,
+    frame=4096) — the snapshot average the batch estimators compute over
+    STFT frames, maintained online with O(1) state."""
+    buffer: jnp.ndarray      # (M, frame) most recent samples
+    cov_r: jnp.ndarray       # (bins, M, M) EMA covariance, real plane
+    cov_i: jnp.ndarray       # (bins, M, M) imag plane
+    count: jnp.ndarray       # () blocks absorbed
+
+
 class StreamOutput(NamedTuple):
     position: jnp.ndarray    # (3,), or (K, 3) for num_sources=K > 1
     power: jnp.ndarray       # () SRP confidence, or (K,)
@@ -46,7 +61,22 @@ class StreamOutput(NamedTuple):
 class StreamingLocalizer:
     """Stateful online localizer.  ``frame`` must be a power of two and a
     multiple of ``hop``; positions are searched over the static box
-    [lower, upper] with SRP-PHAT.
+    [lower, upper].
+
+    ``method`` selects the estimator:
+      * 'srp' (default) — broadband GCC-PHAT + SRP box search (EMA of the
+        whitened-able cross-spectra);
+      * 'capon' / 'music' — narrowband snapshot-covariance estimators for
+        tonal sources (which have no usable correlation peaks): the state
+        carries an EMA of the per-bin spatial covariance, and each hop
+        scans the MVDR / subspace map over the box.  Envelope caveat: the
+        streaming selection uses fine (fs/frame) local-max bins, so there
+        is no cross-bin frequency diversity to veto grating lobes — with
+        multiple talkers, one talker's grating can outbid another's true
+        peak once frequencies push the array's spatial-sampling limit
+        (measured on the 1 m 8-mic cube: 600+700 Hz talkers both track to
+        ~4 mm; 600+850 Hz puts talker 2 on a ~19 cm grating artifact that
+        the batch capon/music APIs resolve via their skirt-bin diversity).
 
     Complex EMA state is kept as real/imag planes (complex arrays cannot
     cross the TPU tunnel host boundary and pytrees of planes jit cleanly).
@@ -58,11 +88,18 @@ class StreamingLocalizer:
                  band: Optional[Tuple[float, float]] = None,
                  coarse_n: int = 20, fine_n: int = 10,
                  num_sources: int = 1,
-                 min_separation: Optional[float] = None):
+                 min_separation: Optional[float] = None,
+                 method: str = "srp",
+                 num_bins: int = 8,
+                 loading: float = 1e-3):
         if frame & (frame - 1):
             raise ValueError("frame must be a power of two")
         if frame % hop:
             raise ValueError("frame must be a multiple of hop")
+        if method not in ("srp", "capon", "music"):
+            raise ValueError(
+                "method must be 'srp' (broadband GCC-PHAT), 'capon', or "
+                "'music' (narrowband covariance estimators)")
         self.mics = jnp.asarray(np.asarray(mic_positions, np.float32))
         m = self.mics.shape[0]
         pi, pj = np.triu_indices(m, 1)
@@ -84,8 +121,14 @@ class StreamingLocalizer:
         # tracks across hops by nearest-neighbor on the caller's side.
         if num_sources < 1:
             raise ValueError("num_sources must be >= 1")
+        if method == "music" and num_sources >= self.mics.shape[0]:
+            raise ValueError("music needs num_sources < num_mics (noise "
+                             "subspace must be non-empty)")
         self.num_sources = num_sources
         self.min_separation = min_separation
+        self.method = method
+        self.num_bins = int(num_bins)
+        self.loading = float(loading)
         self.pool = srp_ops._resolve_pool(None, self.lower, self.upper,
                                           coarse_n, self.fs, self.c)
         n_ = np.arange(frame)
@@ -100,17 +143,115 @@ class StreamingLocalizer:
         self._step = jax.jit(self._step_impl)
         self._run = jax.jit(self._run_impl)
 
-    def init_state(self) -> StreamState:
+    def init_state(self):
         m = self.mics.shape[0]
         p = self.pi.shape[0]
         bins = self.frame // 2 + 1
+        if self.method != "srp":
+            return CovStreamState(
+                buffer=jnp.zeros((m, self.frame), jnp.float32),
+                cov_r=jnp.zeros((bins, m, m), jnp.float32),
+                cov_i=jnp.zeros((bins, m, m), jnp.float32),
+                count=jnp.zeros((), jnp.int32))
         return StreamState(
             buffer=jnp.zeros((m, self.frame), jnp.float32),
             cross_r=jnp.zeros((p, bins), jnp.float32),
             cross_i=jnp.zeros((p, bins), jnp.float32),
             count=jnp.zeros((), jnp.int32))
 
-    def _step_impl(self, state: StreamState, block: jnp.ndarray) -> StreamOutput:
+    def _step_cov_impl(self, state: CovStreamState,
+                       block: jnp.ndarray) -> StreamOutput:
+        """Narrowband step: EMA per-bin spatial covariance -> Capon/MUSIC
+        map over the box.  Bin centers are used as steering frequencies —
+        at frame=4096/16 kHz the bins are ~4 Hz wide, so the off-grid
+        phase error the batch estimators correct with the phase-vocoder
+        refinement is negligible here."""
+        m = self.mics.shape[0]
+        buf = jnp.concatenate([state.buffer[:, self.hop:], block], axis=1)
+        spec = jnp.fft.rfft(buf * self._window[None, :], n=self.frame)
+        sr = jnp.real(spec).astype(jnp.float32)             # (M, bins)
+        si = jnp.imag(spec).astype(jnp.float32)
+        # Per-bin outer products x x^H as real/imag planes.
+        out_r = (jnp.einsum("mk,nk->kmn", sr, sr)
+                 + jnp.einsum("mk,nk->kmn", si, si))
+        out_i = (jnp.einsum("mk,nk->kmn", si, sr)
+                 - jnp.einsum("mk,nk->kmn", sr, si))
+        a = self.ema
+        cvr = a * state.cov_r + (1.0 - a) * out_r
+        cvi = a * state.cov_i + (1.0 - a) * out_i
+        new_state = CovStreamState(buf, cvr, cvi, state.count + 1)
+
+        # Bin selection from the EMA auto power (tempered weights like
+        # beamformer.select_bins), restricted to LOCAL MAXIMA: a steady
+        # tone's Hann-leakage skirt spans +-4 bins whose centers are up to
+        # ~30 Hz off the true frequency — steering there mis-rotates
+        # phases (measured: the stream locks onto a box corner once the
+        # onset transient leaves the EMA), and the batch estimators'
+        # phase-vocoder refinement aliases at hop >= frame/4.  A peak
+        # bin's center is within half a bin of the tone, which is
+        # harmless at these fine (fs/frame) resolutions.
+        power = jnp.einsum("kmm->k", cvr)                   # (bins,)
+        if self._mask is not None:
+            power = power * self._mask
+        is_peak = ((power >= jnp.roll(power, 1))
+                   & (power >= jnp.roll(power, -1)))
+        power = jnp.where(is_peak, power, 0.0)
+        vals, idx = jax.lax.top_k(power, self.num_bins)
+        tempered = jnp.maximum(vals, 0.0) ** 0.3
+        # Relative floor: with only PEAK bins eligible, the runners-up are
+        # noise local maxima orders of magnitude below the tone peaks, and
+        # the tempered exponent would still hand them ~half the total
+        # weight (measured: the second talker wanders ~17 cm hop-to-hop).
+        tempered = jnp.where(vals > 3e-3 * vals[0], tempered, 0.0)
+        bin_w = tempered / jnp.maximum(jnp.sum(tempered), 1e-30)
+        omega = (2.0 * jnp.pi * idx.astype(jnp.float32)
+                 * (self.fs / self.frame))
+
+        ar, ai = cvr[idx], cvi[idx]                         # (B, M, M)
+        top = jnp.concatenate([ar, -ai], axis=-1)
+        bot = jnp.concatenate([ai, ar], axis=-1)
+        emb = jnp.concatenate([top, bot], axis=-2)          # (B, 2M, 2M)
+        if self.method == "capon":
+            tr = jnp.trace(emb, axis1=-2, axis2=-1) / (2 * m)
+            eye = jnp.eye(2 * m, dtype=emb.dtype)
+            inv = jnp.linalg.inv(
+                emb + self.loading * tr[:, None, None] * eye[None])
+
+            def map_fn(p_):
+                return capon_ops.capon_map(inv, omega, bin_w, p_, self.mics,
+                                           self.c)
+        else:  # music
+            # Per-bin signal subspace of dimension ONE: online, each
+            # narrowband emitter dominates its own (local-max) bin, and a
+            # wider subspace absorbs a noise eigenvector whose pseudo-
+            # random direction spawns phantom peaks (measured: the second
+            # talker wanders 0.2-0.9 m hop-to-hop with dim=num_sources —
+            # the batch path averages those directions over many skirt
+            # bins, the floored streaming selection cannot).
+            # ``num_sources`` still sets how many peaks are extracted;
+            # same-bin super-resolution online needs the batch API.
+            _, vecs = jnp.linalg.eigh(emb)
+            subs = vecs[:, :, :2 * m - 2]
+
+            def map_fn(p_):
+                return music_ops.music_map(subs, omega, bin_w, p_, self.mics,
+                                           self.c)
+
+        if self.num_sources > 1:
+            positions, powers = suppressed_multi_search(
+                map_fn, map_fn, self.lower, self.upper, self.coarse_n,
+                self.fine_n, self.num_sources, self.min_separation,
+                jnp.float32)
+            return StreamOutput(positions, powers, new_state)
+        pos, pw, _, _ = two_stage_search(map_fn, map_fn, self.lower,
+                                         self.upper, self.coarse_n,
+                                         self.fine_n, jnp.float32)
+        return StreamOutput(jnp.clip(pos, self.lower, self.upper), pw,
+                            new_state)
+
+    def _step_impl(self, state, block: jnp.ndarray) -> StreamOutput:
+        if self.method != "srp":
+            return self._step_cov_impl(state, block)
         buf = jnp.concatenate([state.buffer[:, self.hop:], block], axis=1)
         spec = jnp.fft.rfft(buf * self._window[None, :], n=self.frame)
         cross = jnp.take(spec, self.pi, 0) * jnp.conj(jnp.take(spec, self.pj, 0))
