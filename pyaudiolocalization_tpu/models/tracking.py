@@ -1,11 +1,14 @@
-"""Moving-source tracking: segment-wise SRP-PHAT localization over time.
+"""Moving-source tracking: segment-wise localization over time.
 
 No reference counterpart (the reference localizes one static scene).  A long
 multi-mic capture is split into overlapping segments; each segment runs the
 GCC-PHAT -> SRP-PHAT pipeline independently (vmapped — every segment of
 every pair correlates in one XLA graph), producing a time-stamped position
 track.  Optional exponential smoothing stabilizes the track under a
-`lax.scan`.
+`lax.scan`.  ``method='capon'``/``'music'`` swap the per-segment estimator
+for the narrowband snapshot-covariance scans (models/capon.py /
+models/music.py) — moving TONAL sources, whose correlations carry no usable
+peaks for the SRP chain.
 """
 
 from __future__ import annotations
@@ -18,6 +21,8 @@ import numpy as np
 
 from ..ops import gccphat
 from ..ops.fftutils import next_pow2
+from . import capon as capon_ops
+from . import music as music_ops
 from . import srp as srp_ops
 
 
@@ -39,14 +44,19 @@ def localize_trajectory(signals: jnp.ndarray,
                         band: Optional[Tuple[float, float]] = None,
                         smoothing: float = 0.6,
                         coarse_n: int = 20,
-                        fine_n: int = 10) -> Track:
+                        fine_n: int = 10,
+                        method: str = "srp") -> Track:
     """Track a (slowly) moving source through a long capture.
 
     signals: (M, T); segments of ``segment`` samples every ``hop`` (default
-    segment//2).  Each segment localizes independently via SRP-PHAT over the
-    box [lower, upper]; ``smoothing`` is the EMA coefficient applied along
+    segment//2).  Each segment localizes independently over the box
+    [lower, upper] — via SRP-PHAT (``method='srp'``, broadband default) or
+    the narrowband Capon/MUSIC scans (``method='capon'``/``'music'``, for
+    tonal sources); ``smoothing`` is the EMA coefficient applied along
     time (0 disables).  Fully jittable.
     """
+    if method not in ("srp", "capon", "music"):
+        raise ValueError("method must be 'srp', 'capon', or 'music'")
     m, t = signals.shape
     hop = segment // 2 if hop is None else hop
     if t < segment:
@@ -62,13 +72,25 @@ def localize_trajectory(signals: jnp.ndarray,
     segs = jnp.take(signals, jnp.asarray(idx), axis=-1)     # (M, S, L)
     segs = jnp.swapaxes(segs, 0, 1)                         # (S, M, L)
 
-    def one(seg):
-        corr = gccphat.gcc_phat_all_pairs(seg, pi, pj, nfft=nfft,
-                                          band=band, fs=fs)
-        out = srp_ops.srp_phat_locate(corr, mic_positions, pi, pj, fs, c,
-                                      lower, upper, coarse_n=coarse_n,
-                                      fine_n=fine_n)
-        return out.position, out.power
+    if method == "srp":
+        def one(seg):
+            corr = gccphat.gcc_phat_all_pairs(seg, pi, pj, nfft=nfft,
+                                              band=band, fs=fs)
+            out = srp_ops.srp_phat_locate(corr, mic_positions, pi, pj, fs, c,
+                                          lower, upper, coarse_n=coarse_n,
+                                          fine_n=fine_n)
+            return out.position, out.power
+    else:
+        # Narrowband per-segment scan: frame = segment//4 keeps >= 7 STFT
+        # snapshots per segment for the covariance average.
+        locate = (capon_ops.capon_locate if method == "capon"
+                  else music_ops.music_locate)
+
+        def one(seg):
+            out = locate(seg, mic_positions, fs, c, lower, upper,
+                         frame=max(segment // 4, 64), band=band,
+                         coarse_n=coarse_n, fine_n=fine_n)
+            return out.position, out.power
 
     positions, powers = jax.vmap(one)(segs)
 
