@@ -54,14 +54,26 @@ class MultiCaponResult(NamedTuple):
     powers: jnp.ndarray      # (..., K) fine-stage Capon spectrum values
 
 
+def loaded_inverse(cov: jnp.ndarray, loading: float) -> jnp.ndarray:
+    """Inverse of the diagonally-loaded embedded covariance(s).
+
+    cov: (..., 2M, 2M) real embeddings (music.embed_planes).  Loading is
+    relative to the mean eigenvalue (trace/2M), floored at an
+    f32-representable tiny so an all-zero covariance (digital silence)
+    inverts to a huge-but-finite matrix instead of NaN-poisoning the map.
+    Shared by the batch Capon path and the streaming 'capon' method so the
+    loading convention cannot drift between them."""
+    two_m = cov.shape[-1]
+    tr = jnp.trace(cov, axis1=-2, axis2=-1) / two_m         # (...,)
+    tr = jnp.maximum(tr, jnp.asarray(1e-30, cov.dtype))
+    eye = jnp.eye(two_m, dtype=cov.dtype)
+    return jnp.linalg.inv(cov + loading * tr[..., None, None] * eye)
+
+
 def _loaded_inverses(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
                      loading: float) -> jnp.ndarray:
     """(B, 2M, 2M) inverses of the diagonally-loaded embedded covariances."""
-    cov = embedded_covariances(snaps, bin_idx)              # (B, 2M, 2M)
-    two_m = cov.shape[-1]
-    tr = jnp.trace(cov, axis1=-2, axis2=-1) / two_m         # (B,)
-    eye = jnp.eye(two_m, dtype=cov.dtype)
-    return jnp.linalg.inv(cov + loading * tr[:, None, None] * eye[None])
+    return loaded_inverse(embedded_covariances(snaps, bin_idx), loading)
 
 
 def capon_map(cov_inv: jnp.ndarray, omega: jnp.ndarray, bin_w: jnp.ndarray,

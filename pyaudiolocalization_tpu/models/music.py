@@ -84,15 +84,24 @@ def snapshot_frames(signals: jnp.ndarray, frame: int,
     return jnp.fft.rfft(frames * win[None, None, :], axis=-1)
 
 
+def embed_planes(a_mat: jnp.ndarray, b_mat: jnp.ndarray) -> jnp.ndarray:
+    """Embed Hermitian C = A + iB as the real symmetric [[A, -B], [B, A]].
+
+    The embedding is a ring homomorphism (products/inverses of embedded
+    matrices embed the complex products/inverses), so downstream subspace
+    (MUSIC) and quadratic-form (Capon/MVDR) math stays complex-free.
+    a_mat/b_mat: (..., M, M) -> (..., 2M, 2M)."""
+    top = jnp.concatenate([a_mat, -b_mat], axis=-1)
+    bot = jnp.concatenate([b_mat, a_mat], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def embedded_covariances(snaps: jnp.ndarray,
                          bin_idx: jnp.ndarray) -> jnp.ndarray:
     """Real-embedded snapshot covariances for each selected bin.
 
-    snaps: (M, F, bins) complex; returns (B, 2M, 2M) real symmetric
-    matrices [[A, -B], [B, A]] embedding C = A + iB = (1/F) X X^H.  The
-    embedding is a ring homomorphism (products/inverses of embedded
-    matrices embed the complex products/inverses), so downstream subspace
-    (MUSIC) and quadratic-form (Capon/MVDR) math stays complex-free."""
+    snaps: (M, F, bins) complex; returns (B, 2M, 2M) embeddings of
+    C = (1/F) X X^H (see ``embed_planes``)."""
     sel = snaps[:, :, bin_idx]                              # (M, F, B)
     xr = jnp.real(sel).transpose(2, 0, 1)                   # (B, M, F)
     xi = jnp.imag(sel).transpose(2, 0, 1)
@@ -103,9 +112,7 @@ def embedded_covariances(snaps: jnp.ndarray,
              + xi @ jnp.swapaxes(xi, -1, -2)) / f           # (B, M, M)
     b_mat = (xi @ jnp.swapaxes(xr, -1, -2)
              - xr @ jnp.swapaxes(xi, -1, -2)) / f
-    top = jnp.concatenate([a_mat, -b_mat], axis=-1)
-    bot = jnp.concatenate([b_mat, a_mat], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)             # (B, 2M, 2M)
+    return embed_planes(a_mat, b_mat)                       # (B, 2M, 2M)
 
 
 def embedded_steering(points: jnp.ndarray, mic_positions: jnp.ndarray,

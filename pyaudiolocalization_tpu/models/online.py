@@ -77,6 +77,9 @@ class StreamingLocalizer:
         (measured on the 1 m 8-mic cube: 600+700 Hz talkers both track to
         ~4 mm; 600+850 Hz puts talker 2 on a ~19 cm grating artifact that
         the batch capon/music APIs resolve via their skirt-bin diversity).
+        A second online-only envelope: the bin-weight floor drops emitters
+        more than ~25 dB (power) below the strongest in-band peak — use
+        the batch APIs for weaker targets (their selection has no floor).
 
     Complex EMA state is kept as real/imag planes (complex arrays cannot
     cross the TPU tunnel host boundary and pytrees of planes jit cleanly).
@@ -195,6 +198,10 @@ class StreamingLocalizer:
             power = power * self._mask
         is_peak = ((power >= jnp.roll(power, 1))
                    & (power >= jnp.roll(power, -1)))
+        # DC/Nyquist are excluded outright: the roll-based test wraps them
+        # against each other, and a DC offset winning vals[0] would zero
+        # every true tone bin through the relative floor below.
+        is_peak = is_peak.at[0].set(False).at[-1].set(False)
         power = jnp.where(is_peak, power, 0.0)
         vals, idx = jax.lax.top_k(power, self.num_bins)
         tempered = jnp.maximum(vals, 0.0) ** 0.3
@@ -202,20 +209,17 @@ class StreamingLocalizer:
         # noise local maxima orders of magnitude below the tone peaks, and
         # the tempered exponent would still hand them ~half the total
         # weight (measured: the second talker wanders ~17 cm hop-to-hop).
+        # Consequence (documented in the class docstring): emitters more
+        # than ~25 dB (power) below the strongest in-band peak are dropped
+        # from the online map — the batch APIs have no such floor.
         tempered = jnp.where(vals > 3e-3 * vals[0], tempered, 0.0)
         bin_w = tempered / jnp.maximum(jnp.sum(tempered), 1e-30)
         omega = (2.0 * jnp.pi * idx.astype(jnp.float32)
                  * (self.fs / self.frame))
 
-        ar, ai = cvr[idx], cvi[idx]                         # (B, M, M)
-        top = jnp.concatenate([ar, -ai], axis=-1)
-        bot = jnp.concatenate([ai, ar], axis=-1)
-        emb = jnp.concatenate([top, bot], axis=-2)          # (B, 2M, 2M)
+        emb = music_ops.embed_planes(cvr[idx], cvi[idx])    # (B, 2M, 2M)
         if self.method == "capon":
-            tr = jnp.trace(emb, axis1=-2, axis2=-1) / (2 * m)
-            eye = jnp.eye(2 * m, dtype=emb.dtype)
-            inv = jnp.linalg.inv(
-                emb + self.loading * tr[:, None, None] * eye[None])
+            inv = capon_ops.loaded_inverse(emb, self.loading)
 
             def map_fn(p_):
                 return capon_ops.capon_map(inv, omega, bin_w, p_, self.mics,

@@ -81,14 +81,18 @@ def localize_trajectory(signals: jnp.ndarray,
                                           fine_n=fine_n)
             return out.position, out.power
     else:
-        # Narrowband per-segment scan: frame = segment//4 keeps >= 7 STFT
-        # snapshots per segment for the covariance average.
+        # Narrowband per-segment scan: frame ~= segment//4 keeps >= 7 STFT
+        # snapshots per segment for the covariance average, rounded DOWN to
+        # a power of two — non-pow2 rfft lengths lower to a dense n x n DFT
+        # matmul on TPU (CLAUDE.md; the srp branch guards the same way via
+        # next_pow2(segment)).
+        frame = 1 << max(int(np.log2(max(segment // 4, 64))), 6)
         locate = (capon_ops.capon_locate if method == "capon"
                   else music_ops.music_locate)
 
         def one(seg):
             out = locate(seg, mic_positions, fs, c, lower, upper,
-                         frame=max(segment // 4, 64), band=band,
+                         frame=frame, band=band,
                          coarse_n=coarse_n, fine_n=fine_n)
             return out.position, out.power
 

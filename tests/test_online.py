@@ -166,6 +166,20 @@ def test_stream_music_two_tone_talkers():
     assert min(e1, e2) < 0.06, got
 
 
+def test_stream_capon_silence_stays_finite():
+    """All-zero input (lead-in digital silence) must not NaN-poison the
+    'capon' stream: the loaded inverse floors the trace, so powers stay
+    finite (positions are meaningless but well-defined)."""
+    loc = StreamingLocalizer(MICS8, FS, C, [0, 0, 0], [1, 1, 1],
+                             frame=2048, hop=512, method="capon")
+    state = loc.init_state()
+    for _ in range(3):
+        out = loc.step(state, np.zeros((8, 512), np.float32))
+        state = out.state
+    assert np.all(np.isfinite(np.asarray(out.position)))
+    assert np.isfinite(float(out.power))
+
+
 def test_stream_method_validation():
     with pytest.raises(ValueError, match="method"):
         _localizer(method="bogus")
