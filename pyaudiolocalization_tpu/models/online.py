@@ -2,17 +2,24 @@
 position per block — the serving-shaped API.
 
 No reference counterpart (the reference is batch-only).  State is a ring
-of the last ``frame`` samples per mic plus an exponential moving average of
-the whitened-able cross-power spectra; each ``step`` is one jitted call:
+of the last ``frame`` samples per mic plus an exponential moving average —
+of the whitened-able cross-power spectra (broadband ``method='srp'``):
 
     rfft(window * frame) -> cross-spectra -> EMA -> PHAT whiten ->
     irfft -> SRP-PHAT box search -> position
 
-The EMA plays the role of the Welch average in ``gcc_phat_streaming`` but
-with O(1) state, so latency per block is constant and independent of the
-stream length.  Wrap ``step`` in ``jax.jit`` once and drive it from the
-audio callback; everything is functional (state in, state out), so it also
-vmaps across independent streams.
+or of the full per-bin spatial covariance (narrowband
+``method='capon'``/``'music'``, for tonal sources):
+
+    rfft(window * frame) -> per-bin outer products -> EMA -> local-max
+    bin selection -> MVDR / subspace map -> box search -> position
+
+The EMA plays the role of the Welch average in ``gcc_phat_streaming`` (or
+of the batch estimators' snapshot average) with O(1) state, so latency per
+block is constant and independent of the stream length.  Wrap ``step`` in
+``jax.jit`` once and drive it from the audio callback; everything is
+functional (state in, state out), so it also vmaps across independent
+streams.
 """
 
 from __future__ import annotations
