@@ -67,6 +67,25 @@ def test_capon_sweep_solver():
     assert float(res.error) < 0.05
 
 
+def test_capon_sweep_mesh_matches_single_device():
+    """solver='capon' under shard_map (batched loaded inverses inside the
+    sharded scene pipeline) must match the single-device run."""
+    from pyaudiolocalization_tpu.parallel import (SweepSpec, make_mesh,
+                                                  monte_carlo_sweep)
+    mics8 = tuple(tuple(r) for r in MICS)
+    spec = SweepSpec(fs=16000.0, duration=0.25, signal_type="sine",
+                     freq=800.0, mic_positions=mics8, solver="capon",
+                     source_box_lo=(0.2, 0.2, 0.2),
+                     source_box_hi=(0.8, 0.8, 0.8), snr_db=(25.0, 35.0))
+    key = jax.random.PRNGKey(5)
+    single = monte_carlo_sweep(spec, key, 8)
+    sharded = monte_carlo_sweep(spec, key, 8, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(sharded.results.error),
+                               np.asarray(single.results.error),
+                               rtol=1e-4, atol=1e-6)
+    assert float(single.rmse) < 0.05
+
+
 def test_capon_short_signal_raises():
     with pytest.raises(ValueError, match="shorter"):
         capon.capon_locate(jnp.zeros((4, 100)), jnp.asarray(MICS[:4]), FS, C,
