@@ -20,6 +20,16 @@ from __future__ import annotations
 import argparse
 import copy
 import logging
+import os
+
+# Honor JAX_PLATFORMS=cpu BEFORE the package pulls in jax: platform
+# plugins may rewrite jax_platforms at import time, so the env var alone
+# is not enough (same counter-fix as tests/conftest.py and
+# __graft_entry__.py) — without it, a CPU-requested demo run hangs
+# retrying an unreachable accelerator backend.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
