@@ -226,6 +226,60 @@ def bench_multi_source(batch: int = 128):
     return batch / dt, float(np.asarray(step(0).rmse)), spread
 
 
+def bench_hbm_roofline(batch: int = 192):
+    """Roofline check: achieved HBM bytes/s of the production fused GCC
+    path vs the chip's measured elementwise copy floor (~50 GB/s effective
+    through the tunnel — CLAUDE.md key measured fact).  Makes the
+    "HBM-bound, nothing left on the table" claim falsifiable from bench
+    output: the fused path's *useful* traffic (inputs once + padded staging
+    + windowed outputs, counted analytically below) should run at >=~0.8x
+    the floor; a traffic regression shows up as a falling ratio.
+
+    Floor protocol: an in-jit lax.scan of ``rep`` elementwise steps over a
+    256 MB carry — each step must round-trip HBM (carry >> VMEM), so
+    bytes = rep * 2 * size, and the single dispatch amortizes the ~3 ms
+    host call cost."""
+    from pyaudiolocalization_tpu.ops import pallas_fft
+
+    size = 64 * 2 ** 20                      # elements; 256 MB f32 >> VMEM
+    rep = 8
+    x = jax.random.normal(jax.random.PRNGKey(9), (size,), jnp.float32)
+
+    @jax.jit
+    def copy_step(x):
+        def body(c, _):
+            return c * 1.0000001, None
+        y, _ = jax.lax.scan(body, x, None, length=rep)
+        return y[:8].sum()
+
+    dt = _time(copy_step, x, iters=4, warmup=2)
+    floor_gbps = rep * 2.0 * size * 4 / dt / 1e9
+
+    # Fused windowed GCC: the sweep/API fast path's kernel.  Traffic model
+    # (f32): read signals (M, N) once; write+read the nfft-padded staging
+    # block the pallas_call consumes (2 * M * nfft); write the (P, 2*wq*128)
+    # window slices + (P, 3) stats.
+    n = N
+    nfft = 65536                             # circular next_pow2(n)
+    wq = 6                                   # covers the 4-mic array's lags
+    assert pallas_fft.bfly_gcc_eligible(nfft, NUM_MICS, jnp.float32)
+    signals = jax.random.normal(jax.random.PRNGKey(10),
+                                (batch, NUM_MICS, n), jnp.float32)
+
+    @jax.jit
+    def gcc_step(sigs):
+        win, stats = pallas_fft.bfly_gcc_windowed(sigs, PAIRS_I, PAIRS_J,
+                                                  nfft, wq)
+        return jnp.max(stats)
+
+    dt_gcc = _time(gcc_step, signals, iters=8, warmup=2)
+    p = PAIRS_I.shape[0]
+    per_scene = 4.0 * (NUM_MICS * n + 2 * NUM_MICS * nfft
+                       + p * 2 * wq * 128 + p * 3)
+    gcc_gbps = batch * per_scene / dt_gcc / 1e9
+    return floor_gbps, gcc_gbps
+
+
 BASELINE_ANALYZE_RUN_S = 274.4        # BASELINE.md row 4
 BASELINE_BOOTSTRAP_PAIRS_PER_SEC = 6000.0 / 258.0  # row 5: 6 pairs x 1000
 BASELINE_SINGLE_SCENE_S = 0.814       # row 3 (per-scene latency)
@@ -237,6 +291,7 @@ def main():
     sweep_per_sec, sweep_rmse, sweep_spread = bench_full_sweep()
     multi_per_sec, multi_rmse, multi_spread = bench_multi_source()
     bootstrap_pps = bench_bootstrap()
+    floor_gbps, gcc_gbps = bench_hbm_roofline()
     latency_s = bench_single_scene_latency()
     analyze_s = bench_analyze_run()
     print(json.dumps({
@@ -257,6 +312,9 @@ def main():
             "bootstrap_pair_resamples_per_sec": round(bootstrap_pps, 1),
             "bootstrap_vs_baseline": round(
                 bootstrap_pps / BASELINE_BOOTSTRAP_PAIRS_PER_SEC, 1),
+            "hbm_floor_gbps": round(floor_gbps, 2),
+            "gcc_fused_hbm_gbps": round(gcc_gbps, 2),
+            "gcc_fused_vs_floor": round(gcc_gbps / floor_gbps, 3),
             "analyze_run_s": round(analyze_s, 3),
             "analyze_run_vs_baseline": round(
                 BASELINE_ANALYZE_RUN_S / analyze_s, 1),

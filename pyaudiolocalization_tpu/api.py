@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import acoustics
+from .models import beamformer as beam_ops
+from .models import capon as capon_ops
+from .models import music as music_ops
 from .models import solver as solver_ops
+from .models import srp as srp_ops
 from .models import tdoa as tdoa_ops
 from .models.calibration import run_calibration  # re-export  # noqa: F401
 from .models.simulator import simulate_signals, simulate_signals_fast
@@ -80,12 +84,15 @@ def simulate_signals_with_multipath(source_pos,
                      "lag_mode", "max_expected_delay", "analyze",
                      "num_bootstrap", "clustering_method", "eps",
                      "min_samples", "use_calibration", "phat_band",
-                     "threshold_method"))
+                     "threshold_method", "solver", "pool", "max_lag",
+                     "need_corr"))
 def _estimation_core(signals: jnp.ndarray,
                      mic_positions: jnp.ndarray,
                      c: jnp.ndarray,
                      calib_delays: jnp.ndarray,
                      key: jax.Array,
+                     box_lo: Optional[jnp.ndarray] = None,
+                     box_hi: Optional[jnp.ndarray] = None,
                      *,
                      fs: float,
                      pairs_i: Tuple[int, ...],
@@ -101,37 +108,57 @@ def _estimation_core(signals: jnp.ndarray,
                      min_samples: int,
                      use_calibration: bool,
                      phat_band: Optional[Tuple[float, float]] = None,
-                     threshold_method: str = "median"
+                     threshold_method: str = "median",
+                     solver: str = "lm",
+                     pool: int = 2,
+                     max_lag: Optional[int] = None,
+                     need_corr: bool = True
                      ) -> Dict[str, jnp.ndarray]:
-    """Filter -> all-pairs GCC-PHAT -> TDOA ladder -> (metrics) -> clustered
-    init -> bounds -> weighted multi-start LM.  One XLA graph."""
+    """Filter -> all-pairs GCC-PHAT -> TDOA ladder -> (metrics) -> position
+    solver, one XLA graph.  ``solver`` selects the back half: 'lm' is the
+    reference chain (clustered init -> bounds -> weighted multi-start LM,
+    main.py:261-274); 'srp'/'srp+lm' grid-search the steered-response PHAT
+    power over [box_lo, box_hi]; 'beam'/'music'/'capon' are the narrowband
+    spectral estimators (no usable correlation peaks — the GCC/TDOA front
+    half only runs for them when the caller needs the metrics/plots,
+    ``need_corr``)."""
     pi = np.asarray(pairs_i, np.int32)
     pj = np.asarray(pairs_j, np.int32)
     n = signals.shape[-1]
+    num_mics = mic_positions.shape[0]
+    narrowband = solver in ("beam", "music", "capon")
 
     with jax.named_scope("filter"):
         filtered = filter_ops.noise_reduction(signals, fs, method=filter_method)
 
-    with jax.named_scope("gccphat"):
-        corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=nfft,
-                                          band=phat_band, fs=fs)  # (P, nfft)
-    with jax.named_scope("tdoa"):
-        res = tdoa_ops.time_delays_from_corr(
-            corr, n, n, fs, num_peaks=1, threshold_method=threshold_method,
-            max_expected_delay=max_expected_delay, lag_mode=lag_mode)
-    measured = res.delays[..., 0]                                 # (P,)
-    # Physical convention: td = arrival_j - arrival_i = -(peak lag)/fs,
-    # which is what the residual system (d_j - d_i) = c*td expects.
-    td = -measured if lag_mode == "physical" else measured
-    if use_calibration:
-        td = td - (jnp.take(calib_delays, pj) - jnp.take(calib_delays, pi))
-
-    peak_corr = jnp.max(corr, -1)                                 # (P,)
-    num_mics = mic_positions.shape[0]
-    corr_matrix = jnp.zeros((num_mics, num_mics), corr.dtype)
-    corr_matrix = corr_matrix.at[pi, pj].set(peak_corr).at[pj, pi].set(peak_corr)
-
     k_metrics, k_cluster = jax.random.split(key)
+    if need_corr:
+        with jax.named_scope("gccphat"):
+            corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=nfft,
+                                              band=phat_band, fs=fs)  # (P, nfft)
+        with jax.named_scope("tdoa"):
+            res = tdoa_ops.time_delays_from_corr(
+                corr, n, n, fs, num_peaks=1, threshold_method=threshold_method,
+                max_expected_delay=max_expected_delay, lag_mode=lag_mode)
+        measured = res.delays[..., 0]                                 # (P,)
+        # Physical convention: td = arrival_j - arrival_i = -(peak lag)/fs,
+        # which is what the residual system (d_j - d_i) = c*td expects.
+        td = -measured if lag_mode == "physical" else measured
+        if use_calibration:
+            td = td - (jnp.take(calib_delays, pj) - jnp.take(calib_delays, pi))
+
+        peak_corr = jnp.max(corr, -1)                                 # (P,)
+        corr_matrix = jnp.zeros((num_mics, num_mics), corr.dtype)
+        corr_matrix = corr_matrix.at[pi, pj].set(peak_corr).at[pj, pi].set(
+            peak_corr)
+    else:
+        # Narrowband solver with no metric/plot consumers: the correlation
+        # front half is pure waste (tones have no usable GCC peaks) — td is
+        # a zero diagnostic like the sweep's narrowband branches.
+        corr = None
+        measured = td = jnp.zeros(pi.shape[0], signals.dtype)
+        corr_matrix = jnp.zeros((num_mics, num_mics), signals.dtype)
+
     if analyze:
         snr = tdoa_ops.correlation_snr(corr)                      # (P,)
         ppr = tdoa_ops.peak_to_peak_ratio(corr)
@@ -152,17 +179,55 @@ def _estimation_core(signals: jnp.ndarray,
         weights = jnp.ones(pi.shape[0], signals.dtype)
 
     with jax.named_scope("solver"):
-        guesses, _ = solver_ops.heuristic_initial_guesses(
-            mic_positions, pi, pj, td, c, k_cluster,
-            clustering_method=clustering_method, eps=eps, min_samples=min_samples)
-        lower, upper = solver_ops.dynamic_bounds(mic_positions, td, c)
-        guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
-        best = solver_ops.multi_start_lm(
-            guesses, mic_positions, pi, pj, td, c, weights, lower, upper)
+        if solver == "lm":
+            guesses, _ = solver_ops.heuristic_initial_guesses(
+                mic_positions, pi, pj, td, c, k_cluster,
+                clustering_method=clustering_method, eps=eps,
+                min_samples=min_samples)
+            lower, upper = solver_ops.dynamic_bounds(mic_positions, td, c)
+            guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
+            best = solver_ops.multi_start_lm(
+                guesses, mic_positions, pi, pj, td, c, weights, lower, upper)
+            best_x, best_cost = best.x, best.cost
+        elif solver in ("srp", "srp+lm"):
+            srp = srp_ops.srp_phat_locate(
+                corr, mic_positions, pi, pj, fs, c, box_lo, box_hi,
+                pool_samples=pool, max_lag_samples=max_lag)
+            best_x, best_cost = srp.position, -srp.power
+            if solver == "srp+lm":
+                # LM polish on the measured TDOAs, accepted only within one
+                # coarse cell of the SRP optimum (mirrors parallel/sweep.py:
+                # reflection-corrupted TDOAs can walk LM far off).
+                b_lower, b_upper = solver_ops.dynamic_bounds(
+                    mic_positions, td, c)
+                lm = solver_ops.lm_solve(srp.position, mic_positions, pi, pj,
+                                         td, c, weights, b_lower, b_upper)
+                cell = jnp.linalg.norm((box_hi - box_lo) / 24.0)
+                near = jnp.linalg.norm(lm.x - srp.position) <= cell
+                best_x = jnp.where(near, lm.x, srp.position)
+                best_cost = jnp.where(near, lm.cost, -srp.power)
+            lower, upper = box_lo, box_hi
+            guesses = best_x[None, :]
+        else:  # narrowband: beam / music / capon
+            if solver == "beam":
+                nb = beam_ops.beamform_locate(
+                    filtered, mic_positions, fs, c, box_lo, box_hi,
+                    band=phat_band, nfft=nfft)
+            elif solver == "music":
+                nb = music_ops.music_locate(
+                    filtered, mic_positions, fs, c, box_lo, box_hi,
+                    band=phat_band)
+            else:
+                nb = capon_ops.capon_locate(
+                    filtered, mic_positions, fs, c, box_lo, box_hi,
+                    band=phat_band)
+            best_x, best_cost = nb.position, -nb.power
+            lower, upper = box_lo, box_hi
+            guesses = best_x[None, :]
 
     out = {
-        "estimated_position": best.x,
-        "cost": best.cost,
+        "estimated_position": best_x,
+        "cost": best_cost,
         "tdoas": td,
         "measured_delays": measured,
         "correlation_matrix": corr_matrix,
@@ -178,7 +243,7 @@ def _estimation_core(signals: jnp.ndarray,
     # Everything the host reads unconditionally, as ONE flat vector: each
     # tunnel fetch is a ~27 ms round trip, so estimated/cost/tdoas/
     # corr-matrix (+ analyze metrics) must come back in a single transfer.
-    parts = [best.x, best.cost.reshape(1), td, corr_matrix.ravel()]
+    parts = [best_x, jnp.reshape(best_cost, (1,)), td, corr_matrix.ravel()]
     if analyze:
         parts += [snr, ppr, significant.astype(signals.dtype)]
     out["host_pack"] = jnp.concatenate(
@@ -312,6 +377,7 @@ def _fast_path_eligible(loc: LocalizationConfig, nfft: int,
     nfft//256 sublanes by the kernel)."""
     from .ops import pallas_fft
     if (loc.lag_mode != "physical" or loc.max_expected_delay is None
+            or loc.solver != "lm"
             or loc.analyze_correlation or loc.visualize_correlation
             or _resolve_threshold(loc) != "gaussian"):
         return False
@@ -325,6 +391,28 @@ def _fast_path_eligible(loc: LocalizationConfig, nfft: int,
                 and n2 >= 8 and not n2 & (n2 - 1))
     return (pallas_fft.bfly_gcc_eligible(nfft, num_mics, dtype)
             and not pallas_fft._bfly_gcc_hbm_input(nfft, num_mics))
+
+
+_SOLVERS = ("lm", "srp", "srp+lm", "beam", "music", "capon")
+
+
+def _resolve_search_box(scene: SceneConfig, loc: LocalizationConfig):
+    """Host-side grid-search box for the srp/beam/music/capon solvers:
+    the configured ``search_box`` verbatim, else the mic array's bounding
+    box expanded by max(array diameter, 0.5 m) per side (covers sources in
+    and around the array — distant sources need an explicit box; TDOA
+    geometry barely constrains range out there anyway)."""
+    if loc.search_box is not None:
+        lo = np.asarray(loc.search_box[0], float)
+        hi = np.asarray(loc.search_box[1], float)
+        if lo.shape != (3,) or hi.shape != (3,) or np.any(hi <= lo):
+            raise ValueError("search_box must be ((x0,y0,z0),(x1,y1,z1)) "
+                             "with hi > lo per axis")
+        return lo, hi
+    mics = np.asarray(scene.mic_positions, float)
+    lo, hi = mics.min(0), mics.max(0)
+    margin = max(float(np.linalg.norm(hi - lo)), 0.5)
+    return lo - margin, hi + margin
 
 
 def _resolve_phat_band(loc: LocalizationConfig):
@@ -356,9 +444,26 @@ def localize_sound_source(config,
     default, 'none' to skip the TDOA-cancelling pre-sync — SURVEY.md Q4),
     ``num_bootstrap``, an explicit PRNG ``key``, and ``signals`` to inject
     pre-recorded per-mic waveforms directly (bypasses simulation/file I/O).
+
+    ``config['localization']['solver']`` (physical mode only) selects the
+    position estimator: 'lm' (default, the reference's clustered multi-
+    start LM), 'srp' / 'srp+lm' (SRP-PHAT grid search — robust where
+    reverberation corrupts per-pair TDOAs), or 'beam' / 'music' / 'capon'
+    (narrowband steered-power / subspace / MVDR — pure tones defeat the
+    GCC chain).  Grid solvers search ``search_box`` (default: the mic
+    bounding box expanded by max(array diameter, 0.5 m) per side).  The
+    result dict keys are unchanged.
     """
     scene = config if isinstance(config, SceneConfig) else SceneConfig.from_dict(config)
     loc = scene.localization
+    if loc.solver not in _SOLVERS:
+        raise ValueError(f"Unknown solver {loc.solver!r}; expected one of "
+                         f"{_SOLVERS}")
+    if loc.solver != "lm" and loc.lag_mode == "reference":
+        raise ValueError(
+            "solver overrides are physical-mode extensions; reference-parity "
+            "mode (lag_mode='reference') keeps the reference's LM -> DE "
+            "chain (main.py:261-298)")
     fs = scene.fs
     mic_positions = scene.mic_positions
     num_mics = scene.num_mics
@@ -382,6 +487,25 @@ def localize_sound_source(config,
                 logger.warning("Error processing calibration data: %s. "
                                "Ignoring calibration.", e)
                 calib_delays = None
+    # Physical-mode calibration sanity gate (SURVEY.md rebuild policy): a
+    # noise-dominated calibration (Q2's underflowed attenuation makes the
+    # recordings signal-free) yields random delays that blow the estimate up
+    # to tens of meters (main.py:335-347's measured 63.1 m).  When every
+    # entry carries the correlation-peak 'snr' that run_calibration /
+    # analyze_calibration report, require a real matched-filter peak before
+    # trusting the delays.  Parity mode applies calibration verbatim (Q3),
+    # and entries WITHOUT 'snr' (external hardware calibrations) are
+    # trusted as given.
+    if (calib_delays is not None and loc.lag_mode == "physical"
+            and all("snr" in d for d in calibration_data)):
+        from .models.calibration import CALIBRATION_SNR_GATE
+        worst = min(float(d["snr"]) for d in calibration_data)
+        if worst < CALIBRATION_SNR_GATE:
+            logger.warning(
+                "Calibration correlation-peak SNR %.1f below the quality "
+                "gate %.1f (noise-dominated recording); ignoring "
+                "calibration in physical mode.", worst, CALIBRATION_SNR_GATE)
+            calib_delays = None
 
     c = acoustics.speed_of_sound_host(scene.celsius, scene.humidity)
     logger.info("Computed speed of sound: %.2f m/s", c)
@@ -464,6 +588,17 @@ def localize_sound_source(config,
         else:
             dilation = 8 * max(int(fs * 0.001), 1)
             needed = int(np.ceil(loc.max_expected_delay * fs)) + dilation + 1
+            if loc.solver in ("srp", "srp+lm"):
+                # SRP consults lags up to the mic-diameter bound plus the
+                # max-pool width — that window must be alias-free too.
+                mics_np = np.asarray(mic_positions, float)
+                diam = float(np.max(np.linalg.norm(
+                    mics_np[:, None, :] - mics_np[None, :, :], axis=-1)))
+                blo_, bhi_ = _resolve_search_box(scene, loc)
+                cell = float(np.max(bhi_ - blo_)) / 24.0
+                srp_pool = max(1, int(np.ceil(0.866 * cell * fs / c)))
+                needed = max(needed,
+                             int(np.ceil(diam * fs / c)) + srp_pool + 3)
             if nfft - n < needed:
                 nfft = fft_length(n, n, "pow2")
 
@@ -482,10 +617,28 @@ def localize_sound_source(config,
             use_calibration=calib_delays is not None,
             phat_band=_resolve_phat_band(loc), interpret=_FAST_INTERPRET)
     else:
+        box_lo = box_hi = None
+        pool, max_lag = 2, None
+        need_corr = True
+        if loc.solver != "lm":
+            blo, bhi = _resolve_search_box(scene, loc)
+            box_lo = jnp.asarray(blo, signals.dtype)
+            box_hi = jnp.asarray(bhi, signals.dtype)
+            # Static SRP knobs resolved on the host (inside jit the bounds
+            # are tracers — see models/srp._resolve_pool's fallback).
+            cell = float(np.max(bhi - blo)) / 24.0
+            pool = max(1, int(np.ceil(0.866 * cell * fs / c)))
+            mics_np = np.asarray(mic_positions, float)
+            diam = float(np.max(np.linalg.norm(
+                mics_np[:, None, :] - mics_np[None, :, :], axis=-1)))
+            max_lag = int(np.ceil(diam * fs / c))
+            if loc.solver in ("beam", "music", "capon"):
+                need_corr = (loc.analyze_correlation
+                             or loc.visualize_correlation)
         core = _estimation_core(
             signals, jnp.asarray(mic_positions, signals.dtype),
             jnp.asarray(c, signals.dtype), calib_arr,
-            k_core,
+            k_core, box_lo, box_hi,
             fs=fs, pairs_i=pairs_i, pairs_j=pairs_j, nfft=nfft,
             filter_method=loc.filter_method, lag_mode=loc.lag_mode,
             max_expected_delay=loc.max_expected_delay,
@@ -494,7 +647,9 @@ def localize_sound_source(config,
             min_samples=loc.clustering_min_samples,
             use_calibration=calib_delays is not None,
             phat_band=_resolve_phat_band(loc),
-            threshold_method=_resolve_threshold(loc))
+            threshold_method=_resolve_threshold(loc),
+            solver=loc.solver, pool=pool, max_lag=max_lag,
+            need_corr=need_corr)
 
     # Single host round trip for every unconditionally-read output.
     num_pairs = len(pairs)
@@ -511,8 +666,10 @@ def localize_sound_source(config,
                     i + 1, j + 1, c * td)
 
     # DE fallback mirrors main.py:276-298: only when LM produced no usable
-    # solution.
-    if not np.isfinite(cost):
+    # solution (grid solvers return finite steered powers by construction,
+    # and their zero-TDOA diagnostics would make the DE objective
+    # meaningless anyway).
+    if not np.isfinite(cost) and loc.solver == "lm":
         logger.warning("Least-squares failed, trying differential evolution.")
         pi = np.asarray(pairs_i, np.int32)
         pj = np.asarray(pairs_j, np.int32)
@@ -567,11 +724,12 @@ def localize_sound_source(config,
                         pair[0] + 1, pair[1] + 1, metrics)
 
     # The reference plots the 3-D scatter on every simulated run
-    # (main.py:300-315, blocking plt.show()).  Headless callers
-    # (show_plots=False) only get the saved figure when visualization is
-    # configured on — a silent matplotlib savefig per call costs ~0.2 s of
-    # host time, dominating the warm single-scene latency otherwise.
-    if use_simulation and (show_plots or loc.visualize_correlation):
+    # (main.py:300-315, blocking plt.show()), so parity mode always emits
+    # localization_result.png — even headless.  Physical mode skips the
+    # silent savefig unless visualization is configured on: it costs ~0.2 s
+    # of host time per call, dominating the warm single-scene latency.
+    if use_simulation and (show_plots or loc.visualize_correlation
+                           or loc.lag_mode == "reference"):
         plotting.plot_localization_3d(mic_positions, scene.source_position,
                                       estimated, show_plot=show_plots)
     if loc.visualize_correlation:

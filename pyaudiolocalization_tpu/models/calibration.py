@@ -91,19 +91,33 @@ def full_cross_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 class CalibrationAnalysis(NamedTuple):
     delays: jnp.ndarray      # (M,) seconds
     amplitudes: jnp.ndarray  # (M,) peak |correlation|
+    snr: jnp.ndarray         # (M,) correlation-peak SNR (quality gate)
+
+
+# Correlation-peak SNR below which a calibration is noise, not signal: a
+# matched chirp peak measures ~175 on this statistic even at unity
+# signal/noise, while the max-of-noise artifact of a signal-free recording
+# (Q2's underflowed attenuation) measures ~7 (sqrt(2 ln 2N) scaling).
+CALIBRATION_SNR_GATE = 20.0
 
 
 def analyze_calibration(recorded: jnp.ndarray, calib_signal: jnp.ndarray,
                         fs: float) -> CalibrationAnalysis:
     """Per-mic delay = lag of max |full correlation| / fs, amplitude = that
     peak (calibration.py:42-51; this path uses scipy's consistent lag axis —
-    no Q1 defect here)."""
+    no Q1 defect here).  ``snr`` is the peak-over-off-peak-std statistic of
+    |corr| (models/tdoa.correlation_snr): it separates a real matched-filter
+    peak (~175) from the max-of-noise artifact of a signal-free recording
+    (~7), which is what physical mode gates calibration application on."""
+    from . import tdoa as tdoa_ops
     corr = full_cross_correlation(recorded, calib_signal)
     n2 = calib_signal.shape[-1]
-    idx = jnp.argmax(jnp.abs(corr), axis=-1)
+    ac = jnp.abs(corr)
+    idx = jnp.argmax(ac, axis=-1)
     lags = idx - (n2 - 1)
-    amplitudes = jnp.max(jnp.abs(corr), axis=-1)
-    return CalibrationAnalysis(lags / fs, amplitudes)
+    amplitudes = jnp.max(ac, axis=-1)
+    return CalibrationAnalysis(lags / fs, amplitudes,
+                               tdoa_ops.correlation_snr(ac))
 
 
 def run_calibration(config, key: Optional[jax.Array] = None,
@@ -131,7 +145,9 @@ def run_calibration(config, key: Optional[jax.Array] = None,
         noise_level=cal.get("noise_level", 0.01))
     analysis = analyze_calibration(recordings, calib_signal, fs)
     results = [
-        {"delay": float(d), "amplitude": float(a)}
-        for d, a in zip(np.asarray(analysis.delays), np.asarray(analysis.amplitudes))
+        {"delay": float(d), "amplitude": float(a), "snr": float(s)}
+        for d, a, s in zip(np.asarray(analysis.delays),
+                           np.asarray(analysis.amplitudes),
+                           np.asarray(analysis.snr))
     ]
     return results, calib_signal, recordings

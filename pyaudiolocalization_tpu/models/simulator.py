@@ -257,8 +257,12 @@ def static_delay_budget(source_pos, mic_positions, plane_coeffs,
     coeffs = np.asarray(plane_coeffs, float).reshape(-1, 4)
     for row in coeffs:
         n = row[:3]
-        reach = max(reach, 2.0 * abs(row[3]) / max(np.linalg.norm(n), 1e-9)
-                    + 2.0 * diam)
+        nn = max(float(np.linalg.norm(n)), 1e-9)
+        # Mirror reach must be measured from the SCENE to the plane, not
+        # from the origin: a plane through the origin (d=0) far from an
+        # offset scene still doubles the scene->plane distance per bounce.
+        dist = float(np.max(np.abs(pts @ n + row[3]))) / nn
+        reach = max(reach, 2.0 * dist + 2.0 * diam)
     return (diam + max_reflections * reach) / 300.0 + 1.0 / fs
 
 

@@ -193,11 +193,20 @@ class SweepSpec:
         lo = np.minimum(np.asarray(self.source_box_lo, float), mics.min(0))
         hi = np.maximum(np.asarray(self.source_box_hi, float), mics.max(0))
         diam = float(np.linalg.norm(hi - lo)) + 6.0 * self.mic_jitter
+        # Scene extremes: the lo/hi bounding-box corners (cover mics and the
+        # whole source box) — plane distance is measured from the SCENE, not
+        # the origin, so origin-offset scenes with near-origin planes still
+        # get a big-enough render budget (no circular aliasing).
+        corners = np.array([[lo[0], lo[1], lo[2]], [lo[0], lo[1], hi[2]],
+                            [lo[0], hi[1], lo[2]], [lo[0], hi[1], hi[2]],
+                            [hi[0], lo[1], lo[2]], [hi[0], lo[1], hi[2]],
+                            [hi[0], hi[1], lo[2]], [hi[0], hi[1], hi[2]]])
         reach = 0.0
         for coeffs in self.plane_coeffs:
             n = np.asarray(coeffs[:3], float)
-            reach = max(reach, 2.0 * abs(coeffs[3]) / max(np.linalg.norm(n), 1e-9)
-                        + 2.0 * diam)
+            nn = max(float(np.linalg.norm(n)), 1e-9)
+            dist = float(np.max(np.abs(corners @ n + float(coeffs[3])))) / nn
+            reach = max(reach, 2.0 * dist + 2.0 * diam)
         # Each reflection order can at most add one "reach" leg.
         return (diam + self.max_reflections * reach) / 300.0 + 1.0 / self.fs
 

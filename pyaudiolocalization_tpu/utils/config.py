@@ -81,11 +81,29 @@ class LocalizationConfig:
     # same default as the sweep path — enables the fused windowed TPU fast
     # path).  Explicit 'median'/'gaussian'/'adaptive' override either mode.
     threshold_method: Optional[str] = None
+    # Position solver (physical mode only; parity mode always runs the
+    # reference's clustered-LM -> DE chain, main.py:261-298).  'lm' is the
+    # reference-shaped default; 'srp' / 'srp+lm' run the SRP-PHAT grid
+    # search (robust in reverberant scenes where reflection peaks corrupt
+    # per-pair TDOAs); 'beam' / 'music' / 'capon' are the narrowband
+    # steered-power / subspace / MVDR estimators (pure tones defeat the
+    # GCC chain outright).  See EVALUATION.md's hard-regime table.
+    solver: str = "lm"
+    # Grid-search box for the srp/beam/music/capon solvers as
+    # ((x0,y0,z0), (x1,y1,z1)).  None derives a default from the mic
+    # array: its bounding box expanded by max(array diameter, 0.5 m) per
+    # side — sources well outside the array need an explicit box.
+    search_box: Optional[Tuple[Tuple[float, float, float],
+                               Tuple[float, float, float]]] = None
 
     @staticmethod
     def from_dict(d: Mapping[str, Any] | None) -> "LocalizationConfig":
         d = d or {}
         med = d.get("max_expected_delay", None)
+        box = d.get("search_box", None)
+        if box is not None:
+            box = (tuple(float(v) for v in box[0]),
+                   tuple(float(v) for v in box[1]))
         return LocalizationConfig(
             max_reflections=int(d.get("max_reflections", 2)),
             filter_method=d.get("filter_method", "butterworth"),
@@ -101,6 +119,8 @@ class LocalizationConfig:
             num_bootstrap=int(d.get("num_bootstrap", 1000)),
             phat_band=d.get("phat_band", "auto"),
             threshold_method=d.get("threshold_method", None),
+            solver=d.get("solver", "lm"),
+            search_box=box,
         )
 
 

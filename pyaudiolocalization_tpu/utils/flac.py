@@ -186,9 +186,8 @@ def _read_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     escape = (1 << plen) - 1
     part_order = br.read(4)
     nparts = 1 << part_order
-    if block_size % nparts or block_size >> part_order <= order and nparts > 1:
-        if block_size % nparts:
-            raise RuntimeError("Invalid partition order")
+    if block_size % nparts or (nparts > 1 and (block_size >> part_order) <= order):
+        raise RuntimeError("Invalid partition order")
     res = np.empty(block_size - order, np.int64)
     idx = 0
     for p in range(nparts):

@@ -131,7 +131,9 @@ def test_run_calibration_shape_and_q2():
     assert calib_signal.shape == (2000,)
     assert np.asarray(recordings).shape == (4, 2000)
     for r in results:
-        assert set(r.keys()) == {"delay", "amplitude"}
+        # 'snr' is a rebuild extension: the correlation-peak quality
+        # statistic that physical mode gates calibration application on.
+        assert set(r.keys()) == {"delay", "amplitude", "snr"}
 
 
 def test_analyze_calibration_recovers_known_delay():
@@ -279,3 +281,158 @@ def test_fast_path_not_dispatched_in_parity_or_analyze_modes():
     loc_ok = pal.LocalizationConfig(lag_mode="physical",
                                     max_expected_delay=0.05)
     assert not api._fast_path_eligible(loc_ok, 4096, 4, jnp.float32, 8000.0)
+
+
+# ---------------------------------------------------------------------------
+# Public solver selection (config['localization']['solver'], VERDICT r2 item 2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("solver", ["srp", "srp+lm"])
+def test_solver_srp_through_public_api(solver):
+    """SRP-PHAT behind the reference-shaped entry point: off-center noise
+    source localizes through the grid search (result dict keys unchanged)."""
+    cfg = small_config(lag_mode="physical", sync_mode="none",
+                       max_expected_delay=0.05, solver=solver)
+    cfg["signal_type"] = "noise"
+    cfg["source_position"] = [0.3, 0.6, 0.4]
+    res = pal.localize_sound_source(cfg, use_simulation=True,
+                                    show_plots=False,
+                                    key=jax.random.PRNGKey(5))
+    err = np.linalg.norm(res["estimated_position"] - np.array([0.3, 0.6, 0.4]))
+    assert err < 0.1, f"{solver}: err={err}"
+    assert np.isfinite(res["cost"])
+    assert set(res.keys()) == {
+        "estimated_position", "actual_position", "mic_positions",
+        "correlation_metrics", "correlation_matrix", "calibration_data",
+        "tdoas", "cost"}
+
+
+_CUBE_MICS = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+              [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]]
+
+
+@pytest.mark.parametrize("solver", ["beam", "music", "capon"])
+def test_solver_narrowband_tone_through_public_api(solver):
+    """Pure tones defeat the GCC/TDOA chain outright (EVALUATION.md hard
+    regimes); the narrowband solvers must localize them through the same
+    public entry point.  8-mic cube: the narrowband envelope's unambiguous
+    array — a 4-mic tetrahedron gives only 3 independent phase constraints
+    per bin, spatially ambiguous at 1.1 kHz (measured err 0.56 m for ALL
+    narrowband solvers regardless of box size)."""
+    cfg = small_config(lag_mode="physical", sync_mode="none", solver=solver,
+                       search_box=((-0.2, -0.2, -0.2), (1.2, 1.2, 1.2)))
+    cfg["mic_positions"] = _CUBE_MICS
+    cfg["signal_type"] = "sine"
+    cfg["freq"] = 1100.0
+    cfg["source_position"] = [0.35, 0.55, 0.45]
+    res = pal.localize_sound_source(cfg, use_simulation=True,
+                                    show_plots=False,
+                                    key=jax.random.PRNGKey(9))
+    err = np.linalg.norm(res["estimated_position"]
+                         - np.array([0.35, 0.55, 0.45]))
+    assert err < 0.05, f"{solver}: err={err}"
+
+
+def test_solver_narrowband_with_analyze_metrics():
+    """Narrowband solver + analyze_correlation: the GCC front half still
+    runs for the metrics dict even though the solver ignores it."""
+    cfg = small_config(lag_mode="physical", sync_mode="none", solver="capon",
+                       analyze_correlation=True, num_bootstrap=25)
+    cfg["signal_type"] = "sine"
+    cfg["freq"] = 1100.0
+    res = pal.localize_sound_source(cfg, use_simulation=True,
+                                    show_plots=False)
+    assert len(res["correlation_metrics"]) == 6
+    assert res["estimated_position"].shape == (3,)
+
+
+def test_solver_explicit_search_box():
+    cfg = small_config(lag_mode="physical", sync_mode="none", solver="srp",
+                       max_expected_delay=0.05,
+                       search_box=((-0.5, -0.5, -0.5), (1.5, 1.5, 1.5)))
+    cfg["signal_type"] = "noise"
+    cfg["source_position"] = [0.6, 0.4, 0.5]
+    res = pal.localize_sound_source(cfg, use_simulation=True,
+                                    show_plots=False,
+                                    key=jax.random.PRNGKey(2))
+    err = np.linalg.norm(res["estimated_position"] - np.array([0.6, 0.4, 0.5]))
+    assert err < 0.1
+
+
+def test_solver_validation_errors():
+    with pytest.raises(ValueError, match="Unknown solver"):
+        pal.localize_sound_source(small_config(solver="nope"),
+                                  use_simulation=True, show_plots=False)
+    with pytest.raises(ValueError, match="physical-mode"):
+        pal.localize_sound_source(
+            small_config(solver="srp", lag_mode="reference"),
+            use_simulation=True, show_plots=False)
+    with pytest.raises(ValueError, match="search_box"):
+        pal.localize_sound_source(
+            small_config(solver="srp", lag_mode="physical",
+                         max_expected_delay=0.05,
+                         search_box=((0, 0, 0), (0, 1, 1))),
+            use_simulation=True, show_plots=False)
+
+
+# ---------------------------------------------------------------------------
+# Physical-mode calibration sanity gate (SURVEY.md rebuild policy; Q2/Q3)
+# ---------------------------------------------------------------------------
+
+def test_q2_noise_calibration_gated_in_physical_mode():
+    """A Q2 noise-dominated calibration (underflowed attenuation -> signal-
+    free recordings, random delays) must be IGNORED in physical mode (the
+    estimate stays accurate) and applied verbatim in parity mode (Q3: the
+    TDOAs shift by the garbage delay differences, the reference's measured
+    63 m blowup behavior)."""
+    cfg = small_config(lag_mode="physical", sync_mode="none",
+                       filter_method="wiener", max_expected_delay=0.05)
+    cfg["signal_type"] = "noise"
+    cfg["source_position"] = [0.3, 0.6, 0.4]
+    calib, _, _ = pal.run_calibration(cfg, key=jax.random.PRNGKey(1))
+    assert all("snr" in d for d in calib)
+    assert max(d["snr"] for d in calib) < 20.0, \
+        "default config must reproduce Q2's noise-dominated calibration"
+    assert any(abs(d["delay"]) > 1e-3 for d in calib)
+
+    base = pal.localize_sound_source(cfg, use_simulation=True,
+                                     show_plots=False,
+                                     key=jax.random.PRNGKey(7))
+    gated = pal.localize_sound_source(cfg, calibration_data=calib,
+                                      use_simulation=True, show_plots=False,
+                                      key=jax.random.PRNGKey(7))
+    np.testing.assert_allclose(gated["estimated_position"],
+                               base["estimated_position"], atol=1e-9)
+    err = np.linalg.norm(gated["estimated_position"]
+                         - np.array([0.3, 0.6, 0.4]))
+    assert err < 0.1
+
+    # Parity mode: defect-exact — the garbage delays ARE applied.
+    cfg_ref = small_config(lag_mode="reference")
+    ref_base = pal.localize_sound_source(cfg_ref, use_simulation=True,
+                                         show_plots=False,
+                                         key=jax.random.PRNGKey(7))
+    ref_cal = pal.localize_sound_source(cfg_ref, calibration_data=calib,
+                                        use_simulation=True, show_plots=False,
+                                        key=jax.random.PRNGKey(7))
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    for k, (i, j) in enumerate(pairs):
+        expected = ref_base["tdoas"][k] - (calib[j]["delay"]
+                                           - calib[i]["delay"])
+        np.testing.assert_allclose(ref_cal["tdoas"][k], expected, atol=1e-9)
+
+
+def test_good_calibration_applied_in_physical_mode():
+    """Entries whose snr passes the gate (or that carry no snr at all) are
+    applied in physical mode."""
+    cfg = small_config(lag_mode="physical", sync_mode="none")
+    base = pal.localize_sound_source(cfg, use_simulation=True,
+                                     show_plots=False)
+    calib = [{"delay": 0.001 * i, "amplitude": 1.0, "snr": 150.0}
+             for i in range(4)]
+    res = pal.localize_sound_source(cfg, calibration_data=calib,
+                                    use_simulation=True, show_plots=False)
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    for k, (i, j) in enumerate(pairs):
+        expected = base["tdoas"][k] - (0.001 * j - 0.001 * i)
+        np.testing.assert_allclose(res["tdoas"][k], expected, atol=1e-9)
