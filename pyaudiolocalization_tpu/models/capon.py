@@ -76,6 +76,19 @@ def _loaded_inverses(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
     return loaded_inverse(embedded_covariances(snaps, bin_idx), loading)
 
 
+def capon_map_bins(cov_inv: jnp.ndarray, omega: jnp.ndarray,
+                   points: jnp.ndarray, mic_positions: jnp.ndarray,
+                   c) -> jnp.ndarray:
+    """Per-bin Capon/MVDR spectra: (G, B), one column per selected bin
+    (``capon_map`` is the bin-weighted sum).  The MVDR output scales with
+    the source power in the bin, so per-bin peak normalization is what
+    lets a 30 dB-weaker emitter's peak compete (see music.music_map_bins
+    and models/online.py)."""
+    a_emb = embedded_steering(points, mic_positions, omega, c)  # (G, 2M, B)
+    q = jnp.einsum("gmb,bmn,gnb->gb", a_emb, cov_inv, a_emb)    # (G, B)
+    return 1.0 / jnp.maximum(q, 1e-30)
+
+
 def capon_map(cov_inv: jnp.ndarray, omega: jnp.ndarray, bin_w: jnp.ndarray,
               points: jnp.ndarray, mic_positions: jnp.ndarray,
               c) -> jnp.ndarray:
@@ -84,10 +97,8 @@ def capon_map(cov_inv: jnp.ndarray, omega: jnp.ndarray, bin_w: jnp.ndarray,
     cov_inv: (B, 2M, 2M) loaded embedded inverses; omega: (B,) rad/s;
     points: (G, 3).  Returns (G,): sum_b w_b / (a^H R_b^-1 a) — the
     embedded quadratic form equals the complex one exactly."""
-    a_emb = embedded_steering(points, mic_positions, omega, c)  # (G, 2M, B)
-    q = jnp.einsum("gmb,bmn,gnb->gb", a_emb, cov_inv, a_emb)    # (G, B)
-    q = jnp.maximum(q, 1e-30)
-    return jnp.sum(bin_w[None, :] / q, axis=-1)
+    per_bin = capon_map_bins(cov_inv, omega, points, mic_positions, c)
+    return jnp.sum(bin_w[None, :] * per_bin, axis=-1)
 
 
 def capon_locate(signals: jnp.ndarray,

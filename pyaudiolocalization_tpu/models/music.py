@@ -186,6 +186,24 @@ def refine_bin_freqs(snaps: jnp.ndarray, bin_idx: jnp.ndarray,
     return (base + delta) * fs
 
 
+def music_map_bins(subspaces: jnp.ndarray, omega: jnp.ndarray,
+                   points: jnp.ndarray, mic_positions: jnp.ndarray,
+                   c) -> jnp.ndarray:
+    """Per-bin MUSIC pseudo-spectra: (G, B), one column per selected bin
+    (``music_map`` is the bin-weighted sum).  Exposed separately so callers
+    can normalize each bin's contribution by its own peak before summing —
+    the absolute pseudo-spectrum scale varies by orders of magnitude with
+    per-bin SNR, so without normalization a strong emitter's noise floor
+    can outbid a 30 dB-weaker emitter's genuine peak (see
+    models/online.py's streaming narrowband step)."""
+    m = mic_positions.shape[0]
+    a_emb = embedded_steering(points, mic_positions, omega, c)  # (G, 2M, B)
+    # ||E_n^H a||^2 per (G, B): contract the embedded noise columns.
+    proj = jnp.einsum("bmk,gmb->gbk", subspaces, a_emb)     # (G, B, 2M-2K)
+    noise = jnp.maximum(jnp.sum(proj * proj, axis=-1), 1e-7 * m)
+    return 1.0 / noise
+
+
 def music_map(subspaces: jnp.ndarray, omega: jnp.ndarray,
               bin_w: jnp.ndarray, points: jnp.ndarray,
               mic_positions: jnp.ndarray, c) -> jnp.ndarray:
@@ -196,12 +214,8 @@ def music_map(subspaces: jnp.ndarray, omega: jnp.ndarray,
     points: (G, 3).  Returns (G,).  Steering is phase-only (unit modulus),
     ||a||^2 = M; the noise projection is computed directly (float32-stable,
     see _noise_subspaces)."""
-    m = mic_positions.shape[0]
-    a_emb = embedded_steering(points, mic_positions, omega, c)  # (G, 2M, B)
-    # ||E_n^H a||^2 per (G, B): contract the embedded noise columns.
-    proj = jnp.einsum("bmk,gmb->gbk", subspaces, a_emb)     # (G, B, 2M-2K)
-    noise = jnp.maximum(jnp.sum(proj * proj, axis=-1), 1e-7 * m)
-    return jnp.sum(bin_w[None, :] / noise, axis=-1)
+    per_bin = music_map_bins(subspaces, omega, points, mic_positions, c)
+    return jnp.sum(bin_w[None, :] * per_bin, axis=-1)
 
 
 def _check_num_sources(num_sources: int, num_mics: int) -> None:

@@ -50,12 +50,17 @@ class StreamState(NamedTuple):
 class CovStreamState(NamedTuple):
     """State for the narrowband methods ('capon'/'music'): instead of
     per-pair cross-spectra, an EMA of the FULL per-bin spatial covariance
-    (all M x M mic products as real/imag planes, ~2 MB at M=8,
-    frame=4096) — the snapshot average the batch estimators compute over
-    STFT frames, maintained online with O(1) state."""
+    at the COARSE analysis resolution ``nb_frame`` (all M x M mic products
+    as real/imag planes, ~250 kB at M=8, nb_frame=256) — the snapshot
+    average the batch estimators compute over STFT frames, maintained
+    online with O(1) state, plus an EMA of the per-bin inter-frame
+    phase-advance sums that drive the phase-vocoder frequency
+    refinement."""
     buffer: jnp.ndarray      # (M, frame) most recent samples
-    cov_r: jnp.ndarray       # (bins, M, M) EMA covariance, real plane
-    cov_i: jnp.ndarray       # (bins, M, M) imag plane
+    cov_r: jnp.ndarray       # (nb_bins, M, M) EMA covariance, real plane
+    cov_i: jnp.ndarray       # (nb_bins, M, M) imag plane
+    shift_r: jnp.ndarray     # (nb_bins,) EMA phase-advance sum, real plane
+    shift_i: jnp.ndarray     # (nb_bins,) imag plane
     count: jnp.ndarray       # () blocks absorbed
 
 
@@ -74,19 +79,22 @@ class StreamingLocalizer:
       * 'srp' (default) — broadband GCC-PHAT + SRP box search (EMA of the
         whitened-able cross-spectra);
       * 'capon' / 'music' — narrowband snapshot-covariance estimators for
-        tonal sources (which have no usable correlation peaks): the state
-        carries an EMA of the per-bin spatial covariance, and each hop
-        scans the MVDR / subspace map over the box.  Envelope caveat: the
-        streaming selection uses fine (fs/frame) local-max bins, so there
-        is no cross-bin frequency diversity to veto grating lobes — with
-        multiple talkers, one talker's grating can outbid another's true
-        peak once frequencies push the array's spatial-sampling limit
-        (measured on the 1 m 8-mic cube: 600+700 Hz talkers both track to
-        ~4 mm; 600+850 Hz puts talker 2 on a ~19 cm grating artifact that
-        the batch capon/music APIs resolve via their skirt-bin diversity).
-        A second online-only envelope: the bin-weight floor drops emitters
-        more than ~25 dB (power) below the strongest in-band peak — use
-        the batch APIs for weaker targets (their selection has no floor).
+        tonal sources (which have no usable correlation peaks): each hop,
+        the current ``frame`` buffer is cut into overlapping COARSE
+        ``nb_frame`` snapshots (exactly the batch estimators' STFT), their
+        per-bin spatial covariances and inter-frame phase advances are
+        EMA'd into the state, and the MVDR / subspace map is scanned over
+        the box at the tempered top-``num_bins`` coarse bins with
+        phase-vocoder-refined frequencies.  Coarse bins keep the batch
+        APIs' cross-bin frequency diversity — a tone's Hann skirt spans
+        several selected bins whose refined frequencies differ by a few
+        Hz, which misalign at grating lobes but agree at the true source
+        (an earlier fine-bin local-max design had no such diversity and
+        put the second of two talkers at 600+850 Hz on a ~19 cm grating
+        artifact; the intra-hop snapshots make the phase-vocoder
+        refinement unambiguous at ANY hop, which the fine-bin design's
+        one-FFT-per-hop state could not achieve).  There is no bin-weight
+        floor: weak emitters participate exactly as in the batch APIs.
 
     Complex EMA state is kept as real/imag planes (complex arrays cannot
     cross the TPU tunnel host boundary and pytrees of planes jit cleanly).
@@ -96,16 +104,20 @@ class StreamingLocalizer:
                  lower, upper, frame: int = 4096, hop: int = 1024,
                  ema: float = 0.7,
                  band: Optional[Tuple[float, float]] = None,
-                 coarse_n: int = 20, fine_n: int = 10,
+                 coarse_n: Optional[int] = None,
+                 fine_n: Optional[int] = None,
                  num_sources: int = 1,
                  min_separation: Optional[float] = None,
                  method: str = "srp",
                  num_bins: int = 8,
-                 loading: float = 1e-3):
+                 loading: float = 1e-3,
+                 nb_frame: int = 256):
         if frame & (frame - 1):
             raise ValueError("frame must be a power of two")
         if frame % hop:
             raise ValueError("frame must be a multiple of hop")
+        if nb_frame & (nb_frame - 1) or not 0 < nb_frame <= frame:
+            raise ValueError("nb_frame must be a power of two <= frame")
         if method not in ("srp", "capon", "music"):
             raise ValueError(
                 "method must be 'srp' (broadband GCC-PHAT), 'capon', or "
@@ -123,8 +135,16 @@ class StreamingLocalizer:
         self.hop = hop
         self.ema = float(ema)
         self.band = band
-        self.coarse_n = coarse_n
-        self.fine_n = fine_n
+        # Method-aware grid defaults: the MVDR/MUSIC peaks are much sharper
+        # than SRP's, and a 20^3 coarse lattice undersamples them (measured
+        # on the 1 m 8-mic cube at 600+1000 Hz: the suppression search's
+        # second peak lands on a ~19 cm grating lobe at coarse_n=20 and on
+        # the true talker at the batch estimators' 24^3/12^3 grids).
+        narrow = method in ("capon", "music")
+        self.coarse_n = coarse_n if coarse_n is not None else (24 if narrow
+                                                               else 20)
+        self.fine_n = fine_n if fine_n is not None else (12 if narrow else 10)
+        coarse_n = self.coarse_n
         # num_sources > 1 localizes K simultaneous talkers per hop with
         # iterative-suppression SRP (models/srp.srp_phat_locate_multi);
         # outputs gain a leading K axis in coarse extraction order — pair
@@ -139,6 +159,8 @@ class StreamingLocalizer:
         self.method = method
         self.num_bins = int(num_bins)
         self.loading = float(loading)
+        self.nb_frame = int(nb_frame)
+        self.nb_hop = self.nb_frame // 2
         self.pool = srp_ops._resolve_pool(None, self.lower, self.upper,
                                           coarse_n, self.fs, self.c)
         n_ = np.arange(frame)
@@ -148,8 +170,13 @@ class StreamingLocalizer:
             freqs = np.fft.rfftfreq(frame, d=1.0 / fs)
             self._mask = jnp.asarray(
                 ((freqs >= band[0]) & (freqs <= band[1])).astype(np.float32))
+            nb_freqs = np.fft.rfftfreq(self.nb_frame, d=1.0 / fs)
+            self._mask_nb = jnp.asarray(
+                ((nb_freqs >= band[0])
+                 & (nb_freqs <= band[1])).astype(np.float32))
         else:
             self._mask = None
+            self._mask_nb = None
         self._step = jax.jit(self._step_impl)
         self._run = jax.jit(self._run_impl)
 
@@ -158,10 +185,13 @@ class StreamingLocalizer:
         p = self.pi.shape[0]
         bins = self.frame // 2 + 1
         if self.method != "srp":
+            nb_bins = self.nb_frame // 2 + 1
             return CovStreamState(
                 buffer=jnp.zeros((m, self.frame), jnp.float32),
-                cov_r=jnp.zeros((bins, m, m), jnp.float32),
-                cov_i=jnp.zeros((bins, m, m), jnp.float32),
+                cov_r=jnp.zeros((nb_bins, m, m), jnp.float32),
+                cov_i=jnp.zeros((nb_bins, m, m), jnp.float32),
+                shift_r=jnp.zeros((nb_bins,), jnp.float32),
+                shift_i=jnp.zeros((nb_bins,), jnp.float32),
                 count=jnp.zeros((), jnp.int32))
         return StreamState(
             buffer=jnp.zeros((m, self.frame), jnp.float32),
@@ -171,94 +201,196 @@ class StreamingLocalizer:
 
     def _step_cov_impl(self, state: CovStreamState,
                        block: jnp.ndarray) -> StreamOutput:
-        """Narrowband step: EMA per-bin spatial covariance -> Capon/MUSIC
-        map over the box.  Bin centers are used as steering frequencies —
-        at frame=4096/16 kHz the bins are ~4 Hz wide, so the off-grid
-        phase error the batch estimators correct with the phase-vocoder
-        refinement is negligible here."""
+        """Narrowband step: cut the buffer into overlapping ``nb_frame``
+        snapshots (the batch estimators' STFT, models/music.snapshot_frames
+        semantics), EMA the per-bin covariances and phase-advance sums,
+        then scan the Capon/MUSIC map at the tempered top-``num_bins``
+        coarse bins with phase-vocoder-refined frequencies.
+
+        Why COARSE intra-hop snapshots instead of one fine FFT per hop:
+        coarse bins keep the cross-bin frequency DIVERSITY that vetoes
+        grating lobes (a tone's skirt bins refine to slightly different
+        frequencies — grating lobes misalign across them, the true source
+        aligns), and the intra-hop frame pairs make the phase-advance
+        estimator unambiguous regardless of the stream hop (the previous
+        fine-bin design had one FFT per hop, so refinement aliased at
+        hop >= frame/4 and selection had to fall back to local maxima —
+        no diversity, ~19 cm grating artifacts on the second talker at
+        600+850 Hz, and a ~25 dB bin-weight floor to keep noise local
+        maxima out; all three limits are gone here)."""
         m = self.mics.shape[0]
         buf = jnp.concatenate([state.buffer[:, self.hop:], block], axis=1)
-        spec = jnp.fft.rfft(buf * self._window[None, :], n=self.frame)
-        sr = jnp.real(spec).astype(jnp.float32)             # (M, bins)
-        si = jnp.imag(spec).astype(jnp.float32)
-        # Per-bin outer products x x^H as real/imag planes.
-        out_r = (jnp.einsum("mk,nk->kmn", sr, sr)
-                 + jnp.einsum("mk,nk->kmn", si, si))
-        out_i = (jnp.einsum("mk,nk->kmn", si, sr)
-                 - jnp.einsum("mk,nk->kmn", sr, si))
+        snaps = music_ops.snapshot_frames(buf, self.nb_frame, self.nb_hop)
+        xr = jnp.real(snaps).astype(jnp.float32)            # (M, F, K)
+        xi = jnp.imag(snaps).astype(jnp.float32)
+        f_cnt = xr.shape[1]
+        # Per-bin snapshot covariances (1/F) X X^H as real/imag planes.
+        out_r = (jnp.einsum("mfk,nfk->kmn", xr, xr)
+                 + jnp.einsum("mfk,nfk->kmn", xi, xi)) / f_cnt
+        out_i = (jnp.einsum("mfk,nfk->kmn", xi, xr)
+                 - jnp.einsum("mfk,nfk->kmn", xr, xi)) / f_cnt
+        # Per-bin inter-frame phase-advance sums (refine_bin_freqs'
+        # statistic), accumulated across mics and intra-hop frame pairs.
+        pr = (xr[:, 1:, :] * xr[:, :-1, :]
+              + xi[:, 1:, :] * xi[:, :-1, :])
+        pi_ = (xi[:, 1:, :] * xr[:, :-1, :]
+               - xr[:, 1:, :] * xi[:, :-1, :])
+        adv_r = jnp.sum(pr, axis=(0, 1))                    # (K,)
+        adv_i = jnp.sum(pi_, axis=(0, 1))
         a = self.ema
         cvr = a * state.cov_r + (1.0 - a) * out_r
         cvi = a * state.cov_i + (1.0 - a) * out_i
-        new_state = CovStreamState(buf, cvr, cvi, state.count + 1)
+        shr = a * state.shift_r + (1.0 - a) * adv_r
+        shi = a * state.shift_i + (1.0 - a) * adv_i
+        new_state = CovStreamState(buf, cvr, cvi, shr, shi, state.count + 1)
 
-        # Bin selection from the EMA auto power (tempered weights like
-        # beamformer.select_bins), restricted to LOCAL MAXIMA: a steady
-        # tone's Hann-leakage skirt spans +-4 bins whose centers are up to
-        # ~30 Hz off the true frequency — steering there mis-rotates
-        # phases (measured: the stream locks onto a box corner once the
-        # onset transient leaves the EMA), and the batch estimators'
-        # phase-vocoder refinement aliases at hop >= frame/4.  A peak
-        # bin's center is within half a bin of the tone, which is
-        # harmless at these fine (fs/frame) resolutions.
-        power = jnp.einsum("kmm->k", cvr)                   # (bins,)
-        if self._mask is not None:
-            power = power * self._mask
+        # Bin selection from the EMA auto power: the UNION of the batch
+        # APIs' tempered top-``num_bins`` (close tones, skirt diversity)
+        # and per-LOCAL-MAXIMUM peak groups (peak bin +- 1 skirt for the
+        # top ``num_bins // 3`` maxima).  Plain top-k alone starves weak
+        # emitters of bins entirely — a 30 dB-stronger talker's Hann skirt
+        # occupies every top-k slot (measured: the weak talker lands on a
+        # ~19 cm grating artifact, batch APIs included) — while the peak
+        # groups guarantee every distinct emitter representation.
+        power = jnp.einsum("kmm->k", cvr)                   # (K,)
+        if self._mask_nb is not None:
+            power = power * self._mask_nb
+        nb_bins = power.shape[0]
+        power = power.at[0].set(0.0).at[-1].set(0.0)
+        npeaks = max(1, self.num_bins // 3)
         is_peak = ((power >= jnp.roll(power, 1))
-                   & (power >= jnp.roll(power, -1)))
-        # DC/Nyquist are excluded outright: the roll-based test wraps them
-        # against each other, and a DC offset winning vals[0] would zero
-        # every true tone bin through the relative floor below.
+                   & (power > jnp.roll(power, -1)))
+        # DC/Nyquist excluded: the roll test wraps them against each other.
         is_peak = is_peak.at[0].set(False).at[-1].set(False)
-        power = jnp.where(is_peak, power, 0.0)
-        vals, idx = jax.lax.top_k(power, self.num_bins)
-        tempered = jnp.maximum(vals, 0.0) ** 0.3
-        # Relative floor: with only PEAK bins eligible, the runners-up are
-        # noise local maxima orders of magnitude below the tone peaks, and
-        # the tempered exponent would still hand them ~half the total
-        # weight (measured: the second talker wanders ~17 cm hop-to-hop).
-        # Consequence (documented in the class docstring): emitters more
-        # than ~25 dB (power) below the strongest in-band peak are dropped
-        # from the online map — the batch APIs have no such floor.
-        tempered = jnp.where(vals > 3e-3 * vals[0], tempered, 0.0)
+        pvals, pidx = jax.lax.top_k(jnp.where(is_peak, power, 0.0), npeaks)
+        kvals, kidx = jax.lax.top_k(power, self.num_bins)
+        skirt = jnp.clip((pidx[:, None]
+                          + jnp.array([-1, 0, 1], pidx.dtype)).reshape(-1),
+                         1, nb_bins - 2)                    # (3*npeaks,)
+        idx = jnp.concatenate([kidx, skirt])
+        vals = power[idx]
+        # Noise-floor gate (never relative to the strongest peak — that
+        # would be the old weak-emitter floor): a LOW in-band quantile
+        # estimates the noise floor, and a genuine emitter sits several
+        # times above it while a noise local maximum hugs it (the EMA'd,
+        # frame- and mic-averaged per-bin power has tiny relative
+        # variance).  The 12.5th percentile, not the median: with a
+        # narrow analysis band the strong tone's Hann-skirt pedestal
+        # contaminates half the in-band bins (measured: a -30 dB emitter
+        # at only 1.85x the in-band MEDIAN but ~10x the low quantile),
+        # while the low quantile still tolerates a freak null bin that a
+        # strict min would not.  Top-k entries are gated on their OWN
+        # power (the per-bin peak normalization below would otherwise
+        # amplify a noise bin's random structure to unit height); skirt
+        # entries are gated on their PEAK's power, so a weak emitter
+        # keeps its whole group.
+        if self._mask_nb is not None:
+            n_inband = int(np.count_nonzero(np.asarray(self._mask_nb)))
+            floor_src = jnp.where(self._mask_nb > 0, power, jnp.inf)
+        else:
+            n_inband = nb_bins
+            floor_src = power
+        noise_floor = 6.0 * jnp.sort(floor_src)[max(1, n_inband // 8)]
+        valid = jnp.concatenate([kvals > noise_floor,
+                                 jnp.repeat(pvals > noise_floor, 3)])
+        tempered = jnp.where(valid, jnp.maximum(vals, 0.0) ** 0.3, 0.0)
         bin_w = tempered / jnp.maximum(jnp.sum(tempered), 1e-30)
-        omega = (2.0 * jnp.pi * idx.astype(jnp.float32)
-                 * (self.fs / self.frame))
+
+        # Phase-vocoder frequency refinement from the EMA'd advance sums
+        # (models/music.refine_bin_freqs with hop = nb_hop = nb_frame/2,
+        # always unambiguous), clamped to +-0.55 bin.
+        base = (2.0 * jnp.pi * idx.astype(jnp.float32) / self.nb_frame)
+        adv = jnp.arctan2(shi[idx], shr[idx])
+        two_pi = 2.0 * jnp.pi
+        delta = (adv - base * self.nb_hop + jnp.pi) % two_pi - jnp.pi
+        half_bin = 0.55 * two_pi / self.nb_frame
+        delta = jnp.clip(delta / self.nb_hop, -half_bin, half_bin)
+        omega = (base + delta) * self.fs
 
         emb = music_ops.embed_planes(cvr[idx], cvi[idx])    # (B, 2M, 2M)
         if self.method == "capon":
             inv = capon_ops.loaded_inverse(emb, self.loading)
 
-            def map_fn(p_):
-                return capon_ops.capon_map(inv, omega, bin_w, p_, self.mics,
-                                           self.c)
+            def bins_fn(p_):
+                return capon_ops.capon_map_bins(inv, omega, p_, self.mics,
+                                                self.c)
         else:  # music
-            # Per-bin signal subspace of dimension ONE: online, each
-            # narrowband emitter dominates its own (local-max) bin, and a
-            # wider subspace absorbs a noise eigenvector whose pseudo-
-            # random direction spawns phantom peaks (measured: the second
-            # talker wanders 0.2-0.9 m hop-to-hop with dim=num_sources —
-            # the batch path averages those directions over many skirt
-            # bins, the floored streaming selection cannot).
-            # ``num_sources`` still sets how many peaks are extracted;
-            # same-bin super-resolution online needs the batch API.
+            # Batch semantics: protect a num_sources-dimensional signal
+            # subspace per bin (the EMA over many well-conditioned
+            # intra-hop snapshot covariances supports it — the old
+            # rank-one-per-fine-bin special case is gone with the
+            # fine-bin selection).
             _, vecs = jnp.linalg.eigh(emb)
-            subs = vecs[:, :, :2 * m - 2]
+            subs = vecs[:, :, :2 * m - 2 * self.num_sources]
 
-            def map_fn(p_):
-                return music_ops.music_map(subs, omega, bin_w, p_, self.mics,
-                                           self.c)
+            def bins_fn(p_):
+                return music_ops.music_map_bins(subs, omega, p_, self.mics,
+                                                self.c)
+
+        def map_fn(p_):
+            return jnp.sum(bin_w[None, :] * bins_fn(p_), axis=-1)
 
         if self.num_sources > 1:
-            positions, powers = suppressed_multi_search(
-                map_fn, map_fn, self.lower, self.upper, self.coarse_n,
-                self.fine_n, self.num_sources, self.min_separation,
-                jnp.float32)
+            positions, powers = self._claimed_multi_search(bins_fn, bin_w)
             return StreamOutput(positions, powers, new_state)
         pos, pw, _, _ = two_stage_search(map_fn, map_fn, self.lower,
                                          self.upper, self.coarse_n,
                                          self.fine_n, jnp.float32)
         return StreamOutput(jnp.clip(pos, self.lower, self.upper), pw,
                             new_state)
+
+    def _claimed_multi_search(self, bins_fn, bin_w):
+        """Multi-source extraction by iterative argmax + spatial
+        suppression + BIN CLAIMING: after each extracted source, the bins
+        whose own per-bin lattice argmax it explains are zeroed for the
+        later rounds, so round k+1 searches only the bins of the remaining
+        emitters.  This is what lets a 30 dB-weaker talker win round 2:
+        the per-bin map scale spans orders of magnitude with bin SNR (MVDR
+        scales with in-bin source power, MUSIC sharpness with subspace
+        resolution), so on the SUMMED map the strong talker's secondary
+        structure — grating lobes included — outbids the weak talker's
+        genuine peak (measured: 0.28 vs 0.20 at a ~19 cm grating point);
+        on the weak talker's OWN bins its true peak wins by ~27x.  When a
+        round claims every remaining bin (fewer emitters than
+        num_sources), later rounds keep the previous weights and rely on
+        the spatial suppression alone (the old behavior)."""
+        dtype = jnp.float32
+        pts = srp_ops._grid_points(self.lower, self.upper, self.coarse_n,
+                                   dtype)
+        per = bins_fn(pts)                                  # (G, B)
+        bin_arg = pts[jnp.argmax(per, axis=0)]              # (B, 3)
+        cell = (self.upper - self.lower) / self.coarse_n
+        radius = (3.0 * jnp.max(cell) if self.min_separation is None
+                  else jnp.asarray(self.min_separation, dtype))
+
+        def pick(carry, _):
+            w, sup = carry
+            vals = jnp.sum(w[None, :] * per, axis=-1) + sup
+            center = pts[jnp.argmax(vals)]
+            claimed = (jnp.linalg.norm(bin_arg - center[None, :], axis=-1)
+                       <= radius)
+            w_next = jnp.where(claimed, 0.0, w)
+            w_next = jnp.where(jnp.sum(w_next) > 1e-30, w_next, w)
+            sup = jnp.where(
+                jnp.linalg.norm(pts - center[None, :], axis=-1) <= radius,
+                -jnp.inf, sup)
+            return (w_next, sup), (center, w)
+
+        _, (centers, round_w) = jax.lax.scan(
+            pick, (bin_w, jnp.zeros(pts.shape[0], dtype)), None,
+            length=self.num_sources)
+
+        def refine_one(center, w):
+            fine_pts = srp_ops._grid_points(center - 1.5 * cell,
+                                            center + 1.5 * cell,
+                                            self.fine_n, dtype)
+            fine_val = jnp.sum(w[None, :] * bins_fn(fine_pts), axis=-1)
+            k = jnp.argmax(fine_val)
+            return fine_pts[k], fine_val[k]
+
+        positions, powers = jax.vmap(refine_one)(centers, round_w)
+        return (jnp.clip(positions, self.lower[None, :],
+                         self.upper[None, :]), powers)
 
     def _step_impl(self, state, block: jnp.ndarray) -> StreamOutput:
         if self.method != "srp":

@@ -144,26 +144,60 @@ def test_stream_capon_narrowband_tone():
     assert np.all(powers > 0)
 
 
-def test_stream_music_two_tone_talkers():
-    """method='music', num_sources=2: two simultaneous tones tracked online.
+def _two_talker_tail_err(positions, srcs):
+    """Median assignment-matched error over the second half of the stream.
+    The median, not the last hop: the capture's END carries the
+    fractional-delay fade-out ramp, whose chirped spectrum can smear ONE
+    final-hop estimate (measured: music at 600+700 Hz reads 6.8 mm on
+    every tail hop and 121 mm on the fade-out hop)."""
+    errs = []
+    for p in positions[len(positions) // 2:]:
+        e1 = np.linalg.norm(p - srcs, axis=-1).max()
+        e2 = np.linalg.norm(p - srcs[::-1], axis=-1).max()
+        errs.append(min(e1, e2))
+    return float(np.median(errs))
 
-    Tone pair inside the streaming unambiguous envelope: with fine
-    (fs/frame) bins there is no cross-bin frequency diversity to veto
-    grating lobes, so one talker's grating can outbid the other talker's
-    true peak when frequencies get high for the array (measured: 600+700 Hz
-    both 4 mm; 600+800/850 put talker 2 on a ~19 cm grating artifact —
-    the batch music/capon APIs handle those; see StreamingLocalizer)."""
+
+@pytest.mark.parametrize("method", ["music", "capon"])
+@pytest.mark.parametrize("f2", [700.0, 850.0])
+def test_stream_two_tone_talkers(method, f2):
+    """num_sources=2: two simultaneous tones tracked online to within 2 cm.
+
+    600+850 Hz is the former grating-envelope regression (VERDICT r2 item
+    3): the old fine-bin local-max selection had no cross-bin frequency
+    diversity, and talker 2 locked onto a ~19 cm grating artifact.  The
+    coarse intra-hop snapshot design (batch-equivalent skirt diversity +
+    per-round bin claiming in the multi-source search) tracks both talkers
+    at batch accuracy."""
     srcs = np.array([[0.2, 0.25, 0.3], [0.8, 0.7, 0.65]])
-    sigs = _tone_capture([(srcs[0], 600.0), (srcs[1], 700.0)])
+    sigs = _tone_capture([(srcs[0], 600.0), (srcs[1], f2)])
     loc = StreamingLocalizer(MICS8, FS, C, [0, 0, 0], [1, 1, 1],
-                             frame=2048, hop=512, method="music",
+                             frame=2048, hop=512, method=method,
                              num_sources=2, min_separation=0.3,
                              band=(300.0, 1200.0))
     positions, _ = loc.run(sigs)
-    got = positions[-1]
-    e1 = np.linalg.norm(got - srcs, axis=-1).max()
-    e2 = np.linalg.norm(got - srcs[::-1], axis=-1).max()
-    assert min(e1, e2) < 0.06, got
+    err = _two_talker_tail_err(positions, srcs)
+    assert err < 0.02, f"{method} 600+{f2}: tail median err={err}"
+
+
+@pytest.mark.parametrize("method", ["music", "capon"])
+def test_stream_weak_emitter_30db_below(method):
+    """An emitter 30 dB (power) below the strongest must still be
+    recovered online (VERDICT r2 item 7: the old selection had a ~25 dB
+    bin-weight floor; plain batch-style top-k starves the weak emitter of
+    bins entirely — the peak-group selection plus per-round bin claiming
+    recover it at mm scale)."""
+    srcs = np.array([[0.2, 0.25, 0.3], [0.8, 0.7, 0.65]])
+    sigs1 = _tone_capture([(srcs[0], 600.0)], snr_db=40.0)
+    sigs2 = _tone_capture([(srcs[1], 850.0)], snr_db=40.0)
+    mix = sigs1 + 10.0 ** (-30.0 / 20.0) * sigs2
+    loc = StreamingLocalizer(MICS8, FS, C, [0, 0, 0], [1, 1, 1],
+                             frame=2048, hop=512, method=method,
+                             num_sources=2, min_separation=0.3,
+                             band=(300.0, 1200.0))
+    positions, _ = loc.run(mix)
+    err = _two_talker_tail_err(positions, srcs)
+    assert err < 0.02, f"{method} weak emitter: tail median err={err}"
 
 
 def test_stream_capon_silence_stays_finite():
