@@ -48,3 +48,14 @@ est = np.asarray(results["estimated_position"])
 true = np.asarray(config["source_position"])
 print("Estimated Position of Sound Source:", est)
 print("Error: %.4f m" % np.linalg.norm(est - true))
+
+# Solver selection through the same entry point (physical mode): the
+# SRP-PHAT grid search is the robust choice in reverberant scenes, where
+# reflection peaks corrupt per-pair TDOAs and LM chases them.
+config["localization"]["solver"] = "srp"
+config["localization"]["search_box"] = ((-0.5, -0.5, -0.5),
+                                        (1.5, 1.5, 1.5))
+results = localize_sound_source(config, use_simulation=True, show_plots=False)
+est = np.asarray(results["estimated_position"])
+print("SRP-PHAT Estimated Position:", est)
+print("Error: %.4f m" % np.linalg.norm(est - true))

@@ -3,7 +3,7 @@
 Run on the real TPU:
     PYTHONPATH=/root/.axon_site:/root/repo python tools/eval_sweep.py
 Options:
-    --sections snr,hard,multi,beam,music   subset to run (default: all five)
+    --sections snr,hard,multi,beam,music,crlb   subset to run (default: all)
     --quick                          1/8 scene counts (CPU smoke / debugging)
 
 Each section prints the corresponding EVALUATION.md markdown table.  Seeds
@@ -143,14 +143,83 @@ def section_music(scale):
           f"| {hit:.0%} |")
 
 
+def _crlb_position_rmse(mics: np.ndarray, sources: np.ndarray, T: float,
+                        f1: float, f2: float, rho: float,
+                        c: float = 343.0) -> float:
+    """Position-RMSE Cramer-Rao bound for TDOA localization, averaged over
+    source positions.
+
+    Per-pair delay Fisher information (Knapp & Carter 1976; flat signal and
+    noise spectra over [f1, f2], per-channel SNR rho, observation time T;
+    magnitude-squared coherence |g|^2 = rho^2/(1+rho)^2):
+
+        J_tau = 2 T * Int (2 pi f)^2 |g|^2/(1-|g|^2) df
+              = 2 T * rho^2/(1+2 rho) * (2 pi)^2 (f2^3 - f1^3)/3
+
+    Pair delays from independent per-mic noises give per-mic arrival-time
+    variance sigma_t^2 = 1/(2 J_tau), and the position FIM with the
+    emission time as a nuisance parameter is
+
+        J_pos = (1/(c^2 sigma_t^2)) [ Sum u u^T - (1/M)(Sum u)(Sum u)^T ]
+
+    with u_m the unit source->mic directions (this equals the full-FIM of
+    every pairwise TDOA jointly — the P > M-1 pair covariance is singular,
+    the per-mic TOA form sidesteps the pseudo-inverse).  Returns
+    sqrt(mean over sources of trace(J_pos^-1))."""
+    j_tau = (2.0 * T * (rho ** 2 / (1.0 + 2.0 * rho))
+             * (2.0 * np.pi) ** 2 * (f2 ** 3 - f1 ** 3) / 3.0)
+    sigma_t2 = 1.0 / (2.0 * j_tau)
+    m = mics.shape[0]
+    traces = []
+    for s in sources:
+        u = mics - s[None, :]
+        u = u / np.linalg.norm(u, axis=1, keepdims=True)
+        j = u.T @ u - np.outer(u.sum(0), u.sum(0)) / m
+        j = j / (c ** 2 * sigma_t2)
+        traces.append(np.trace(np.linalg.inv(j)))
+    return float(np.sqrt(np.mean(traces)))
+
+
+def section_crlb(scale):
+    """Measured low-SNR RMSE vs the TDOA CRLB (VERDICT r2 item 9): is the
+    -10 dB breakdown estimator- or information-limited?"""
+    scenes = max(128 // scale, 8)
+    base = dict(fs=16000.0, duration=0.1, signal_type="noise",
+                source_box_lo=(0.1,) * 3, source_box_hi=(0.9,) * 3)
+    mics = np.asarray(TETRA, float)
+    ax = np.linspace(0.15, 0.85, 4)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    sources = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
+    T, f1, f2 = 0.1, 300.0, 3400.0   # integration time and processed band
+    print(f"\n## Low-SNR envelope vs the TDOA CRLB — 16 kHz x 0.1 s, "
+          f"4-mic tetra, {scenes} scenes each\n")
+    print("| SNR (dB) | measured RMSE (m) | CRLB RMSE (m) | ratio | "
+          "deflection D |")
+    print("|---|---|---|---|---|")
+    for i, snr in enumerate([-10, -5, 0, 10]):
+        rho = 10.0 ** (snr / 10.0)
+        spec = SweepSpec(snr_db=(float(snr), float(snr)), **base)
+        rmse, _, _ = run(spec, 200 + i, scenes)
+        bound = _crlb_position_rmse(mics, sources, T, f1, f2, rho)
+        # Threshold heuristic: the coherence-estimate deflection
+        # D = sqrt(2 T W) * rho/(1+rho) must exceed the ~2TW whitened
+        # noise maxima (D >~ 4-5) for the true correlation peak to win;
+        # below that the estimator is ambiguity- (threshold-), not
+        # information-limited, and no estimator attains the CRLB
+        # (Ziv-Zakai divergence; Ianniello 1982).
+        d = np.sqrt(2 * T * (f2 - f1)) * rho / (1.0 + rho)
+        print(f"| {snr} | {rmse:.4g} | {bound:.4g} | {rmse / bound:.1f}x "
+              f"| {d:.1f} |")
+
+
 SECTIONS = {"snr": section_snr, "hard": section_hard,
             "multi": section_multi, "beam": section_beam,
-            "music": section_music}
+            "music": section_music, "crlb": section_crlb}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sections", default="snr,hard,multi,beam,music")
+    ap.add_argument("--sections", default="snr,hard,multi,beam,music,crlb")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     scale = 8 if args.quick else 1
