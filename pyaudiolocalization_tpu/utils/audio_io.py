@@ -3,9 +3,10 @@
 Counterpart of ``read_audio_files`` (reference: utils.py:459-482), which
 uses soundfile + resampy.  soundfile is not available in this environment,
 so WAV decoding is a small self-contained RIFF parser (PCM 8/16/24/32-bit
-and IEEE float 32/64), FLAC decodes via utils/flac.py, and AIFF/AIFC via
-``read_aiff`` below; if soundfile happens to be importable it is used for
-any other format.  Resampling uses ops/resample (Kaiser-windowed sinc).
+and IEEE float 32/64), FLAC decodes via utils/flac.py, Ogg Vorbis via
+utils/vorbis.py, and AIFF/AIFC via ``read_aiff`` below; if soundfile
+happens to be importable it is used for any other format.  Resampling
+uses ops/resample (Kaiser-windowed sinc).
 """
 
 from __future__ import annotations
@@ -177,6 +178,9 @@ def read_audio_file(path: str) -> Tuple[np.ndarray, int]:
     if lower.endswith(".flac"):
         from .flac import read_flac
         return read_flac(path)
+    if lower.endswith((".ogg", ".oga")):
+        from .vorbis import read_ogg
+        return read_ogg(path)
     if lower.endswith((".aiff", ".aif", ".aifc")):
         return read_aiff(path)
     if lower.endswith(".wav") or _soundfile is None:
