@@ -41,6 +41,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     fmt = None
     fmt_body = None
     payload = None
+    fact_frames = None
     while pos + 8 <= len(data):
         chunk_id = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
@@ -50,6 +51,8 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             fmt_body = body
         elif chunk_id == b"data":
             payload = body
+        elif chunk_id == b"fact" and size >= 4:
+            fact_frames = struct.unpack("<I", body[:4])[0]
         pos += 8 + size + (size & 1)
     if fmt is None or payload is None:
         raise RuntimeError(f"Missing fmt/data chunk in WAV: {path}")
@@ -81,10 +84,147 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     elif audio_format == 3:  # IEEE float
         dt = "<f4" if bits == 32 else "<f8"
         samples = np.frombuffer(payload, dt).astype(np.float64)
+    elif audio_format == 6:  # G.711 A-law
+        samples = _ALAW[np.frombuffer(payload, np.uint8)].astype(
+            np.float64) / 32768.0
+    elif audio_format == 7:  # G.711 mu-law
+        samples = _MULAW[np.frombuffer(payload, np.uint8)].astype(
+            np.float64) / 32768.0
+    elif audio_format == 0x11:  # IMA/DVI ADPCM
+        frames = _ima_adpcm_decode(payload, channels,
+                                   block_align).astype(np.float64) / 32768.0
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return frames, int(fs)
+    elif audio_format == 2:  # Microsoft ADPCM
+        coefs = _MS_COEFS
+        if fmt_body is not None and len(fmt_body) >= 22:
+            ncoef = struct.unpack("<H", fmt_body[20:22])[0]
+            if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
+                coefs = np.frombuffer(fmt_body[22:22 + 4 * ncoef],
+                                      "<i2").reshape(ncoef, 2).astype(
+                                          np.int64)
+        frames = _ms_adpcm_decode(payload, channels, block_align,
+                                  coefs).astype(np.float64) / 32768.0
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return frames, int(fs)
     else:
         raise RuntimeError(f"Unsupported WAV format code {audio_format} in {path}")
     frames = samples.reshape(-1, channels)
     return frames, int(fs)
+
+
+def _mulaw_table() -> np.ndarray:
+    """G.711 mu-law byte -> int16-scale PCM (segment/mantissa expansion)."""
+    code = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = code & 0x80
+    exp = (code >> 4) & 7
+    mant = code & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte -> int16-scale PCM."""
+    code = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = code & 0x80
+    exp = (code >> 4) & 7
+    mant = code & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+_MULAW = _mulaw_table()
+_ALAW = _alaw_table()
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+
+def _ima_adpcm_decode(payload: bytes, channels: int,
+                      block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format 0x11): per-block 4-byte channel headers
+    (predictor, step index) + nibble groups of 4 bytes per channel.
+    Vectorized across blocks; sequential only in the per-block sample
+    recurrence."""
+    nblocks = len(payload) // block_align
+    raw = np.frombuffer(payload[:nblocks * block_align], np.uint8)
+    raw = raw.reshape(nblocks, block_align)
+    pred = raw[:, :4 * channels].copy().view("<i2").reshape(
+        nblocks, channels, 2)[:, :, 0].astype(np.int64)
+    index = raw[:, 2:4 * channels:4][:, :channels].astype(np.int64)
+    index = np.clip(index, 0, 88)
+    body = raw[:, 4 * channels:]
+    groups_per_row = body.shape[1] // (4 * channels)
+    body = body[:, :groups_per_row * 4 * channels].reshape(
+        nblocks, groups_per_row, channels, 4)
+    nibbles = np.stack([body & 0xF, body >> 4], axis=-1).reshape(
+        nblocks, groups_per_row, channels, 8)
+    # (blocks, channels, samples-per-channel-after-header)
+    nib = np.transpose(nibbles, (0, 2, 1, 3)).reshape(
+        nblocks, channels, groups_per_row * 8).astype(np.int64)
+    nsamp = nib.shape[2]
+    out = np.empty((nblocks, channels, nsamp + 1), np.int64)
+    out[:, :, 0] = pred
+    for t in range(nsamp):
+        n = nib[:, :, t]
+        step = _IMA_STEPS[index]
+        diff = (step >> 3) + np.where(n & 1, step >> 2, 0) \
+            + np.where(n & 2, step >> 1, 0) + np.where(n & 4, step, 0)
+        pred = np.clip(np.where(n & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[n & 7], 0, 88)
+        out[:, :, t + 1] = pred
+    return np.transpose(out, (0, 2, 1)).reshape(-1, channels)
+
+
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230], np.int64)
+_MS_COEFS = np.array([[256, 0], [512, -256], [0, 0], [192, 64],
+                      [240, 0], [460, -208], [392, -232]], np.int64)
+
+
+def _ms_adpcm_decode(payload: bytes, channels: int, block_align: int,
+                     coefs: np.ndarray) -> np.ndarray:
+    """Microsoft ADPCM (WAV format 2).  Block header per channel:
+    predictor index (uint8), initial delta (int16), sample1, sample2
+    (int16, channel-interleaved); body nibbles are channel-interleaved
+    high-nibble-first."""
+    nblocks = len(payload) // block_align
+    raw = np.frombuffer(payload[:nblocks * block_align], np.uint8)
+    raw = raw.reshape(nblocks, block_align)
+    ci = np.clip(raw[:, :channels].astype(np.int64), 0, len(coefs) - 1)
+    c1 = coefs[ci, 0]
+    c2 = coefs[ci, 1]
+    hdr = raw[:, channels:7 * channels].copy().view("<i2").reshape(
+        nblocks, 3, channels).astype(np.int64)
+    delta, s1, s2 = hdr[:, 0], hdr[:, 1], hdr[:, 2]
+    body = raw[:, 7 * channels:]
+    nib = np.stack([body >> 4, body & 0xF], axis=-1).reshape(
+        nblocks, -1).astype(np.int64)
+    nsamp = nib.shape[1] // channels
+    nib = nib[:, :nsamp * channels].reshape(nblocks, nsamp, channels)
+    nib = np.transpose(nib, (0, 2, 1))  # (blocks, channels, samples)
+    out = np.empty((nblocks, channels, nsamp + 2), np.int64)
+    out[:, :, 0] = s2
+    out[:, :, 1] = s1
+    for t in range(nsamp):
+        n = nib[:, :, t]
+        signed = np.where(n >= 8, n - 16, n)
+        predicted = (out[:, :, t + 1] * c1 + out[:, :, t] * c2) >> 8
+        sample = np.clip(predicted + signed * delta, -32768, 32767)
+        out[:, :, t + 2] = sample
+        delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)
+    return np.transpose(out, (0, 2, 1)).reshape(-1, channels)
 
 
 def _read_extended80(b: bytes) -> float:
@@ -162,6 +302,12 @@ def read_aiff(path: str) -> Tuple[np.ndarray, int]:
         samples = np.frombuffer(ssnd, ">f4").astype(np.float64)
     elif compression in (b"fl64", b"FL64"):
         samples = np.frombuffer(ssnd, ">f8").astype(np.float64)
+    elif compression in (b"ulaw", b"ULAW"):
+        samples = _MULAW[np.frombuffer(ssnd, np.uint8)].astype(
+            np.float64) / 32768.0
+    elif compression in (b"alaw", b"ALAW"):
+        samples = _ALAW[np.frombuffer(ssnd, np.uint8)].astype(
+            np.float64) / 32768.0
     else:
         raise RuntimeError(
             f"Unsupported AIFC compression {compression!r} in {path}")
