@@ -684,15 +684,13 @@ def localize_sound_source(config,
         lower, upper = core["lower"], core["upper"]
 
         def polish(x):
-            res = solver_ops.lm_solve(
-                x, jnp.asarray(mic_positions, signals.dtype), pi, pj,
-                jnp.asarray(td_np, signals.dtype), c, weights, lower, upper)
-            return res.x, res.cost
+            # scipy differential_evolution(polish=True) refines with
+            # L-BFGS-B (main.py:281-292); same algorithm here.
+            res = solver_ops.lbfgsb_minimize(objective, x, lower, upper)
+            return res.x, res.fun
 
         # Parity mode matches the reference's scipy defaults (main.py:281-292:
-        # tol=0.01); physical mode keeps the tighter 1e-6 convergence.  The
-        # polish step is bounded LM either way (scipy's is L-BFGS-B —
-        # documented deviation, PARITY.md).
+        # tol=0.01); physical mode keeps the tighter 1e-6 convergence.
         de = solver_ops.differential_evolution(
             objective, lower, upper, k_de, polish_fn=polish,
             tol=0.01 if loc.lag_mode == "reference" else 1e-6)

@@ -317,6 +317,139 @@ def multi_start_lm(guesses: jnp.ndarray, mic_positions, pairs_i, pairs_j,
 
 
 # ---------------------------------------------------------------------------
+# Box-constrained L-BFGS-B (the reference's DE polish, main.py:281-292:
+# scipy differential_evolution(polish=True) refines with L-BFGS-B)
+# ---------------------------------------------------------------------------
+
+class LBFGSBResult(NamedTuple):
+    x: jnp.ndarray
+    fun: jnp.ndarray
+
+
+def lbfgsb_minimize(objective, x0: jnp.ndarray, lower: jnp.ndarray,
+                    upper: jnp.ndarray, history: int = 10,
+                    maxiter: int = 100, pgtol: float = 1e-5,
+                    ftol: float = 2.220446049250313e-09) -> LBFGSBResult:
+    """Projected L-BFGS for box constraints, jit/vmap-safe (static shapes,
+    lax.while_loop).  Direction from the standard two-loop recursion over a
+    ring buffer of (s, y) pairs with active-set gradient masking; step from
+    a projected-Armijo backtracking search; stopping rules match scipy's
+    L-BFGS-B defaults (projected-gradient infinity norm <= pgtol, or
+    relative f decrease <= ftol = factr * eps with factr = 1e7).
+
+    Converges to the same box-constrained minimizers as scipy's Fortran
+    L-BFGS-B on smooth problems (pinned in tests/test_solver_lbfgsb.py);
+    the Cauchy-point/subspace mechanics of the Fortran code are replaced
+    by gradient projection, which changes the trajectory, not the fixed
+    points (the KKT conditions agree).
+    """
+    dim = x0.shape[0]
+    grad = jax.grad(lambda x: jnp.asarray(objective(x)))
+    proj = lambda x: jnp.clip(x, lower, upper)
+
+    def active_set(x, g):
+        # dims pressed against a bound by the gradient (KKT-inactive)
+        return ((x <= lower) & (g > 0)) | ((x >= upper) & (g < 0))
+
+    def direction(g, S, Y, rho, count, head):
+        # two-loop recursion over the valid ring-buffer entries
+        m = S.shape[0]
+        idx = (head - 1 - jnp.arange(m)) % m          # newest -> oldest
+        valid = jnp.arange(m) < count
+
+        def bwd(carry, k):
+            q, alpha = carry
+            i = idx[k]
+            a = jnp.where(valid[k], rho[i] * jnp.dot(S[i], q), 0.0)
+            q = q - a * Y[i]
+            return (q, alpha.at[i].set(a)), None
+
+        (q, alpha), _ = jax.lax.scan(bwd, (g, jnp.zeros(m)), jnp.arange(m))
+        newest = (head - 1) % m
+        gamma = jnp.where(
+            count > 0,
+            jnp.dot(S[newest], Y[newest]) /
+            jnp.maximum(jnp.dot(Y[newest], Y[newest]), 1e-300),
+            1.0)
+        r = gamma * q
+
+        def fwd(r, k):
+            i = idx[m - 1 - k]
+            b = jnp.where(valid[m - 1 - k], rho[i] * jnp.dot(Y[i], r), 0.0)
+            return r + (alpha[i] - b) * S[i], None
+
+        r, _ = jax.lax.scan(fwd, r, jnp.arange(m))
+        return -r
+
+    def line_search(x, f, d):
+        # projected backtracking: accept P(x + a*d) on sufficient decrease
+        def cond(st):
+            a, ok, _, _, tries = st
+            return (~ok) & (tries < 30)
+
+        def body(st):
+            a, _, xn, fn, tries = st
+            xa = proj(x + a * d)
+            fa = jnp.asarray(objective(xa))
+            decrease = fa <= f - 1e-4 * jnp.sum((x - xa) ** 2) / \
+                jnp.maximum(a, 1e-300)
+            ok = decrease & jnp.isfinite(fa)
+            return (jnp.where(ok, a, 0.5 * a),
+                    ok,
+                    jnp.where(ok, xa, xn),
+                    jnp.where(ok, fa, fn),
+                    tries + 1)
+
+        a0 = jnp.asarray(1.0)
+        st = (a0, jnp.asarray(False), x, f, jnp.asarray(0))
+        _, ok, xn, fn, _ = jax.lax.while_loop(cond, body, st)
+        return ok, xn, fn
+
+    m = history
+
+    def step(state):
+        x, f, g, S, Y, rho, head, count, it, _ = state
+        active = active_set(x, g)
+        gm = jnp.where(active, 0.0, g)
+        d = direction(gm, S, Y, rho, count, head)
+        # restrict the step to the free subspace: the ring-buffer history
+        # couples bound dims back into d, which breaks descent at a face
+        d = jnp.where(active, 0.0, d)
+        # safeguard: fall back to steepest descent when curvature is junk
+        d = jnp.where(jnp.dot(d, gm) < 0, d, -gm)
+        ok, xn, fn = line_search(x, f, d)
+        xn = jnp.where(ok, xn, x)
+        fn = jnp.where(ok, fn, f)
+        gn = grad(xn)
+        s, y = xn - x, gn - g
+        sy = jnp.dot(s, y)
+        store = ok & (sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y))
+        pos = head % m
+        S = jnp.where(store, S.at[pos].set(s), S)
+        Y = jnp.where(store, Y.at[pos].set(y), Y)
+        rho = jnp.where(store, rho.at[pos].set(1.0 / jnp.maximum(sy, 1e-300)),
+                        rho)
+        head = jnp.where(store, head + 1, head)
+        count = jnp.where(store, jnp.minimum(count + 1, m), count)
+        pg = jnp.max(jnp.abs(proj(xn - gn) - xn))
+        fdrop = (f - fn) / jnp.maximum(
+            jnp.maximum(jnp.abs(f), jnp.abs(fn)), 1.0)
+        done = (pg <= pgtol) | (ok & (fdrop <= ftol)) | (~ok)
+        return (xn, fn, gn, S, Y, rho, head, count, it + 1, done)
+
+    x0 = proj(jnp.asarray(x0, jnp.result_type(x0, jnp.float32)))
+    f0 = jnp.asarray(objective(x0))
+    g0 = grad(x0)
+    state = (x0, f0, g0,
+             jnp.zeros((m, dim), x0.dtype), jnp.zeros((m, dim), x0.dtype),
+             jnp.zeros(m, x0.dtype), jnp.asarray(0), jnp.asarray(0),
+             jnp.asarray(0), jnp.asarray(False))
+    state = jax.lax.while_loop(
+        lambda s: (~s[-1]) & (s[-2] < maxiter), step, state)
+    return LBFGSBResult(state[0], state[1])
+
+
+# ---------------------------------------------------------------------------
 # Differential evolution (main.py:281-292), resident on device
 # ---------------------------------------------------------------------------
 

@@ -468,9 +468,9 @@ def _solve_from_td(spec: SweepSpec, mics, pi, pj, td, c, weights,
         de = solver_ops.differential_evolution(
             objective, lower, upper, k_de, popsize=spec.de_popsize,
             maxiter=spec.de_maxiter, init=guesses,
-            polish_fn=lambda x: (lambda r: (r.x, r.cost))(
-                solver_ops.lm_solve(x, mics, pi, pj, td, c, weights,
-                                    lower, upper)))
+            # scipy's polish=True semantics (main.py:281-292): L-BFGS-B
+            polish_fn=lambda x: (lambda r: (r.x, r.fun))(
+                solver_ops.lbfgsb_minimize(objective, x, lower, upper)))
         return de.x, de.energy
 
     guesses, _ = solver_ops.heuristic_initial_guesses(
