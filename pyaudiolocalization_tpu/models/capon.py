@@ -165,7 +165,15 @@ def capon_locate_multi(signals: jnp.ndarray,
     """Extract ``num_sources`` peaks of the Capon map via the shared
     argmax-suppression protocol (models/srp.py).  Unlike MUSIC the map
     itself does not depend on ``num_sources`` — it only sets how many
-    peaks are extracted, so overestimating it is harmless."""
+    peaks are extracted, so overestimating it is harmless.
+
+    ``num_sources="auto"`` counts broadband sources first via the
+    Wax-Kailath MDL criterion (models/order.estimate_num_sources)."""
+    if num_sources == "auto":
+        from .order import estimate_num_sources
+        num_sources = max(1, estimate_num_sources(
+            signals, fs, num_bins=num_bins, band=band,
+            max_sources=signals.shape[0] - 1))
     return _capon_locate_multi_jit(
         signals, mic_positions, c, lower, upper, fs=float(fs),
         num_sources=num_sources, frame=frame, hop=hop, num_bins=num_bins,

@@ -295,7 +295,16 @@ def music_locate_multi(signals: jnp.ndarray,
                        ) -> MultiMusicResult:
     """Extract ``num_sources`` peaks of the MUSIC map: iterative coarse
     argmax + spatial suppression (same protocol as srp_phat_locate_multi:
-    default radius 3 coarse cells), then a fine re-grid around each peak."""
+    default radius 3 coarse cells), then a fine re-grid around each peak.
+
+    ``num_sources="auto"`` counts broadband sources first via the
+    Wax-Kailath MDL criterion (models/order.estimate_num_sources; see its
+    docstring for the disjoint-tone caveat)."""
+    if num_sources == "auto":
+        from .order import estimate_num_sources
+        num_sources = max(1, estimate_num_sources(
+            signals, fs, num_bins=num_bins, band=band,
+            max_sources=signals.shape[0] - 1))
     _check_num_sources(num_sources, signals.shape[0])
     return _music_locate_multi_jit(
         signals, mic_positions, c, lower, upper,

@@ -329,8 +329,15 @@ def read_audio_file(path: str) -> Tuple[np.ndarray, int]:
         return read_ogg(path)
     if lower.endswith((".aiff", ".aif", ".aifc")):
         return read_aiff(path)
-    if lower.endswith(".wav") or _soundfile is None:
+    if lower.endswith(".wav"):
         return read_wav(path)
+    if _soundfile is None:
+        if lower.endswith((".mp3", ".opus", ".m4a", ".aac", ".wma")):
+            raise RuntimeError(
+                f"{path}: {os.path.splitext(path)[1]} requires the optional "
+                "soundfile package (not importable here); native decoders "
+                "cover .wav/.flac/.ogg/.aiff")
+        return read_wav(path)  # unknown extension: try RIFF, error cleanly
     data, fs = _soundfile.read(path, always_2d=True)  # pragma: no cover
     return np.asarray(data, np.float64), int(fs)
 
