@@ -179,14 +179,16 @@ def _estimation_core(signals: jnp.ndarray,
         weights = jnp.ones(pi.shape[0], signals.dtype)
 
     with jax.named_scope("solver"):
-        if solver == "lm":
+        if solver in ("lm", "lm-robust"):
             guesses, _ = solver_ops.heuristic_initial_guesses(
                 mic_positions, pi, pj, td, c, k_cluster,
                 clustering_method=clustering_method, eps=eps,
                 min_samples=min_samples)
             lower, upper = solver_ops.dynamic_bounds(mic_positions, td, c)
             guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
-            best = solver_ops.multi_start_lm(
+            solve = (solver_ops.multi_start_lm_robust
+                     if solver == "lm-robust" else solver_ops.multi_start_lm)
+            best = solve(
                 guesses, mic_positions, pi, pj, td, c, weights, lower, upper)
             best_x, best_cost = best.x, best.cost
         elif solver in ("srp", "srp+lm"):
@@ -393,7 +395,7 @@ def _fast_path_eligible(loc: LocalizationConfig, nfft: int,
             and not pallas_fft._bfly_gcc_hbm_input(nfft, num_mics))
 
 
-_SOLVERS = ("lm", "srp", "srp+lm", "beam", "music", "capon")
+_SOLVERS = ("lm", "lm-robust", "srp", "srp+lm", "beam", "music", "capon")
 
 
 def _resolve_search_box(scene: SceneConfig, loc: LocalizationConfig):
@@ -620,7 +622,7 @@ def localize_sound_source(config,
         box_lo = box_hi = None
         pool, max_lag = 2, None
         need_corr = True
-        if loc.solver != "lm":
+        if loc.solver not in ("lm", "lm-robust"):
             blo, bhi = _resolve_search_box(scene, loc)
             box_lo = jnp.asarray(blo, signals.dtype)
             box_hi = jnp.asarray(bhi, signals.dtype)
@@ -669,7 +671,7 @@ def localize_sound_source(config,
     # solution (grid solvers return finite steered powers by construction,
     # and their zero-TDOA diagnostics would make the DE objective
     # meaningless anyway).
-    if not np.isfinite(cost) and loc.solver == "lm":
+    if not np.isfinite(cost) and loc.solver in ("lm", "lm-robust"):
         logger.warning("Least-squares failed, trying differential evolution.")
         pi = np.asarray(pairs_i, np.int32)
         pj = np.asarray(pairs_j, np.int32)

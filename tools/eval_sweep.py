@@ -79,6 +79,8 @@ def section_hard(scale):
         ("10 dB + reverberant room (6 planes, order 2)",
          dict(snr_db=(10.0, 10.0), duration=0.25, **ROOM6), "lm"),
         ("10 dB + reverberant room",
+         dict(snr_db=(10.0, 10.0), duration=0.25, **ROOM6), "lm-robust"),
+        ("10 dB + reverberant room",
          dict(snr_db=(10.0, 10.0), duration=0.25, **ROOM6), "srp"),
         ("0 dB + reverberant room",
          dict(snr_db=(0.0, 0.0), duration=0.25, **ROOM6), "srp"),
