@@ -126,7 +126,6 @@ def _estimation_core(signals: jnp.ndarray,
     pj = np.asarray(pairs_j, np.int32)
     n = signals.shape[-1]
     num_mics = mic_positions.shape[0]
-    narrowband = solver in ("beam", "music", "capon")
 
     with jax.named_scope("filter"):
         filtered = filter_ops.noise_reduction(signals, fs, method=filter_method)
@@ -204,7 +203,7 @@ def _estimation_core(signals: jnp.ndarray,
                     mic_positions, td, c)
                 lm = solver_ops.lm_solve(srp.position, mic_positions, pi, pj,
                                          td, c, weights, b_lower, b_upper)
-                cell = jnp.linalg.norm((box_hi - box_lo) / 24.0)
+                cell = jnp.linalg.norm((box_hi - box_lo) / _SRP_COARSE_N)
                 near = jnp.linalg.norm(lm.x - srp.position) <= cell
                 best_x = jnp.where(near, lm.x, srp.position)
                 best_cost = jnp.where(near, lm.cost, -srp.power)
@@ -396,6 +395,24 @@ def _fast_path_eligible(loc: LocalizationConfig, nfft: int,
 
 
 _SOLVERS = ("lm", "lm-robust", "srp", "srp+lm", "beam", "music", "capon")
+
+_SRP_COARSE_N = 24  # stage-1 grid cells per axis (matches models/srp)
+
+
+def _srp_grid_knobs(scene, loc, mic_positions, fs, c):
+    """Host-side static knobs shared by the grid solvers: search box,
+    max-pool width (0.866 = covering radius of a coarse cell in units of
+    its edge, in samples of travel time), and the mic-diameter lag bound.
+    One definition — the nfft alias-margin check and the estimation-core
+    setup must stay in lockstep."""
+    blo, bhi = _resolve_search_box(scene, loc)
+    cell = float(np.max(np.asarray(bhi) - np.asarray(blo))) / _SRP_COARSE_N
+    pool = max(1, int(np.ceil(0.866 * cell * fs / c)))
+    mics_np = np.asarray(mic_positions, float)
+    diam = float(np.max(np.linalg.norm(
+        mics_np[:, None, :] - mics_np[None, :, :], axis=-1)))
+    max_lag = int(np.ceil(diam * fs / c))
+    return blo, bhi, pool, max_lag
 
 
 def _resolve_search_box(scene: SceneConfig, loc: LocalizationConfig):
@@ -593,14 +610,9 @@ def localize_sound_source(config,
             if loc.solver in ("srp", "srp+lm"):
                 # SRP consults lags up to the mic-diameter bound plus the
                 # max-pool width — that window must be alias-free too.
-                mics_np = np.asarray(mic_positions, float)
-                diam = float(np.max(np.linalg.norm(
-                    mics_np[:, None, :] - mics_np[None, :, :], axis=-1)))
-                blo_, bhi_ = _resolve_search_box(scene, loc)
-                cell = float(np.max(bhi_ - blo_)) / 24.0
-                srp_pool = max(1, int(np.ceil(0.866 * cell * fs / c)))
-                needed = max(needed,
-                             int(np.ceil(diam * fs / c)) + srp_pool + 3)
+                _, _, srp_pool, srp_lag = _srp_grid_knobs(
+                    scene, loc, mic_positions, fs, c)
+                needed = max(needed, srp_lag + srp_pool + 3)
             if nfft - n < needed:
                 nfft = fft_length(n, n, "pow2")
 
@@ -623,17 +635,12 @@ def localize_sound_source(config,
         pool, max_lag = 2, None
         need_corr = True
         if loc.solver not in ("lm", "lm-robust"):
-            blo, bhi = _resolve_search_box(scene, loc)
-            box_lo = jnp.asarray(blo, signals.dtype)
-            box_hi = jnp.asarray(bhi, signals.dtype)
             # Static SRP knobs resolved on the host (inside jit the bounds
             # are tracers — see models/srp._resolve_pool's fallback).
-            cell = float(np.max(bhi - blo)) / 24.0
-            pool = max(1, int(np.ceil(0.866 * cell * fs / c)))
-            mics_np = np.asarray(mic_positions, float)
-            diam = float(np.max(np.linalg.norm(
-                mics_np[:, None, :] - mics_np[None, :, :], axis=-1)))
-            max_lag = int(np.ceil(diam * fs / c))
+            blo, bhi, pool, max_lag = _srp_grid_knobs(
+                scene, loc, mic_positions, fs, c)
+            box_lo = jnp.asarray(blo, signals.dtype)
+            box_hi = jnp.asarray(bhi, signals.dtype)
             if loc.solver in ("beam", "music", "capon"):
                 need_corr = (loc.analyze_correlation
                              or loc.visualize_correlation)

@@ -294,6 +294,17 @@ class StreamingLocalizer:
         valid = jnp.concatenate([kvals > noise_floor,
                                  jnp.repeat(pvals > noise_floor, 3)])
         tempered = jnp.where(valid, jnp.maximum(vals, 0.0) ** 0.3, 0.0)
+        # The top-k/skirt union overlaps (a strong peak's bins appear in
+        # both): zero every duplicate copy but the best-gated one, or the
+        # doubled weight biases the summed map toward the strong emitter
+        # (static-shape dedup: scatter-max per bin + first-position tie
+        # break).
+        pos = jnp.arange(idx.shape[0])
+        seg_max = jnp.zeros(nb_bins, tempered.dtype).at[idx].max(tempered)
+        at_max = tempered >= seg_max[idx]
+        first = jnp.full(nb_bins, idx.shape[0]).at[idx].min(
+            jnp.where(at_max, pos, idx.shape[0]))
+        tempered = jnp.where(at_max & (pos == first[idx]), tempered, 0.0)
         bin_w = tempered / jnp.maximum(jnp.sum(tempered), 1e-30)
 
         # Phase-vocoder frequency refinement from the EMA'd advance sums

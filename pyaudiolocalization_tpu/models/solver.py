@@ -400,6 +400,8 @@ def lbfgsb_minimize(objective, x0: jnp.ndarray, lower: jnp.ndarray,
     dim = x0.shape[0]
     grad = jax.grad(lambda x: jnp.asarray(objective(x)))
     proj = lambda x: jnp.clip(x, lower, upper)
+    # division guard representable in float32 (1e-300 flushes to 0 there)
+    tiny = float(jnp.finfo(jnp.result_type(x0, jnp.float32)).tiny)
 
     def active_set(x, g):
         # dims pressed against a bound by the gradient (KKT-inactive)
@@ -423,7 +425,7 @@ def lbfgsb_minimize(objective, x0: jnp.ndarray, lower: jnp.ndarray,
         gamma = jnp.where(
             count > 0,
             jnp.dot(S[newest], Y[newest]) /
-            jnp.maximum(jnp.dot(Y[newest], Y[newest]), 1e-300),
+            jnp.maximum(jnp.dot(Y[newest], Y[newest]), tiny),
             1.0)
         r = gamma * q
 
@@ -446,7 +448,7 @@ def lbfgsb_minimize(objective, x0: jnp.ndarray, lower: jnp.ndarray,
             xa = proj(x + a * d)
             fa = jnp.asarray(objective(xa))
             decrease = fa <= f - 1e-4 * jnp.sum((x - xa) ** 2) / \
-                jnp.maximum(a, 1e-300)
+                jnp.maximum(a, tiny)
             ok = decrease & jnp.isfinite(fa)
             return (jnp.where(ok, a, 0.5 * a),
                     ok,
@@ -481,7 +483,7 @@ def lbfgsb_minimize(objective, x0: jnp.ndarray, lower: jnp.ndarray,
         pos = head % m
         S = jnp.where(store, S.at[pos].set(s), S)
         Y = jnp.where(store, Y.at[pos].set(y), Y)
-        rho = jnp.where(store, rho.at[pos].set(1.0 / jnp.maximum(sy, 1e-300)),
+        rho = jnp.where(store, rho.at[pos].set(1.0 / jnp.maximum(sy, tiny)),
                         rho)
         head = jnp.where(store, head + 1, head)
         count = jnp.where(store, jnp.minimum(count + 1, m), count)

@@ -126,14 +126,16 @@ def _mulaw_table() -> np.ndarray:
 
 
 def _alaw_table() -> np.ndarray:
-    """G.711 A-law byte -> int16-scale PCM."""
+    """G.711 A-law byte -> int16-scale PCM.  Note the sign convention is
+    the OPPOSITE of mu-law's: after the 0x55 XOR, a SET 0x80 bit means
+    positive (ITU G.711; matches audioop.alaw2lin, pinned in tests)."""
     code = np.arange(256, dtype=np.int64) ^ 0x55
     sign = code & 0x80
     exp = (code >> 4) & 7
     mant = code & 0xF
     mag = np.where(exp == 0, (mant << 4) + 8,
                    ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
-    return np.where(sign, -mag, mag).astype(np.int16)
+    return np.where(sign, mag, -mag).astype(np.int16)
 
 
 _MULAW = _mulaw_table()
@@ -220,7 +222,11 @@ def _ms_adpcm_decode(payload: bytes, channels: int, block_align: int,
     for t in range(nsamp):
         n = nib[:, :, t]
         signed = np.where(n >= 8, n - 16, n)
-        predicted = (out[:, :, t + 1] * c1 + out[:, :, t] * c2) >> 8
+        # C-style truncation toward zero (the format's reference decoders
+        # use integer division, not a floor shift — they differ by 1 on
+        # negative predictions and the error feeds the recurrence)
+        q = out[:, :, t + 1] * c1 + out[:, :, t] * c2
+        predicted = np.where(q >= 0, q >> 8, -((-q) >> 8))
         sample = np.clip(predicted + signed * delta, -32768, 32767)
         out[:, :, t + 2] = sample
         delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)

@@ -392,8 +392,13 @@ class _Floor1:
             self.hi_nb[i] = min(above, key=lambda j: xs[j])
         self.sort_order = np.argsort(self.x_list, kind="stable")
 
-    def decode(self, br: _BitReader, books: List[_Codebook]) -> Optional[np.ndarray]:
-        """Returns final_Y (range units) or None when the floor is unused."""
+    def decode(self, br: _BitReader, books: List[_Codebook]):
+        """Returns (final_Y (range units), step2 flags) or None when the
+        floor is unused.  Flags travel WITH the decoded data: floor
+        configs are shared across channels, so per-channel state must not
+        live on the instance (all channels decode before any curve is
+        rendered — instance state would leave every channel with the
+        last channel's flags)."""
         if not br.read(1):
             return None
         rng = _FLOOR1_RANGES[self.multiplier - 1]
@@ -416,11 +421,11 @@ class _Floor1:
                 offset += 1
         return self._amplitude(y, rng)
 
-    def _amplitude(self, y: np.ndarray, rng: int) -> np.ndarray:
+    def _amplitude(self, y: np.ndarray, rng: int):
         final = np.zeros(self.values, np.int64)
-        self.step2 = np.zeros(self.values, bool)
+        step2 = np.zeros(self.values, bool)
         final[0], final[1] = y[0], y[1]
-        self.step2[0] = self.step2[1] = True
+        step2[0] = step2[1] = True
         for i in range(2, self.values):
             lo, hi = int(self.lo_nb[i]), int(self.hi_nb[i])
             pred = _render_point(int(self.x_list[lo]), int(final[lo]),
@@ -431,7 +436,7 @@ class _Floor1:
             lowroom = pred
             room = 2 * min(highroom, lowroom)
             if val:
-                self.step2[lo] = self.step2[hi] = self.step2[i] = True
+                step2[lo] = step2[hi] = step2[i] = True
                 if val >= room:
                     if highroom > lowroom:
                         final[i] = val - lowroom + pred
@@ -441,17 +446,19 @@ class _Floor1:
                     final[i] = pred - ((val + 1) >> 1) if (val & 1) \
                         else pred + (val >> 1)
             else:
-                self.step2[i] = False
+                step2[i] = False
                 final[i] = pred
             final[i] = min(max(int(final[i]), 0), rng - 1)
-        return final
+        return final, step2
 
-    def curve(self, final_y: np.ndarray, n2: int) -> np.ndarray:
+    def curve(self, decoded, n2: int) -> np.ndarray:
         """Synthesize the floor curve over n2 spectral bins (linear
-        amplitude via the inverse-dB table)."""
+        amplitude via the inverse-dB table) from decode()'s
+        (final_Y, step2) pair."""
+        final_y, step2 = decoded
         out = np.zeros(n2, np.int64)
         order = self.sort_order
-        flagged = [int(j) for j in order if self.step2[j]]
+        flagged = [int(j) for j in order if step2[j]]
         lx, ly = 0, int(final_y[flagged[0]]) * self.multiplier
         for j in flagged[1:]:
             hx = int(self.x_list[j])

@@ -264,6 +264,36 @@ def _patterns(n_packets, seed, entries=32):
     return [list(rng.integers(0, 4, entries)) for _ in range(n_packets)]
 
 
+def test_floor1_state_travels_with_channel_data():
+    """Regression: floor configs are shared across channels and ALL
+    channels decode before any curve renders, so the step2 flags must
+    travel with the decoded data — instance state left every channel
+    rendering with the LAST channel's flags (up to ~80% curve error)."""
+    f = V._Floor1.__new__(V._Floor1)
+    f.x_list = np.array([0, 128, 32, 64, 96], np.int64)
+    f.multiplier = 1
+    f.values = 5
+    f.lo_nb = np.zeros(5, np.int64)
+    f.hi_nb = np.zeros(5, np.int64)
+    for i in range(2, 5):
+        xs = f.x_list
+        below = [j for j in range(i) if xs[j] < xs[i]]
+        above = [j for j in range(i) if xs[j] > xs[i]]
+        f.lo_nb[i] = max(below, key=lambda j: xs[j])
+        f.hi_nb[i] = min(above, key=lambda j: xs[j])
+    f.sort_order = np.argsort(f.x_list, kind="stable")
+    # channel A: middle posts are zero-valued (step2 False -> interpolated)
+    dec_a = f._amplitude(np.array([40, 200, 0, 0, 0], np.int64), 256)
+    curve_a_before = f.curve(dec_a, 64)
+    # channel B decodes afterwards with every post flagged and different Ys
+    dec_b = f._amplitude(np.array([200, 40, 90, 30, 170], np.int64), 256)
+    assert not np.array_equal(dec_a[1], dec_b[1])   # flags genuinely differ
+    curve_a_after = f.curve(dec_a, 64)
+    np.testing.assert_array_equal(curve_a_before, curve_a_after)
+    # and B's own curve reflects its own flags
+    assert not np.allclose(f.curve(dec_b, 64), curve_a_after)
+
+
 def test_stereo_coupled_residue2(tmp_path):
     channels, rtype, coupling = 2, 2, True
     pats = _patterns(3, 0)

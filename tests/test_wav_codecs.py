@@ -32,12 +32,26 @@ def test_mulaw_anchors():
 
 def test_alaw_anchors():
     t = aio._ALAW
-    assert abs(int(t[0xD5])) == 8     # smallest magnitude (A-law has no 0)
+    # A-law sign convention is opposite to mu-law's: 0xD5 (a=0x80 after
+    # the XOR) is the smallest POSITIVE code (ITU G.711)
+    assert int(t[0xD5]) == 8
+    assert int(t[0x55]) == -8
     assert int(np.abs(t.astype(np.int64)).max()) == 32256
     c = np.arange(256)
     pos = t[c] > 0
     np.testing.assert_array_equal(t[c[pos]],
                                   -t[c[pos] ^ 0x80].astype(np.int64))
+
+
+def test_g711_tables_match_audioop_oracle():
+    """Pin both 256-entry expansion tables against the CPython reference
+    implementation (audioop wraps the ITU G.711 C tables)."""
+    audioop = pytest.importorskip("audioop")
+    codes = bytes(range(256))
+    ref_mu = np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), "<i2")
+    np.testing.assert_array_equal(aio._MULAW, ref_mu)
+    np.testing.assert_array_equal(aio._ALAW, ref_a)
 
 
 def _mulaw_encode(x: int) -> int:
@@ -195,8 +209,9 @@ def _ms_decode_scalar(payload, channels, block_align, coefs):
         for i, n in enumerate(nibs):
             c = i % channels
             signed = n - 16 if n >= 8 else n
-            pred = (chans[c][-1] * int(coefs[ci[c]][0])
-                    + chans[c][-2] * int(coefs[ci[c]][1])) >> 8
+            q = (chans[c][-1] * int(coefs[ci[c]][0])
+                 + chans[c][-2] * int(coefs[ci[c]][1]))
+            pred = int(q / 256)  # C truncation toward zero, not floor
             sample = min(max(pred + signed * deltas[c], -32768), 32767)
             chans[c].append(sample)
             deltas[c] = max((int(aio._MS_ADAPT[n]) * deltas[c]) >> 8, 16)
