@@ -13,6 +13,8 @@ Extra flags (rebuild additions):
                      reference-defect parity
   --no-plots         save figures instead of showing them
   --seed N           PRNG seed (the reference is unseeded)
+  --solver NAME      physical-mode estimator (lm / lm-robust / srp /
+                     srp+lm / beam / music / capon); implies --physical
 """
 
 from __future__ import annotations
@@ -47,6 +49,11 @@ def main(argv=None) -> int:
     parser.add_argument("--physical", action="store_true")
     parser.add_argument("--no-plots", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--solver", default=None,
+        choices=("lm", "lm-robust", "srp", "srp+lm", "beam", "music",
+                 "capon"),
+        help="physical-mode estimator (implies --physical)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -55,9 +62,11 @@ def main(argv=None) -> int:
 
     config = copy.deepcopy(DEFAULT_CONFIG)
     config["seed"] = args.seed
-    if args.physical:
+    if args.physical or args.solver:
         config["localization"]["lag_mode"] = "physical"
         config["localization"]["sync_mode"] = "none"
+    if args.solver:
+        config["localization"]["solver"] = args.solver
 
     calibration_data = None
     if not args.no_calibration:
