@@ -397,7 +397,9 @@ class StreamingLocalizer:
                                             self.fine_n, dtype)
             fine_val = jnp.sum(w[None, :] * bins_fn(fine_pts), axis=-1)
             k = jnp.argmax(fine_val)
-            return fine_pts[k], fine_val[k]
+            pos = fine_pts[k] + srp_ops.quadratic_peak_offset(
+                fine_val, k, self.fine_n, 3.0 * cell / self.fine_n)
+            return pos, fine_val[k]
 
         positions, powers = jax.vmap(refine_one)(centers, round_w)
         return (jnp.clip(positions, self.lower[None, :],

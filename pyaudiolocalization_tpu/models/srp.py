@@ -55,10 +55,37 @@ def _grid_points(lo: jnp.ndarray, hi: jnp.ndarray, n: int, dtype):
 # Shared grid-search machinery (SRP, Bartlett beamformer, MUSIC)
 # ---------------------------------------------------------------------------
 
+def quadratic_peak_offset(fine_val: jnp.ndarray, k, fine_n: int,
+                          spacing: jnp.ndarray) -> jnp.ndarray:
+    """Sub-cell 3-axis parabolic peak interpolation on a fine-lattice map.
+
+    The fine grid quantizes every grid solver's answer to its spacing
+    (~1-2 cm at the default 24/12 stages); fitting a parabola through the
+    argmax and its two axis neighbors recovers the continuous peak to a
+    fraction of a cell.  Boundary argmaxes and non-concave fits keep a
+    zero offset; offsets are clamped to half a cell (a sharper-than-
+    quadratic peak, e.g. MUSIC's 1/x^2, just yields a small conservative
+    shift).  fine_val: (fine_n^3,); spacing: (3,) per-axis lattice step.
+    Returns the (3,) position correction."""
+    strides = jnp.asarray([fine_n * fine_n, fine_n, 1])
+    idx3 = (k // strides) % fine_n
+    f0 = fine_val[k]
+    km = jnp.clip(k - strides, 0, fine_val.shape[0] - 1)
+    kp = jnp.clip(k + strides, 0, fine_val.shape[0] - 1)
+    f_m = fine_val[km]
+    f_p = fine_val[kp]
+    interior = (idx3 > 0) & (idx3 < fine_n - 1)
+    denom = f_m - 2.0 * f0 + f_p
+    off = jnp.where(interior & (denom < 0.0),
+                    0.5 * (f_m - f_p) / jnp.where(denom < 0.0, denom, -1.0),
+                    0.0)
+    return jnp.clip(off, -0.5, 0.5) * spacing
+
+
 def two_stage_search(coarse_fn, fine_fn, lower, upper, coarse_n: int,
                      fine_n: int, dtype):
     """Coarse argmax over the box, then a fine re-grid of +-1.5 coarse
-    cells around the peak.
+    cells around the peak, then sub-cell parabolic peak interpolation.
 
     ``coarse_fn``/``fine_fn`` map a (G, 3) point lattice to (G,) values
     (they may differ — SRP evaluates the coarse stage on a max-pooled
@@ -73,7 +100,9 @@ def two_stage_search(coarse_fn, fine_fn, lower, upper, coarse_n: int,
                             fine_n, dtype)
     fine_val = fine_fn(fine_pts)
     k = jnp.argmax(fine_val)
-    return fine_pts[k], fine_val[k], center, cell
+    spacing = 3.0 * cell / fine_n
+    pos = fine_pts[k] + quadratic_peak_offset(fine_val, k, fine_n, spacing)
+    return pos, fine_val[k], center, cell
 
 
 def suppressed_multi_search(coarse_fn, fine_fn, lower, upper, coarse_n: int,
@@ -109,7 +138,9 @@ def suppressed_multi_search(coarse_fn, fine_fn, lower, upper, coarse_n: int,
                                 fine_n, dtype)
         fine_val = fine_fn(fine_pts)
         k = jnp.argmax(fine_val)
-        return fine_pts[k], fine_val[k]
+        pos = fine_pts[k] + quadratic_peak_offset(fine_val, k, fine_n,
+                                                  3.0 * cell / fine_n)
+        return pos, fine_val[k]
 
     positions, powers = jax.vmap(refine_one)(centers)
     return jnp.clip(positions, lower[None, :], upper[None, :]), powers

@@ -84,3 +84,29 @@ def test_srp_multi_suppression_separates_peaks():
     d01 = np.linalg.norm(got[0] - got[1])
     assert np.linalg.norm(got[0] - src) < 0.02
     assert d01 > 0.05  # second "source" pushed away by suppression
+
+
+def test_quadratic_peak_offset_recovers_subcell_peak():
+    """A quadratic map with a known off-lattice peak is recovered to a
+    small fraction of the lattice spacing; boundary argmaxes keep a zero
+    offset."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pyaudiolocalization_tpu.models.srp import (_grid_points,
+                                                    quadratic_peak_offset)
+    lo = jnp.zeros(3)
+    hi = jnp.ones(3)
+    n = 9
+    pts = _grid_points(lo, hi, n, jnp.float64)
+    true = jnp.asarray([0.47, 0.52, 0.61])   # off-lattice interior point
+    vals = -jnp.sum((pts - true[None, :]) ** 2, axis=-1)
+    k = jnp.argmax(vals)
+    spacing = (hi - lo) / n
+    refined = pts[k] + quadratic_peak_offset(vals, k, n, spacing)
+    assert float(jnp.linalg.norm(refined - true)) < 1e-6  # exact for a
+    # parabola up to float rounding
+    # boundary: peak outside the box -> argmax on a face, offset zero
+    vals_edge = -jnp.sum((pts - jnp.asarray([-0.3, 0.5, 0.5])) ** 2, -1)
+    ke = jnp.argmax(vals_edge)
+    off = quadratic_peak_offset(vals_edge, ke, n, spacing)
+    assert float(jnp.abs(off[0])) == 0.0
