@@ -2,7 +2,10 @@
 
 A quasi-static source walks across the room; each overlapping segment
 localizes independently via GCC-PHAT -> SRP-PHAT (all segments in one
-vmapped XLA graph) and an EMA smooths the track.
+vmapped XLA graph) and a smoother stabilizes the track: either a causal
+EMA (``smoother='ema'``) or a power-weighted constant-velocity Kalman
+filter + RTS backward smoother (``smoother='kalman'``) that also recovers
+per-segment velocity and down-weights low-confidence segments.
 """
 
 import jax
@@ -32,7 +35,7 @@ print(f"capture: {capture.shape[0]} mics x {capture.shape[1]} samples "
 
 track = localize_trajectory(
     capture, jnp.asarray(MICS), FS, C,
-    jnp.zeros(3), jnp.ones(3), segment=2048, hop=1024, smoothing=0.5)
+    jnp.zeros(3), jnp.ones(3), segment=2048, hop=1024, smoother="kalman")
 
 for t, p, s in zip(np.asarray(track.times)[::4],
                    np.asarray(track.positions)[::4],

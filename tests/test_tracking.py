@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pyaudiolocalization_tpu.models.tracking import localize_trajectory
+from pyaudiolocalization_tpu.models.tracking import (kalman_rts_smooth,
+                                                     localize_trajectory)
 from pyaudiolocalization_tpu.models.simulator import simulate_signals
 from pyaudiolocalization_tpu.models.acoustics import speed_of_sound
 
@@ -109,3 +110,61 @@ def test_trajectory_method_validation():
     with pytest.raises(ValueError, match="method"):
         localize_trajectory(jnp.zeros((4, 8192)), jnp.asarray(MICS), FS, C,
                             jnp.zeros(3), jnp.ones(3), method="bogus")
+    with pytest.raises(ValueError, match="smoother"):
+        localize_trajectory(jnp.zeros((4, 8192)), jnp.asarray(MICS), FS, C,
+                            jnp.zeros(3), jnp.ones(3), smoother="bogus")
+
+
+def test_kalman_rts_beats_raw_and_recovers_velocity():
+    """Constant-velocity truth + white noise: the RTS smoother must cut the
+    position RMSE well below the raw measurements and recover the velocity,
+    with meas_std auto-calibrated (second-difference MAD is motion-blind)."""
+    rng = np.random.default_rng(0)
+    s, dt = 80, 0.064
+    t = np.arange(s) * dt
+    truth = np.stack([0.2 + 0.15 * t, 0.3 + 0.05 * t, 0.4 + 0.0 * t], -1)
+    z = truth + 0.03 * rng.standard_normal((s, 3))
+    sm, vel = kalman_rts_smooth(jnp.asarray(z), dt)
+    sm, vel = np.asarray(sm), np.asarray(vel)
+    raw = np.sqrt(np.mean((z - truth) ** 2))
+    smoothed = np.sqrt(np.mean((sm - truth) ** 2))
+    assert smoothed < 0.45 * raw, (smoothed, raw)
+    assert np.allclose(vel[s // 2], [0.15, 0.05, 0.0], atol=0.05)
+    # Degenerate single-sample track: identity, zero velocity.
+    s1, v1 = kalman_rts_smooth(jnp.asarray(z[:1]), dt)
+    assert np.allclose(np.asarray(s1), z[:1])
+    assert np.allclose(np.asarray(v1), 0.0)
+
+
+def test_kalman_power_weighting_rejects_low_confidence_outlier():
+    rng = np.random.default_rng(1)
+    s, dt = 60, 0.064
+    t = np.arange(s) * dt
+    truth = np.stack([0.2 + 0.1 * t, 0.3 * np.ones(s), 0.4 * np.ones(s)], -1)
+    z = truth + 0.02 * rng.standard_normal((s, 3))
+    z[30] += np.array([0.8, -0.8, 0.8])          # garbage segment...
+    p = np.ones(s)
+    p[30] = 1e-6                                  # ...with tiny SRP power
+    sm_w, _ = kalman_rts_smooth(jnp.asarray(z), dt, powers=jnp.asarray(p))
+    sm_u, _ = kalman_rts_smooth(jnp.asarray(z), dt)
+    err_w = np.linalg.norm(np.asarray(sm_w)[30] - truth[30])
+    err_u = np.linalg.norm(np.asarray(sm_u)[30] - truth[30])
+    assert err_w < 0.5 * err_u, (err_w, err_u)
+    assert err_w < 0.05
+
+
+def test_trajectory_kalman_smoother_end_to_end():
+    """smoother='kalman' on a rendered moving capture: finite, converges to
+    the (static) source, and beats the raw per-segment scatter."""
+    sigs = _moving_capture(np.array([[0.5, 0.4, 0.3]]), seg_dur=0.5)
+    track = localize_trajectory(
+        sigs, jnp.asarray(MICS), FS, C,
+        jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([1.0, 1.0, 1.0]),
+        segment=2048, hop=512, smoother="kalman")
+    sm = np.asarray(track.smoothed)
+    raw = np.asarray(track.positions)
+    truth = np.array([0.5, 0.4, 0.3])
+    assert np.all(np.isfinite(sm))
+    assert np.linalg.norm(sm[-1] - truth) < 0.05
+    assert (np.sqrt(np.mean((sm - truth) ** 2))
+            <= np.sqrt(np.mean((raw - truth) ** 2)) + 1e-9)
