@@ -1,15 +1,18 @@
 """Pallas TPU FFT: the BUTTERFLY ENGINE — whole pow2 transforms in VMEM.
 
-True log-N radix-2 stages as full-array sublane rolls + masked selects,
-one MXU matmul for the lane-axis DFT, bit-reversal cancelled between
-forward and inverse.  This is the PRODUCTION fused GCC/render path:
-ops/gccphat.gcc_phat_all_pairs dispatches to its fused per-scene kernel
-on TPU (f32, nfft = 128*pow2, VMEM permitting), measured 2.1-2.3x the XLA
-path at 4 mics x 65536 on v5e.  The target is HBM-bandwidth-bound
-(~50 GB/s effective through the tunnel; even a plain copy kernel and
-XLA's own FFT sit at that floor), so the win is pure traffic: signals in,
-correlations out, ~2.5 MB per scene instead of the XLA path's ~8 MB of
-intermediate spectra and whitening passes.
+True log-N radix-2 stages (contiguous sliced butterflies while the
+half-distance spans whole sublane tiles, full-array rolls + masked
+selects within tiles), one MXU matmul for the lane-axis DFT, bit-reversal
+cancelled between forward and inverse.  This is the PRODUCTION fused
+GCC/render path: ops/gccphat.gcc_phat_all_pairs dispatches to its fused
+per-scene kernel on TPU (f32, nfft = 128*pow2, VMEM permitting), measured
+2.4-3.1x the XLA path (tools/gcc_ab_bench.py, all-roll schedule) plus
+1.8x from the sliced-stage schedule at the 131072 headline shape
+(tools/stage_ab_bench.py).  On the healthy tunnel (~300 GB/s copy floor)
+the kernels are VPU-COMPUTE-bound in the butterfly stages, not HBM-bound
+— but the traffic win still stands: signals in, correlations out,
+~2.5 MB per scene instead of the XLA path's ~8 MB of intermediate spectra
+and whitening passes.
 
 XLA's TPU FFT runs multiple HBM passes; a 131072-point complex64 row is
 only 1 MB as float32 planes, so the entire transform fits in VMEM and the
@@ -145,14 +148,62 @@ def _roll(x, shift, n2):
     return pltpu.roll(x, shift % n2, 0)
 
 
+# Stage schedule: butterflies whose half-distance h is >= 8 sublanes pair
+# CONTIGUOUS 8-aligned block halves, so they are computed exactly (one add,
+# one sub, one twiddle-mul per output) on a (blocks, m, 128) leading-dim
+# view — zero rolls, half the flops of the full-plane masked-select form,
+# which evaluates BOTH butterfly branches everywhere and then selects.
+# Only the last three within-tile stages (h = 4, 2, 1) keep the roll form.
+# Measured (v5e, 2026-08-18, tools/stage_ab_bench.py, bit-identical
+# outputs): 1.81x on the fused GCC at nfft=131072 (the headline bench
+# shape), 1.18-1.24x at 8192-65536, 1.06-1.13x on the windowed kernels —
+# the sliced share of total stage work grows with log2(N2).
+_SLICED_STAGES = True
+
+
 def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2):
-    """Forward radix-2 DIF stages along axis 0; bit-reversed output order."""
+    """Forward radix-2 DIF stages along axis 0; bit-reversed output order.
+
+    ``xi=None`` marks a real input: the first sliced stage elides all
+    imaginary-plane work (the forward transforms here are always r2c).
+    """
     stages = int(np.log2(n2))
     h = n2 // 2
-    for s in range(stages):
-        mu = mask_u[s]
-        tr = stw_r[s]
-        ti = stw_i[s]
+    s = 0
+    if _SLICED_STAGES and h >= 8:
+        x3r = xr.reshape(1, n2, _N1)
+        x3i = None if xi is None else xi.reshape(1, n2, _N1)
+        while h >= 8:
+            # Within-block twiddle W_m^j, identical for every block: the
+            # v-half rows of block 0 of the stage's (n2, 1) const plane.
+            twr = stw_r[s, h:2 * h]
+            twi = stw_i[s, h:2 * h]
+            ur, vr = x3r[:, :h], x3r[:, h:]
+            ar = ur + vr
+            dr = ur - vr
+            if x3i is None:
+                ai = jnp.zeros_like(ar)
+                br = dr * twr
+                bi = dr * twi
+            else:
+                ui, vi = x3i[:, :h], x3i[:, h:]
+                ai = ui + vi
+                di = ui - vi
+                br = dr * twr - di * twi
+                bi = dr * twi + di * twr
+            g = x3r.shape[0]
+            x3r = jnp.concatenate([ar, br], axis=1).reshape(2 * g, h, _N1)
+            x3i = jnp.concatenate([ai, bi], axis=1).reshape(2 * g, h, _N1)
+            s += 1
+            h //= 2
+        xr = x3r.reshape(n2, _N1)
+        xi = x3i.reshape(n2, _N1)
+    elif xi is None:
+        xi = jnp.zeros_like(xr)
+    for ss in range(s, stages):
+        mu = mask_u[ss]
+        tr = stw_r[ss]
+        ti = stw_i[ss]
         ar = xr + _roll(xr, -h, n2)
         ai = xi + _roll(xi, -h, n2)
         dr = _roll(xr, h, n2) - xr
@@ -168,8 +219,9 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2):
 def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
     """Inverse (conjugate) DIT stages consuming bit-reversed order."""
     stages = int(np.log2(n2))
+    n_roll = stages if not _SLICED_STAGES else min(stages, 3)
     h = 1
-    for s in range(stages - 1, -1, -1):
+    for s in range(stages - 1, stages - 1 - n_roll, -1):
         mu = mask_u[s]
         tr = stw_r[s]
         ti = -stw_i[s]  # conjugate stage twiddles
@@ -184,6 +236,26 @@ def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
                        _roll(xi, h, n2) - ti_)
         xr, xi = yr, yi
         h *= 2
+    if stages > n_roll:
+        g = n2 // (2 * h)
+        x3r = xr.reshape(g, 2 * h, _N1)
+        x3i = xi.reshape(g, 2 * h, _N1)
+        for s in range(stages - 1 - n_roll, -1, -1):
+            twr = stw_r[s, h:2 * h]
+            twi = -stw_i[s, h:2 * h]  # conjugate stage twiddles
+            ur, vr = x3r[:, :h], x3r[:, h:]
+            ui, vi = x3i[:, :h], x3i[:, h:]
+            tr = vr * twr - vi * twi
+            ti = vr * twi + vi * twr
+            x3r = jnp.concatenate([ur + tr, ur - tr], axis=1)
+            x3i = jnp.concatenate([ui + ti, ui - ti], axis=1)
+            h *= 2
+            if s > 0:
+                g //= 2
+                x3r = x3r.reshape(g, 2 * h, _N1)
+                x3i = x3i.reshape(g, 2 * h, _N1)
+        xr = x3r.reshape(n2, _N1)
+        xi = x3i.reshape(n2, _N1)
     return xr, xi
 
 
@@ -207,8 +279,7 @@ def _bfly_fwd_kernel(x_ref, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
                      w1r_ref, w1i_ref, or_ref, oi_ref, *, n2):
     """Real rows -> spectrum planes in (t_bitrev, lane) layout."""
     xr = x_ref[0]
-    xi = jnp.zeros_like(xr)
-    xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
+    xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2)
     twr = twr_ref[:]
     twi = twi_ref[:]
     cr = xr * twr - xi * twi
@@ -315,8 +386,7 @@ def bfly_band_plane(n: int, band, fs: float) -> np.ndarray:
 def _fwd_one(xr, mask_ref, str_ref, sti_ref, twr_ref, twi_ref, w1r_ref,
              w1i_ref, n2):
     """Forward butterfly transform of one real (N2, 128) plane."""
-    xi = jnp.zeros_like(xr)
-    xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
+    xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2)
     twr = twr_ref[:]
     twi = twi_ref[:]
     cr = xr * twr - xi * twi
@@ -354,12 +424,12 @@ def _bfly_gcc_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
     """Fused per-scene GCC-PHAT: (1, M, N2, 128) real signals ->
     (1, P, N2, 128) whitened circular correlations, all stages VMEM-resident.
 
-    On the measured target the pipeline is HBM-bandwidth-bound (~50 GB/s
-    effective through the tunnel; even XLA's FFT and a plain copy hit the
-    same floor), so the win comes from touching HBM exactly once per signal
-    and once per correlation — spectra, cross-spectra, and whitening never
-    leave VMEM.  The XLA path moves ~8 MB per 4-mic scene; this kernel moves
-    2.5 MB."""
+    HBM is touched exactly once per signal and once per correlation —
+    spectra, cross-spectra, and whitening never leave VMEM (the XLA path
+    moves ~8 MB per 4-mic scene; this kernel moves 2.5 MB).  On the healthy
+    tunnel (~300 GB/s copy floor) the kernel is VPU-compute-bound in the
+    butterfly stages, so the stage schedule, not traffic, sets the ceiling
+    (see _SLICED_STAGES)."""
     m = x_ref.shape[1]
     p = pl.program_id(1)
 
@@ -679,9 +749,91 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Separable path-ramp synthesis.  The mixed per-mic transfer function is
+#   H_m = sum_p g_p * exp(-2*pi*i * k_signed * tau_p / N),   tau in samples,
+# and with the butterfly layout's k = s*N2 + t (s = lane, t = natural
+# sublane) the sign wrap k_signed = k - N*[k > N/2] depends ONLY on the
+# lane: k_signed = s_signed*N2 + t with s_signed = s - 128*[s >= 64].  The
+# exponential therefore factors into an OUTER PRODUCT of a 128-entry lane
+# vector and an N2-entry sublane vector.  Measured (v5e 2026-08-18):
+# render-kernel time is NEUTRAL vs the full-plane cos/sin form — an
+# (N2, 1) array occupies as many VPU registers as an (N2, 128) plane, so
+# the transcendental savings cancel against the extra outer-product
+# multiplies.  The form is kept because it is substantially MORE ACCURATE
+# (the lane phase is range-reduced exactly — integer lane indices make
+# whole-turn subtraction lossless — cutting worst-case ramp phase error
+# from ~2e-3 rad to ~5e-5 rad at long delay budgets) and it retires the
+# (N2, 128) frequency-plane constant (256 KB VMEM at nfft=65536).
+#
+# NYQUIST (t=0, lane 64): a real-output fractional delay must have a REAL
+# Nyquist response, Re(e^{-i pi tau}) = cos(pi tau) — which is what the
+# XLA path's irfft implicitly applies by discarding that bin's imaginary
+# part.  The pre-round-3 frq-plane kernel kept the complex e^{-i pi tau}
+# instead, which broke the mixed spectrum's Hermitian symmetry and let
+# the packed-pair inverse (ifft(Z0 + i*Z1)) leak each mic's Nyquist
+# imaginary into its packed partner: measured 2.2e-2 relative waveform
+# error vs an f64 oracle at nfft=2048 (scales as |spec(N/2)|/nfft; found
+# round 3 by the first kernel-vs-delay_and_sum drive).  The separable
+# form patches the bin with the accumulated REAL part (a per-mic lane
+# accumulator + one masked select), fixing the defect: kernel-vs-f64
+# error drops to XLA-path levels.
+# ---------------------------------------------------------------------------
+
+
+def _mixed_ramps(d_ref, g_ref, m_idx, num_paths, sgn, tnat, nyq_mask, n2,
+                 inv_n):
+    """Accumulate H_m = sum_p g_p exp(-2*pi*i*f_signed*tau_p) in butterfly
+    layout from per-path sample delays ``d_ref`` (SMEM, samples) and gains.
+    ``sgn`` (1, 128) signed lane index, ``tnat`` (n2, 1) natural sublane
+    index, ``nyq_mask`` (n2, 128) bool marking (t=0, lane 64)."""
+    two_pi = 2.0 * np.pi
+    hr = jnp.zeros((n2, _N1), jnp.float32)
+    hi = jnp.zeros((n2, _N1), jnp.float32)
+    nr = jnp.zeros((1, _N1), jnp.float32)
+    for pth in range(num_paths):
+        tau = d_ref[0, m_idx, pth]
+        g = g_ref[0, m_idx, pth]
+        # Lane phase, range-reduced by whole turns (exact: s_signed is an
+        # integer, so subtracting floor multiples of 2*pi per lane leaves
+        # cos/sin unchanged while keeping |pha| < ~400 rad even for long
+        # delay budgets).
+        pha = (two_pi / _N1) * tau * sgn
+        pha = pha - two_pi * jnp.floor(pha * (1.0 / two_pi))
+        ar = g * jnp.cos(pha)
+        ai = -g * jnp.sin(pha)
+        phb = (two_pi * inv_n) * tau * tnat
+        br = jnp.cos(phb)
+        bi = -jnp.sin(phb)
+        hr = hr + (br * ar - bi * ai)
+        hi = hi + (br * ai + bi * ar)
+        # Real Nyquist accumulator: at lane 64, ar = g*cos(-pi*tau) =
+        # g*cos(pi*tau), the real part of the bin's delay response.
+        nr = nr + ar
+    hr = jnp.where(nyq_mask, nr, hr)
+    hi = jnp.where(nyq_mask, 0.0, hi)
+    return hr, hi
+
+
+def _nyq_mask(n2):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 1)
+    return (rows == 0) & (cols == _N1 // 2)
+
+
+def _ramp_consts(n2):
+    """Signed lane index (1, 128) and natural sublane index (n2, 1) f32
+    vectors for the separable ramp synthesis (bit-reversed storage)."""
+    s = np.arange(_N1)
+    sgn = np.where(s < _N1 // 2, s, s - _N1).astype(np.float32)[None, :]
+    tnat = _bitrev_perm(n2).astype(np.float32)[:, None]
+    return sgn, tnat
+
+
 def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
-                       base_ref, fade_ref, frq_ref, band_ref, mask_ref,
-                       str_ref, sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
+                       base_ref, fade_ref, sgn_ref, tnat_ref, band_ref,
+                       mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
+                       w1r_ref, w1i_ref,
                        win_ref, stat_ref, sig_ref, sr_ref, si_ref, *,
                        n2, n2_out, wq, num_paths, out_samples, eps,
                        render_scale, corr_scale, with_noise):
@@ -695,18 +847,14 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
         # (zero-padded to the transform length) in scratch.
         br_, bi_ = _fwd_one(base_ref[0], mask_ref, str_ref, sti_ref,
                             twr_ref, twi_ref, w1r_ref, w1i_ref, n2)
-        frq = frq_ref[:]
+        sgn = sgn_ref[:]
+        tnat = tnat_ref[:]
+        nyq = _nyq_mask(n2)
         window = fade_ref[:] * render_scale
 
         def mixed(m_idx):
-            hr = jnp.zeros((n2, _N1), jnp.float32)
-            hi = jnp.zeros((n2, _N1), jnp.float32)
-            for pth in range(num_paths):
-                d = d_ref[0, m_idx, pth]
-                g = g_ref[0, m_idx, pth]
-                theta = frq * d
-                hr = hr + g * jnp.cos(theta)
-                hi = hi - g * jnp.sin(theta)
+            hr, hi = _mixed_ramps(d_ref, g_ref, m_idx, num_paths, sgn,
+                                  tnat, nyq, n2, 1.0 / (n2 * _N1))
             return br_ * hr - bi_ * hi, br_ * hi + bi_ * hr
 
         for mq in range((m + 1) // 2):
@@ -799,7 +947,9 @@ def bfly_scene_windowed(base: jnp.ndarray,
     if n_samp < nfft:
         x = jnp.pad(x, ((0, 0), (0, nfft - n_samp)))
     x3 = x.reshape(b, n2, _N1)
-    d3 = delays.reshape(b, m, num_paths).astype(jnp.float32)
+    # Path delays travel in SAMPLES (the kernel's separable ramp synthesis
+    # needs no frequency plane, so fs never enters the kernel).
+    d3 = (delays * fs).reshape(b, m, num_paths).astype(jnp.float32)
     g3 = gains.reshape(b, m, num_paths).astype(jnp.float32)
     with_noise = snr_db is not None
     if with_noise:
@@ -812,10 +962,7 @@ def bfly_scene_windowed(base: jnp.ndarray,
         snr = jnp.zeros((b, 1, 1), jnp.float32)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     band_plane = jnp.asarray(bfly_band_plane(nfft, band, fs))
-    t_nat = _bitrev_perm(n2)
-    k = np.arange(_N1)[None, :] * n2 + t_nat[:, None]
-    k_signed = np.where(k <= nfft // 2, k, k - nfft)
-    frq = jnp.asarray((2.0 * np.pi * fs / nfft) * k_signed, jnp.float32)
+    sgn, tnat = (jnp.asarray(c) for c in _ramp_consts(n2))
     fade_plane = jnp.zeros((n2_out, _N1), jnp.float32).reshape(-1).at[
         :out_samples].set(jnp.ones(out_samples, jnp.float32)
                           if fade is None else fade.astype(jnp.float32)
@@ -848,7 +995,8 @@ def bfly_scene_windowed(base: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, n2, _N1), lambda i, qq: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  cspec2(fade_plane.shape), cspec2(frq.shape),
+                  cspec2(fade_plane.shape), cspec2(sgn.shape),
+                  cspec2(tnat.shape),
                   cspec2(band_plane.shape)] +
                  [cspec2(c.shape) for c in consts],
         out_specs=(pl.BlockSpec((1, 2, 2 * wq, _N1),
@@ -864,7 +1012,8 @@ def bfly_scene_windowed(base: jnp.ndarray,
                         pltpu.VMEM((m, n2, _N1), jnp.float32)],
         compiler_params=_BFLY_PARAMS,
         interpret=interpret,
-    )(pi, pj, d3, g3, seeds, snr, x3, fade_plane, frq, band_plane, *consts)
+    )(pi, pj, d3, g3, seeds, snr, x3, fade_plane, sgn, tnat, band_plane,
+      *consts)
     win = win[:, :p].reshape(lead + (p, 2 * wq * _N1))
     stats = stats[:, :p, 0, :3].reshape(lead + (p, 3))
     return win, stats
@@ -884,8 +1033,9 @@ def bfly_scene_windowed(base: jnp.ndarray,
 
 
 def _bfly_render_kernel(d_ref, g_ref, seed_ref, snr_ref, x_ref, fade_ref,
-                        frq_ref, mask_ref, str_ref, sti_ref, twr_ref,
-                        twi_ref, w1r_ref, w1i_ref, out_ref, sr_ref, si_ref,
+                        sgn_ref, tnat_ref, mask_ref, str_ref, sti_ref,
+                        twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref,
+                        sr_ref, si_ref,
                         *, n2, n2_out, num_paths, out_samples, scale,
                         finalize=False, with_noise=False):
     mq = pl.program_id(1)
@@ -893,8 +1043,7 @@ def _bfly_render_kernel(d_ref, g_ref, seed_ref, snr_ref, x_ref, fade_ref,
     @pl.when(mq == 0)
     def _():
         xr = x_ref[0]
-        xi = jnp.zeros_like(xr)
-        xr, xi = _dif_stages(xr, xi, mask_ref, str_ref, sti_ref, n2)
+        xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2)
         twr = twr_ref[:]
         twi = twi_ref[:]
         cr = xr * twr - xi * twi
@@ -903,18 +1052,14 @@ def _bfly_render_kernel(d_ref, g_ref, seed_ref, snr_ref, x_ref, fade_ref,
         sr_ref[:] = yr
         si_ref[:] = yi
 
-    frq = frq_ref[:]                      # 2*pi*f_signed, butterfly layout
+    sgn = sgn_ref[:]
+    tnat = tnat_ref[:]
+    nyq = _nyq_mask(n2)
     ar, ai = sr_ref[:], si_ref[:]
 
     def mixed(m_idx):
-        hr = jnp.zeros((n2, _N1), jnp.float32)
-        hi = jnp.zeros((n2, _N1), jnp.float32)
-        for p in range(num_paths):
-            d = d_ref[0, m_idx, p]
-            g = g_ref[0, m_idx, p]
-            theta = frq * d
-            hr = hr + g * jnp.cos(theta)
-            hi = hi - g * jnp.sin(theta)
+        hr, hi = _mixed_ramps(d_ref, g_ref, m_idx, num_paths, sgn, tnat,
+                              nyq, n2, 1.0 / (n2 * _N1))
         return ar * hr - ai * hi, ar * hi + ai * hr
 
     # Packed inverse: two mics' (Hermitian) mixed spectra share one
@@ -1040,7 +1185,8 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
     if n_samp < nfft:
         x = jnp.pad(x, ((0, 0), (0, nfft - n_samp)))
     x3 = x.reshape(b, n2, _N1)
-    d3 = delays.reshape(b, m, num_paths).astype(jnp.float32)
+    # Path delays travel in SAMPLES (separable ramp synthesis in-kernel).
+    d3 = (delays * fs).reshape(b, m, num_paths).astype(jnp.float32)
     g3 = gains.reshape(b, m, num_paths).astype(jnp.float32)
     with_noise = snr_db is not None
     if with_noise:
@@ -1052,11 +1198,7 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
         seeds = jnp.zeros((b, 1, 2), jnp.int32)
         snr = jnp.zeros((b, 1, 1), jnp.float32)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
-    # Signed 2*pi*frequency plane (Hermitian ramps) in butterfly layout.
-    t_nat = _bitrev_perm(n2)
-    k = np.arange(_N1)[None, :] * n2 + t_nat[:, None]
-    k_signed = np.where(k <= nfft // 2, k, k - nfft)
-    frq = jnp.asarray((2.0 * np.pi * fs / nfft) * k_signed, jnp.float32)
+    sgn, tnat = (jnp.asarray(c) for c in _ramp_consts(n2))
     fade_plane = jnp.zeros((n2_out, _N1), jnp.float32).reshape(-1).at[
         :out_samples].set(jnp.ones(out_samples, jnp.float32)
                           if fade is None else fade.astype(jnp.float32)
@@ -1085,7 +1227,8 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, n2, _N1), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  cspec2(fade_plane.shape), cspec2(frq.shape)] +
+                  cspec2(fade_plane.shape), cspec2(sgn.shape),
+                  cspec2(tnat.shape)] +
                  [cspec2(c.shape) for c in consts],
         out_specs=pl.BlockSpec((1, 2, n2_out, _N1),
                                lambda i, q: (i, q, 0, 0),
@@ -1096,7 +1239,7 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                         pltpu.VMEM((n2, _N1), jnp.float32)],
         compiler_params=_BFLY_PARAMS,
         interpret=interpret,
-    )(d3, g3, seeds, snr, x3, fade_plane, frq, *consts)
+    )(d3, g3, seeds, snr, x3, fade_plane, sgn, tnat, *consts)
     out = out[:, :m].reshape(b, m, n2_out * _N1)[..., :out_samples]
     return out.reshape(lead + (m, out_samples))
 

@@ -49,6 +49,33 @@ def test_bfly_gcc_matches_xla_path(rng):
         assert np.array_equal(np.argmax(got, -1), np.argmax(want, -1))
 
 
+@pytest.mark.parametrize("n", [1024, 2048, 4096, 65536])
+def test_sliced_stage_schedule_matches_roll_schedule(rng, n):
+    """The hybrid sliced-stage schedule (contiguous block halves for
+    h >= 8, rolls within tiles) is numerically interchangeable with the
+    all-roll schedule on the full fwd -> whiten -> inv GCC chain.
+    n=1024 (n2=8) is the no-sliced-stage boundary; 2048 has one sliced
+    stage."""
+    sigs = rng.standard_normal((1, 2, n)).astype(np.float32)
+    pi = np.array([0], np.int32)
+    pj = np.array([1], np.int32)
+    orig = pf._SLICED_STAGES
+    try:
+        outs = {}
+        for flag in (False, True):
+            pf._SLICED_STAGES = flag
+            full = np.asarray(pf.bfly_gcc_all_pairs(
+                jnp.asarray(sigs), pi, pj, n, interpret=True))
+            fr, fi = pf.bfly_fft_real(jnp.asarray(sigs[:, 0]),
+                                      interpret=True)
+            outs[flag] = (full, np.asarray(fr), np.asarray(fi))
+        for a, b in zip(outs[False], outs[True]):
+            scale = max(np.max(np.abs(a)), 1e-30)
+            assert np.max(np.abs(a - b)) / scale < 1e-5
+    finally:
+        pf._SLICED_STAGES = orig
+
+
 def test_bfly_band_plane_layout():
     """Band plane passes exactly the natural-order band mask, permuted."""
     n, fs = 4096, 8000.0
@@ -162,6 +189,28 @@ def test_bfly_scene_kernel_matches_two_kernel_path(rng):
         out, wq, band=band, fade=fade, interpret=True)
     assert float(jnp.max(jnp.abs(win1 - win2))) < 1e-6
     assert float(jnp.max(jnp.abs(st1 - st2))) < 1e-6
+
+
+def test_bfly_render_matches_delay_and_sum_oracle(rng):
+    """The fused render equals the XLA delay_and_sum path (pow2-circular)
+    to float rounding — INCLUDING the Nyquist bin.  Regression: through
+    round 2 the ramp synthesis kept the complex e^{-i*pi*tau} Nyquist
+    response; the packed-pair inverse assumes Hermitian mixed spectra, so
+    each mic's Nyquist imaginary leaked into its packed partner (2.2e-2
+    relative waveform error vs an f64 oracle).  A real-output delay
+    filter's Nyquist response is cos(pi*tau), exactly what irfft applies
+    on the XLA path."""
+    from pyaudiolocalization_tpu.ops.delay import delay_and_sum
+    fs, nfft, n = 8000.0, 2048, 2000
+    base = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    d = jnp.asarray(rng.uniform(0.0, 0.02, (4, 3)), jnp.float32)
+    g = jnp.asarray(rng.uniform(0.1, 1.0, (4, 3)), jnp.float32)
+    got = np.asarray(pf.bfly_delay_sum(base, d, g, fs, nfft, n,
+                                       finalize=False, interpret=True))
+    want = np.asarray(delay_and_sum(base, d, g, fs, apply_fade=False,
+                                    pad_mode="pow2-circular"))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 5e-5
 
 
 def test_render_finalize_matches_signal_ops_oracle(rng):

@@ -1,0 +1,114 @@
+"""A/B microbench: hybrid sliced-stage butterfly vs the all-roll schedule.
+
+The butterfly engine is VPU-compute-bound in its radix-2 stages (CLAUDE.md
+round-3 measured fact: fused GCC reaches ~44 GB/s vs the healthy tunnel's
+~300 GB/s HBM floor).  The all-roll schedule evaluates BOTH butterfly
+branches over the full plane and selects (2x flops) and spends 4 sublane
+rolls per stage; stages with half-distance h >= 8 sublanes can instead
+pair contiguous 8-aligned block halves on a (blocks, m, 128) view — exact
+flops, zero rolls.  This tool measures both schedules on the fused GCC
+kernels at the production shapes and checks on-chip numerical agreement.
+
+Usage:  PYTHONPATH=/root/.axon_site:/root/repo python tools/stage_ab_bench.py
+"""
+
+import os
+import time
+
+import jax
+
+os.makedirs("/root/.cache/jaxcomp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyaudiolocalization_tpu.ops import pallas_fft
+
+PAIRS_I = np.array([0, 0, 0, 1, 1, 2], np.int32)
+PAIRS_J = np.array([1, 2, 3, 2, 3, 3], np.int32)
+
+
+def _time(fn, *args, iters=8, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def ab(batch, m, n, nfft, wq=None):
+    key = jax.random.PRNGKey(0)
+    sigs = jax.random.normal(key, (batch, m, n), jnp.float32)
+    if m == 4:
+        pi, pj = PAIRS_I, PAIRS_J
+    else:
+        pairs = np.array([(i, j) for i in range(m)
+                          for j in range(i + 1, m)], np.int32)
+        pi, pj = pairs[:, 0], pairs[:, 1]
+
+    def run(sliced, windowed):
+        pallas_fft._SLICED_STAGES = sliced
+
+        # Reduce ON DEVICE: fetching the full (B, P, nfft) tensor through
+        # the tunnel would dominate (and wildly vary) the measurement.
+        if windowed:
+            @jax.jit
+            def fn(s):
+                w, st = pallas_fft.bfly_gcc_windowed(s, pi, pj, nfft, wq)
+                return jnp.max(w), jnp.sum(w), jnp.max(st)
+        else:
+            @jax.jit
+            def fn(s):
+                c = pallas_fft.bfly_gcc_all_pairs(s, pi, pj, nfft=nfft)
+                return jnp.max(c), jnp.sum(c), jnp.float32(0)
+        dt = _time(fn, sigs)
+        return dt, np.asarray(jnp.stack(fn(sigs)))
+
+    for windowed in ([False, True] if wq else [False]):
+        dt_roll, out_roll = run(False, windowed)
+        dt_slice, out_slice = run(True, windowed)
+        scale = np.max(np.abs(out_roll)) or 1.0
+        err = np.max(np.abs(out_roll - out_slice)) / scale
+        tag = "win " if windowed else "full"
+        print(f"B={batch:4d} M={m:2d} n={n:6d} nfft={nfft:6d} {tag}: "
+              f"roll {dt_roll*1e3:7.2f} ms  sliced {dt_slice*1e3:7.2f} ms  "
+              f"speedup {dt_roll/dt_slice:5.2f}x  rel-err {err:.2e}",
+              flush=True)
+    pallas_fft._SLICED_STAGES = True
+
+
+def render_abs(batch, m, paths, n, nfft):
+    """Absolute render-kernel timing (tracks the separable-ramp change —
+    the old full-plane cos/sin ramp synthesis is gone, so this is not an
+    in-process A/B; compare against the committed history)."""
+    key = jax.random.PRNGKey(1)
+    base = jax.random.normal(key, (batch, n), jnp.float32)
+    delays = jax.random.uniform(jax.random.PRNGKey(2), (batch, m, paths),
+                                jnp.float32, 0.0, 0.05)
+    gains = jax.random.uniform(jax.random.PRNGKey(3), (batch, m, paths),
+                               jnp.float32, 0.1, 1.0)
+
+    @jax.jit
+    def fn(b, d, g):
+        out = pallas_fft.bfly_delay_sum(b, d, g, 16000.0, nfft, n,
+                                        finalize=True)
+        return jnp.max(out), jnp.sum(out)
+
+    dt = _time(fn, base, delays, gains)
+    print(f"B={batch:4d} M={m:2d} paths={paths} n={n:6d} nfft={nfft:6d} "
+          f"render: {dt*1e3:7.2f} ms  ({dt/batch*1e6:6.1f} us/scene)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    ab(256, 4, 44100, 131072)
+    ab(192, 4, 44100, 65536, wq=6)
+    ab(256, 4, 4000, 8192, wq=6)
+    ab(128, 8, 16000, 32768, wq=6)
+    render_abs(128, 4, 10, 44100, 65536)
+    render_abs(128, 4, 10, 4000, 8192)
