@@ -790,7 +790,6 @@ def _mixed_ramps(d_ref, g_ref, m_idx, num_paths, sgn, tnat, nyq_mask, n2,
     two_pi = 2.0 * np.pi
     hr = jnp.zeros((n2, _N1), jnp.float32)
     hi = jnp.zeros((n2, _N1), jnp.float32)
-    nr = jnp.zeros((1, _N1), jnp.float32)
     for pth in range(num_paths):
         tau = d_ref[0, m_idx, pth]
         g = g_ref[0, m_idx, pth]
@@ -807,12 +806,67 @@ def _mixed_ramps(d_ref, g_ref, m_idx, num_paths, sgn, tnat, nyq_mask, n2,
         bi = -jnp.sin(phb)
         hr = hr + (br * ar - bi * ai)
         hi = hi + (br * ai + bi * ar)
-        # Real Nyquist accumulator: at lane 64, ar = g*cos(-pi*tau) =
-        # g*cos(pi*tau), the real part of the bin's delay response.
-        nr = nr + ar
-    hr = jnp.where(nyq_mask, nr, hr)
+    # Row 0 is natural t = 0 (phb = 0, B = 1+0i exactly), so hr[0, 64]
+    # already holds sum_p g cos(pi tau) — the real Nyquist response; only
+    # the imaginary part needs zeroing.
     hi = jnp.where(nyq_mask, 0.0, hi)
     return hr, hi
+
+
+# Per-path cost of the vector loop above is ~8.3 us/scene/path on v5e at
+# 4 mics x 65536 (tools/stage_ab_bench.py render rows: 52.6 us at 1 path,
+# 140 us at 10, 351 us at 37) — the per-path (N2, 1)/(1, 128) factor trig
+# costs full VPU registers.  For multi-path scenes the sum is a RANK-P
+# factorization, H = B @ A with B[t, p] = e^{-2 pi i t tau_p / N} and
+# A[p, s] = g_p e^{-2 pi i tau_p s_signed / 128}: ONE (N2, P) trig pair
+# per mic (register cost independent of P) + four small MXU matmuls
+# replace P plane-scale accumulation rounds.  Measured (v5e 2026-08-18):
+# 10 paths 140 -> 56 us/scene, 37 paths 351 -> 71 us/scene (4.9x); the
+# vector loop stays for P <= 2 where its fixed cost is lower.
+_MXU_RAMP_MIN_PATHS = 3
+
+
+def _mixed_ramps_mxu(d_ref, g_ref, m_idx, num_paths, sgn, tnat, nyq_mask,
+                     n2, inv_n):
+    """Rank-P matmul form of ``_mixed_ramps`` (same contract).  Requires
+    num_paths <= 128 (the contraction dim); callers fall back to the
+    vector loop otherwise."""
+    two_pi = 2.0 * np.pi
+    p_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, num_paths), 1)
+    p_rows = jax.lax.broadcasted_iota(jnp.int32, (num_paths, 1), 0)
+    tau_lane = jnp.zeros((1, num_paths), jnp.float32)
+    tau_col = jnp.zeros((num_paths, 1), jnp.float32)
+    g_col = jnp.zeros((num_paths, 1), jnp.float32)
+    for pth in range(num_paths):
+        tau = d_ref[0, m_idx, pth]
+        g = g_ref[0, m_idx, pth]
+        tau_lane = jnp.where(p_lanes == pth, tau, tau_lane)
+        tau_col = jnp.where(p_rows == pth, tau, tau_col)
+        g_col = jnp.where(p_rows == pth, g, g_col)
+    phb = (two_pi * inv_n) * tnat * tau_lane          # (n2, P)
+    br = jnp.cos(phb)
+    bi = -jnp.sin(phb)
+    pha = (two_pi / _N1) * tau_col * sgn              # (P, 128)
+    pha = pha - two_pi * jnp.floor(pha * (1.0 / two_pi))
+    ar = g_col * jnp.cos(pha)
+    ai = -(g_col * jnp.sin(pha))
+
+    def dot(x, w):
+        return jnp.dot(x, w, precision=_MXU_PREC,
+                       preferred_element_type=jnp.float32)
+
+    hr = dot(br, ar) - dot(bi, ai)
+    hi = dot(br, ai) + dot(bi, ar)
+    hi = jnp.where(nyq_mask, 0.0, hi)
+    return hr, hi
+
+
+def _mixed_ramps_best(d_ref, g_ref, m_idx, num_paths, sgn, tnat, nyq_mask,
+                      n2, inv_n):
+    fn = (_mixed_ramps_mxu
+          if _MXU_RAMP_MIN_PATHS <= num_paths <= _N1 else _mixed_ramps)
+    return fn(d_ref, g_ref, m_idx, num_paths, sgn, tnat, nyq_mask, n2,
+              inv_n)
 
 
 def _nyq_mask(n2):
@@ -853,8 +907,9 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
         window = fade_ref[:] * render_scale
 
         def mixed(m_idx):
-            hr, hi = _mixed_ramps(d_ref, g_ref, m_idx, num_paths, sgn,
-                                  tnat, nyq, n2, 1.0 / (n2 * _N1))
+            hr, hi = _mixed_ramps_best(d_ref, g_ref, m_idx, num_paths,
+                                       sgn, tnat, nyq, n2,
+                                       1.0 / (n2 * _N1))
             return br_ * hr - bi_ * hi, br_ * hi + bi_ * hr
 
         for mq in range((m + 1) // 2):
@@ -1058,8 +1113,8 @@ def _bfly_render_kernel(d_ref, g_ref, seed_ref, snr_ref, x_ref, fade_ref,
     ar, ai = sr_ref[:], si_ref[:]
 
     def mixed(m_idx):
-        hr, hi = _mixed_ramps(d_ref, g_ref, m_idx, num_paths, sgn, tnat,
-                              nyq, n2, 1.0 / (n2 * _N1))
+        hr, hi = _mixed_ramps_best(d_ref, g_ref, m_idx, num_paths, sgn,
+                                   tnat, nyq, n2, 1.0 / (n2 * _N1))
         return ar * hr - ai * hi, ar * hi + ai * hr
 
     # Packed inverse: two mics' (Hermitian) mixed spectra share one

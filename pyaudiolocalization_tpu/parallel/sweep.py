@@ -638,19 +638,22 @@ def _sim_est_fused(spec: SweepSpec, source, mics, c, snr_db,
     """Whole-scene fused path: ONE Pallas kernel renders the scene
     (finalize + measurement noise included) and returns windowed
     correlations + stats; only the tiny TDOA/solver tail runs in XLA.
-    Produces the same estimator as _simulate + _estimate up to the
-    documented in-kernel noise stream difference.  Applicability (were it
-    dispatched): single source, lm/de solver, gaussian threshold, LTI
-    prefilter, next_pow2(total_samples) == nfft, and
+    Produces the same estimator as _simulate + _estimate BIT-EXACTLY (the
+    render kernel and the scene kernel draw identical per-mic noise
+    streams for a scene key — verified on-chip by tools/tpu_kernel_check).
+    Dispatched by ``run_scene`` when ``_mono_scene_eligible`` holds:
+    single source, lm/lm-robust/de solver, gaussian threshold, LTI
+    prefilter (butterworth/fir — the band mask replaces it; wiener is
+    nonlinear and must really run), next_pow2(total_samples) == nfft, and
     pallas_fft.bfly_scene_eligible(nfft, num_mics, _fused_num_paths(spec)).
 
-    NOT dispatched by run_scene — measured SLOWER than the two-kernel
-    split (106 vs 87.5 us/scene at 4 mics x 65536 on v5e): Pallas's grid
-    pipelining already hides the intermediate signal traffic under
-    compute, so collapsing render+GCC into one giant grid step saves
-    bytes that weren't on the critical path while worsening the kernel's
-    serial schedule.  Kept (with its equivalence test) as the measured
-    record of that design point."""
+    History: at the round-1 all-roll stage schedule this kernel measured
+    SLOWER than the two-kernel split (106 vs 87.5 us/scene at 4 mics x
+    65536 on v5e) — grid pipelining hid the intermediate signal traffic
+    under abundant compute.  After round 3's sliced stages + MXU ramp
+    synthesis removed most of that compute, the traffic win flipped the
+    comparison: 84.3 vs 91.1 us/scene (tools/stage_ab_bench.py
+    scene_mono_vs_split), so it is now the production sweep fast path."""
     from ..ops import pallas_fft
     from ..ops.delay import fade_window
     pi = np.asarray(spec.pairs[0], np.int32)
@@ -678,6 +681,19 @@ def _sim_est_fused(spec: SweepSpec, source, mics, c, snr_db,
     return x, cost, td
 
 
+def _mono_scene_eligible(spec: SweepSpec, dtype) -> bool:
+    """Static gate for the whole-scene fused kernel (see _sim_est_fused)."""
+    from ..ops import pallas_fft
+    from ..ops.fftutils import next_pow2
+    return (spec.num_sources == 1
+            and spec.solver in ("lm", "lm-robust", "de")
+            and spec.threshold_method == "gaussian"
+            and spec.filter_method in ("butterworth", "fir")
+            and next_pow2(spec.total_samples) == spec.nfft
+            and pallas_fft.bfly_scene_eligible(
+                spec.nfft, spec.num_mics, _fused_num_paths(spec), dtype))
+
+
 def run_scene(spec: SweepSpec, key: jax.Array, dtype=jnp.float32) -> SceneResult:
     """ONE randomized simulate->localize pipeline; fully jittable, vmappable
     over keys.  This is the flagship forward step.
@@ -692,10 +708,18 @@ def run_scene(spec: SweepSpec, key: jax.Array, dtype=jnp.float32) -> SceneResult
     c = jnp.asarray(spec.speed_of_sound, dtype)
     with jax.named_scope("scene_sample"):
         sources, mics, snr_db = _random_scene(spec, k_scene, dtype)
-    with jax.named_scope("simulate"):
-        signals = _simulate(spec, sources, mics, c, snr_db, k_sim, dtype)
-    with jax.named_scope("estimate"):
-        estimate, cost, td = _estimate(spec, signals, mics, c, k_est)
+    if _mono_scene_eligible(spec, dtype):
+        # Whole-scene fused kernel: render + GCC in one pallas_call,
+        # bit-identical to the split path below (incl. the noise stream).
+        with jax.named_scope("sim_est_fused"):
+            estimate, cost, td = _sim_est_fused(spec, sources[0], mics, c,
+                                                snr_db, k_sim, k_est, dtype)
+    else:
+        with jax.named_scope("simulate"):
+            signals = _simulate(spec, sources, mics, c, snr_db, k_sim,
+                                dtype)
+        with jax.named_scope("estimate"):
+            estimate, cost, td = _estimate(spec, signals, mics, c, k_est)
     if spec.num_sources == 1:
         source = sources[0]
         error = jnp.linalg.norm(estimate - source)

@@ -104,6 +104,45 @@ def render_abs(batch, m, paths, n, nfft):
           flush=True)
 
 
+def scene_mono_vs_split(batch, m, paths, n, nfft, wq=6):
+    """Whole-scene mono kernel vs the render-kernel -> windowed-GCC split
+    (round-1 measurement: mono was SLOWER, 106 vs 87.5 us/scene at the
+    all-roll schedule; re-probed after the sliced stages + MXU ramps)."""
+    key = jax.random.PRNGKey(1)
+    base = jax.random.normal(key, (batch, n), jnp.float32)
+    delays = jax.random.uniform(jax.random.PRNGKey(2), (batch, m, paths),
+                                jnp.float32, 0.0, 0.01)
+    gains = jax.random.uniform(jax.random.PRNGKey(3), (batch, m, paths),
+                               jnp.float32, 0.1, 1.0)
+    if m == 4:
+        pi, pj = PAIRS_I, PAIRS_J
+    else:
+        pairs = np.array([(i, j) for i in range(m)
+                          for j in range(i + 1, m)], np.int32)
+        pi, pj = pairs[:, 0], pairs[:, 1]
+    fs = 16000.0
+
+    @jax.jit
+    def split(b, d, g):
+        sigs = pallas_fft.bfly_delay_sum(b, d, g, fs, nfft, n,
+                                         finalize=True)
+        w, st = pallas_fft.bfly_gcc_windowed(sigs, pi, pj, nfft, wq)
+        return jnp.max(w), jnp.max(st)
+
+    @jax.jit
+    def mono(b, d, g):
+        w, st = pallas_fft.bfly_scene_windowed(b, d, g, pi, pj, fs, nfft,
+                                               n, wq)
+        return jnp.max(w), jnp.max(st)
+
+    dt_s = _time(split, base, delays, gains)
+    dt_m = _time(mono, base, delays, gains)
+    print(f"B={batch:4d} M={m:2d} paths={paths} n={n:6d} nfft={nfft:6d} "
+          f"split {dt_s/batch*1e6:6.1f} us/scene  "
+          f"mono {dt_m/batch*1e6:6.1f} us/scene  s/m {dt_s/dt_m:5.2f}",
+          flush=True)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     ab(256, 4, 44100, 131072)
@@ -112,3 +151,4 @@ if __name__ == "__main__":
     ab(128, 8, 16000, 32768, wq=6)
     render_abs(128, 4, 10, 44100, 65536)
     render_abs(128, 4, 10, 4000, 8192)
+    scene_mono_vs_split(128, 4, 10, 44100, 65536)
