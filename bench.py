@@ -121,6 +121,29 @@ def bench_full_sweep(batch: int = 512):
     return batch / dt, float(np.asarray(step(0).rmse)), spread
 
 
+def bench_reverberant_sweep(batch: int = 512):
+    """Reverberant-room pipeline: 6 reflective planes at order 2 = 37
+    render paths per mic (the EVALUATION.md hard-regime room), SRP-PHAT
+    solver, 16 kHz x 0.25 s.  Exercises the multipath render at high path
+    count — the rank-P MXU ramp synthesis is the difference between ~8.3
+    us/scene/path and a flat ~70 us/scene render here."""
+    spec = SweepSpec(fs=16000.0, duration=0.25, signal_type="noise",
+                     source_box_lo=(0.2, 0.2, 0.2),
+                     source_box_hi=(0.8, 0.8, 0.8), snr_db=(10.0, 25.0),
+                     solver="srp",
+                     plane_coeffs=((1.0, 0, 0, 0.5), (1.0, 0, 0, -5.5),
+                                   (0, 1.0, 0, 0.5), (0, 1.0, 0, -6.5),
+                                   (0, 0, 1.0, 0.5), (0, 0, 1.0, -3.0)),
+                     plane_material_ids=(1, 1, 2, 2, 1, 1),
+                     max_reflections=2)
+
+    def step(i):
+        return monte_carlo_sweep(spec, jax.random.PRNGKey(i), batch)
+
+    dt, spread = _sweep_time(step, batch)
+    return batch / dt, float(np.asarray(step(0).rmse)), spread
+
+
 def _sweep_time(step, batch, iters=3, blocks=3):
     """Blocked sweep timing with a relative spread across blocks."""
     out = step(0)
@@ -289,6 +312,7 @@ def main():
     pairs_per_sec = bench_gcc_phat()
     scenes_per_sec = bench_localize()
     sweep_per_sec, sweep_rmse, sweep_spread = bench_full_sweep()
+    reverb_per_sec, reverb_rmse, reverb_spread = bench_reverberant_sweep()
     multi_per_sec, multi_rmse, multi_spread = bench_multi_source()
     bootstrap_pps = bench_bootstrap()
     floor_gbps, gcc_gbps = bench_hbm_roofline()
@@ -306,6 +330,9 @@ def main():
             "full_sweep_scenes_per_sec": round(sweep_per_sec, 2),
             "full_sweep_rmse_m": round(sweep_rmse, 4),
             "full_sweep_rel_spread": round(sweep_spread, 3),
+            "reverb_scenes_per_sec": round(reverb_per_sec, 2),
+            "reverb_rmse_m": round(reverb_rmse, 4),
+            "reverb_rel_spread": round(reverb_spread, 3),
             "multi_source_scenes_per_sec": round(multi_per_sec, 2),
             "multi_source_rmse_m": round(multi_rmse, 4),
             "multi_source_rel_spread": round(multi_spread, 3),
