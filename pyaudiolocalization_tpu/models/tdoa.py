@@ -315,7 +315,17 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
     """
     n1, n2 = sig1.shape[-1], sig2.shape[-1]
     n = nfft if nfft is not None else n1 + n2 - 1
-    s1 = rfft_n(sig1, n)
+    from ..ops import pallas_fft
+    use_bfly = pallas_fft.bfly_bootstrap_eligible(n, sig1.dtype)
+    if use_bfly:
+        # Fused TPU path: sig1's butterfly spectrum once, then each chunk
+        # of shuffled rows -> fwd -> whiten -> packed inverse -> scalar
+        # maxima, all VMEM-resident (see pallas_fft._bfly_boot_kernel).
+        pad1 = jnp.pad(sig1, (0, n - n1)) if n1 < n else sig1
+        s1r, s1i = pallas_fft.bfly_fft_real(pad1[None])
+        s1_planes = (s1r[0], s1i[0])
+    else:
+        s1 = rfft_n(sig1, n)
 
     def resample(k):
         if bootstrap_mode == "permutation":
@@ -336,6 +346,9 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
         # Whole chunk as one batch so the packed-pair transforms apply
         # (two rows per complex FFT — see fftutils.rfft_pack2).
         shuf = jax.vmap(resample)(ks)                        # (chunk, n2)
+        if use_bfly:
+            return pallas_fft.bfly_bootstrap_peaks(
+                s1_planes, shuf, eps=gccphat.PHAT_EPS)
         s2 = rfft_pack2(shuf, n)      # falls back to Bluestein for non-pow2
         r = s1[None, :] * jnp.conj(s2)
         r = r / (jnp.abs(r) + gccphat.PHAT_EPS)

