@@ -316,7 +316,11 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
     n1, n2 = sig1.shape[-1], sig2.shape[-1]
     n = nfft if nfft is not None else n1 + n2 - 1
     from ..ops import pallas_fft
-    use_bfly = pallas_fft.bfly_bootstrap_eligible(n, sig1.dtype)
+    # The kernel path has no truncation mode: signals longer than the
+    # requested transform (nfft < len) must take the XLA path, whose
+    # rfft_n truncates like the reference's np.fft semantics.
+    use_bfly = (n1 <= n and n2 <= n
+                and pallas_fft.bfly_bootstrap_eligible(n, sig1.dtype))
     if use_bfly:
         # Fused TPU path: sig1's butterfly spectrum once, then each chunk
         # of shuffled rows -> fwd -> whiten -> packed inverse -> scalar

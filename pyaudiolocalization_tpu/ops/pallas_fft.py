@@ -1049,17 +1049,24 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
 
 def bfly_scene_eligible(nfft: int, num_mics: int, num_paths: int,
                         dtype) -> bool:
-    """Scene kernel fits: f32, nfft = 128*pow2, signals + spectra scratch +
-    temporaries under the raised VMEM cap (no HBM-streaming mode)."""
+    """Scene kernel fits: f32, nfft = 128*pow2, num_paths within the MXU
+    ramp's contraction width (beyond 128 the ramp synthesis would fall
+    back to the per-path vector loop — ~8.3 us/scene/path with a
+    P-unrolled Mosaic body, the opposite of a fast path), and signals +
+    spectra scratch + temporaries under the raised VMEM cap (this kernel
+    has no HBM-streaming mode)."""
     if not available() or jnp.dtype(dtype) != jnp.float32:
         return False
     n2 = nfft // _N1
     if n2 * _N1 != nfft or n2 & (n2 - 1) or n2 < 8:
         return False
+    if num_paths > _N1:
+        return False
     vmem = (2 * nfft * 4                  # base input block, d-buffered
             + num_mics * nfft * 4         # signal scratch planes
             + 2 * num_mics * nfft * 4     # spectra scratch planes
-            + 5 * nfft * 4                # band/fade/frq/twiddle consts
+            + 5 * nfft * 4                # band/fade/ramp-vector/twiddles
+            + 4 * nfft * 4                # rank-P ramp planes (B, A, phase)
             + 10 * nfft * 4)              # stage temporaries (peak)
     return vmem <= 48 * 1024 * 1024
 

@@ -165,9 +165,10 @@ def test_tdoa_window_fallback_boundary_decode():
 
 def test_bfly_scene_kernel_matches_two_kernel_path(rng):
     """The whole-scene kernel (interpret, no noise) equals render-kernel ->
-    windowed-GCC-kernel composition.  (Measured SLOWER on v5e than the
-    two-kernel split — kept as the documented design-point record; see
-    parallel/sweep._sim_est_fused.)"""
+    windowed-GCC-kernel composition.  Since round 3 this is the PRODUCTION
+    sweep fast path (run_scene dispatches it via _mono_scene_eligible —
+    the sliced stages + MXU ramps flipped the round-1 slower-than-split
+    measurement; see parallel/sweep._sim_est_fused)."""
     from pyaudiolocalization_tpu.ops.delay import fade_window
     fs, nfft, total, out = 8000.0, 2048, 1800, 1500
     base = np.zeros(total, np.float32)
@@ -194,7 +195,7 @@ def test_bfly_scene_kernel_matches_two_kernel_path(rng):
 def test_bfly_bootstrap_peaks_matches_xla_formula(rng):
     """The bootstrap-peaks kernel (fwd -> whiten vs fixed sig1 -> packed
     inverse -> max) equals the XLA rfft formula; odd row counts exercise
-    the duplicate-pad path."""
+    the zero-pad row (whitened to zeros and sliced off)."""
     n, n_samp = 2048, 1800
     sig1 = rng.standard_normal(n_samp).astype(np.float32)
     rows = rng.standard_normal((5, n_samp)).astype(np.float32)
