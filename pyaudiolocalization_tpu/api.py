@@ -85,7 +85,7 @@ def simulate_signals_with_multipath(source_pos,
                      "num_bootstrap", "clustering_method", "eps",
                      "min_samples", "use_calibration", "phat_band",
                      "threshold_method", "solver", "pool", "max_lag",
-                     "need_corr"))
+                     "need_corr", "weighting"))
 def _estimation_core(signals: jnp.ndarray,
                      mic_positions: jnp.ndarray,
                      c: jnp.ndarray,
@@ -112,7 +112,8 @@ def _estimation_core(signals: jnp.ndarray,
                      solver: str = "lm",
                      pool: int = 2,
                      max_lag: Optional[int] = None,
-                     need_corr: bool = True
+                     need_corr: bool = True,
+                     weighting: str = "phat"
                      ) -> Dict[str, jnp.ndarray]:
     """Filter -> all-pairs GCC-PHAT -> TDOA ladder -> (metrics) -> position
     solver, one XLA graph.  ``solver`` selects the back half: 'lm' is the
@@ -134,7 +135,8 @@ def _estimation_core(signals: jnp.ndarray,
     if need_corr:
         with jax.named_scope("gccphat"):
             corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=nfft,
-                                              band=phat_band, fs=fs)  # (P, nfft)
+                                              band=phat_band, fs=fs,
+                                              weighting=weighting)  # (P, nfft)
         with jax.named_scope("tdoa"):
             res = tdoa_ops.time_delays_from_corr(
                 corr, n, n, fs, num_peaks=1, threshold_method=threshold_method,
@@ -378,7 +380,7 @@ def _fast_path_eligible(loc: LocalizationConfig, nfft: int,
     nfft//256 sublanes by the kernel)."""
     from .ops import pallas_fft
     if (loc.lag_mode != "physical" or loc.max_expected_delay is None
-            or loc.solver != "lm"
+            or loc.solver != "lm" or loc.gcc_weighting != "phat"
             or loc.analyze_correlation or loc.visualize_correlation
             or _resolve_threshold(loc) != "gaussian"):
         return False
@@ -472,6 +474,12 @@ def localize_sound_source(config,
     GCC chain).  Grid solvers search ``search_box`` (default: the mic
     bounding box expanded by max(array diameter, 0.5 m) per side).  The
     result dict keys are unchanged.
+
+    ``config['localization']['gcc_weighting']`` (physical mode only)
+    selects the GCC frequency weighting: 'phat' (default, the reference's
+    estimator), 'scot' (per-channel gain/coloration invariant — mismatched
+    mic responses), 'roth' (Wiener weighting), or 'cc' (unweighted — best
+    at very low SNR).  See ops/gccphat.GCC_WEIGHTINGS.
     """
     scene = config if isinstance(config, SceneConfig) else SceneConfig.from_dict(config)
     loc = scene.localization
@@ -483,6 +491,15 @@ def localize_sound_source(config,
             "solver overrides are physical-mode extensions; reference-parity "
             "mode (lag_mode='reference') keeps the reference's LM -> DE "
             "chain (main.py:261-298)")
+    if loc.gcc_weighting not in ("phat", "scot", "roth", "cc"):
+        raise ValueError(
+            f"Unknown gcc_weighting {loc.gcc_weighting!r}; the batch API "
+            "supports 'phat', 'scot', 'roth', 'cc' ('ml' needs Welch-"
+            "averaged spectra — use ops.gccphat.gcc_phat_streaming)")
+    if loc.gcc_weighting != "phat" and loc.lag_mode == "reference":
+        raise ValueError(
+            "gcc_weighting is a physical-mode extension; reference-parity "
+            "mode keeps PHAT (utils.py:116)")
     fs = scene.fs
     mic_positions = scene.mic_positions
     num_mics = scene.num_mics
@@ -658,7 +675,7 @@ def localize_sound_source(config,
             phat_band=_resolve_phat_band(loc),
             threshold_method=_resolve_threshold(loc),
             solver=loc.solver, pool=pool, max_lag=max_lag,
-            need_corr=need_corr)
+            need_corr=need_corr, weighting=loc.gcc_weighting)
 
     # Single host round trip for every unconditionally-read output.
     num_pairs = len(pairs)

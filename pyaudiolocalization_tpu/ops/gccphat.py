@@ -30,6 +30,51 @@ from . import pallas_kernels
 
 PHAT_EPS = 1e-10
 
+#: Generalized cross-correlation weightings (Knapp & Carter 1976).  The
+#: reference implements only PHAT (utils.py:108-119); the rest are
+#: physical-mode extensions.  'cc' = unweighted cross-correlation;
+#: 'roth' divides by the first channel's auto-spectrum (the Wiener/
+#: least-squares weighting); 'scot' divides by the geometric mean of both
+#: auto-spectra (per-channel gain/coloration invariant); 'ml' is the
+#: Hannan-Thomson maximum-likelihood weighting |g|^2/(|S12|(1-|g|^2)) —
+#: only meaningful with spectrally AVERAGED estimates (streaming/Welch
+#: path): a single-snapshot periodogram has coherence identically 1, so
+#: the clamped 'ml' collapses to a scaled PHAT there.
+GCC_WEIGHTINGS = ("phat", "scot", "roth", "cc", "ml")
+
+
+def _weight_cross(cross: jnp.ndarray,
+                  auto_i: Optional[jnp.ndarray],
+                  auto_j: Optional[jnp.ndarray],
+                  weighting: str, eps: float,
+                  use_pallas: str = "auto") -> jnp.ndarray:
+    """Apply a GCC frequency weighting to a cross-spectrum.
+
+    auto_i/auto_j are the (real, >=0) auto power spectra of the two
+    channels on the same bin axis; only consulted for the weightings that
+    need them.  All denominators are eps-regularized the same way the
+    reference regularizes PHAT (utils.py:116), and every constant here is
+    f32-representable (CLAUDE.md: f32 flushes subnormals on TPU)."""
+    if weighting == "phat":
+        return _whiten(cross, eps, use_pallas)
+    if weighting == "cc":
+        return cross
+    if weighting == "roth":
+        return cross / (auto_i + eps)
+    if weighting == "scot":
+        return cross / (jnp.sqrt(auto_i * auto_j) + eps)
+    if weighting == "ml":
+        mag2 = jnp.real(cross) ** 2 + jnp.imag(cross) ** 2
+        # Magnitude-squared coherence, clamped away from 1: the HT weight
+        # diverges as coherence -> 1, and averaged f32 estimates can land
+        # within rounding of 1.  The 1e-4 cap bounds the per-bin boost at
+        # ~1e4x — far above any physically averaged coherence.
+        coh2 = jnp.minimum(mag2 / jnp.maximum(auto_i * auto_j, eps),
+                           1.0 - 1e-4)
+        return cross * (coh2 / (jnp.sqrt(mag2) * (1.0 - coh2) + eps))
+    raise ValueError(f"unknown GCC weighting {weighting!r}; expected one of "
+                     f"{GCC_WEIGHTINGS}")
+
 
 def _whiten(spec: jnp.ndarray, eps: float, use_pallas: str = "auto") -> jnp.ndarray:
     """spec / (|spec| + eps), elementwise over a complex array.
@@ -52,17 +97,26 @@ def _whiten(spec: jnp.ndarray, eps: float, use_pallas: str = "auto") -> jnp.ndar
 
 def phat_correlation(sig1: jnp.ndarray, sig2: jnp.ndarray,
                      nfft: Optional[int] = None, eps: float = PHAT_EPS,
-                     use_pallas: str = "auto") -> jnp.ndarray:
-    """Whitened cross-correlation of two signals (leading axes broadcast).
+                     use_pallas: str = "auto",
+                     weighting: str = "phat") -> jnp.ndarray:
+    """Weighted cross-correlation of two signals (leading axes broadcast).
 
     With nfft=None the exact reference length n1+n2-1 is used; the output is
     in circular order exactly like the reference's (utils.py:118).
+    ``weighting`` selects the GCC frequency weighting (GCC_WEIGHTINGS);
+    'phat' is the reference's estimator.
     """
     n1, n2 = sig1.shape[-1], sig2.shape[-1]
     n = nfft if nfft is not None else fft_length(n1, n2, "exact")
     s1 = rfft_n(sig1, n)
     s2 = rfft_n(sig2, n)
-    r = _whiten(s1 * jnp.conj(s2), eps, use_pallas)
+    cross = s1 * jnp.conj(s2)
+    if weighting in ("phat", "cc"):
+        auto1 = auto2 = None
+    else:
+        auto1 = jnp.real(s1) ** 2 + jnp.imag(s1) ** 2
+        auto2 = jnp.real(s2) ** 2 + jnp.imag(s2) ** 2
+    r = _weight_cross(cross, auto1, auto2, weighting, eps, use_pallas)
     return irfft_n(r, n).astype(sig1.dtype)
 
 
@@ -73,8 +127,9 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
                        eps: float = PHAT_EPS,
                        use_pallas: str = "auto",
                        band: Optional[Tuple[float, float]] = None,
-                       fs: Optional[float] = None) -> jnp.ndarray:
-    """GCC-PHAT for every mic pair at once.
+                       fs: Optional[float] = None,
+                       weighting: str = "phat") -> jnp.ndarray:
+    """GCC for every mic pair at once (PHAT-weighted by default).
 
     signals: (..., M, N); pairs_i/pairs_j: static int arrays of length P
     (i < j, reference loop order main.py:202-203).  Returns (..., P, n).
@@ -96,8 +151,8 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
     """
     n_samp = signals.shape[-1]
     n = nfft if nfft is not None else fft_length(n_samp, n_samp, "exact")
-    if (use_pallas != "never" and signals.ndim >= 2 and n_samp <= n
-            and (band is None or fs is not None)):
+    if (use_pallas != "never" and weighting == "phat" and signals.ndim >= 2
+            and n_samp <= n and (band is None or fs is not None)):
         from . import pallas_fft
         if pallas_fft.bfly_gcc_eligible(n, signals.shape[-2], signals.dtype):
             return pallas_fft.bfly_gcc_all_pairs(
@@ -108,7 +163,13 @@ def gcc_phat_all_pairs(signals: jnp.ndarray,
     spec = rfft_pack2(signals, n)
     cross = jnp.take(spec, pairs_i, axis=-2) * jnp.conj(
         jnp.take(spec, pairs_j, axis=-2))                  # (..., P, F)
-    white = _whiten(cross, eps, use_pallas)
+    if weighting in ("phat", "cc"):
+        auto_i = auto_j = None
+    else:
+        auto = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2   # (..., M, F)
+        auto_i = jnp.take(auto, pairs_i, axis=-2)
+        auto_j = jnp.take(auto, pairs_j, axis=-2)
+    white = _weight_cross(cross, auto_i, auto_j, weighting, eps, use_pallas)
     if band is not None:
         if fs is None:
             raise ValueError("band-limited PHAT requires fs")
@@ -127,8 +188,9 @@ def gcc_phat_streaming(signals: jnp.ndarray,
                        max_lag: Optional[int] = None,
                        eps: float = PHAT_EPS,
                        window: str = "hann",
-                       use_pallas: str = "auto") -> Tuple[jnp.ndarray, np.ndarray]:
-    """Blockwise GCC-PHAT for long recordings (SURVEY.md §5.7).
+                       use_pallas: str = "auto",
+                       weighting: str = "phat") -> Tuple[jnp.ndarray, np.ndarray]:
+    """Blockwise GCC for long recordings (SURVEY.md §5.7; PHAT default).
 
     The reference transforms at the full signal length (utils.py:112-114) —
     O(T) memory per pair and a single giant FFT.  For long captures this
@@ -138,6 +200,13 @@ def gcc_phat_streaming(signals: jnp.ndarray,
     TDOA estimator than one long correlation (averaging suppresses
     noise-induced phase jitter).  Physical lags only (there is no reference
     semantics to mirror — this subsystem is new design space).
+
+    ``weighting`` selects the GCC frequency weighting (GCC_WEIGHTINGS).
+    This is the path where the Hannan-Thomson 'ml' weighting is
+    statistically meaningful: the Welch-averaged cross/auto spectra give a
+    non-degenerate coherence estimate, so 'ml' down-weights bins where the
+    channels decohere (low SNR, reverberant smearing) by exactly the
+    inverse phase-variance — the Cramér-Rao-optimal weighting.
 
     signals: (..., M, T); frame must be a power of two; hop defaults to
     frame//2.  Returns (corr (..., P, 2*max_lag+1), lags (2*max_lag+1,))
@@ -173,7 +242,14 @@ def gcc_phat_streaming(signals: jnp.ndarray,
     cross = jnp.mean(
         jnp.take(spec, pairs_i, axis=-3) *
         jnp.conj(jnp.take(spec, pairs_j, axis=-3)), axis=-2)  # (..., P, bins)
-    white = _whiten(cross, eps, use_pallas)
+    if weighting in ("phat", "cc"):
+        auto_i = auto_j = None
+    else:
+        auto = jnp.mean(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2,
+                        axis=-2)                            # (..., M, bins)
+        auto_i = jnp.take(auto, pairs_i, axis=-2)
+        auto_j = jnp.take(auto, pairs_j, axis=-2)
+    white = _weight_cross(cross, auto_i, auto_j, weighting, eps, use_pallas)
     corr = jnp.fft.irfft(white, n=frame).astype(signals.dtype)
     # Circular order -> centered slice of +-max_lag.
     centered = jnp.roll(corr, max_lag, axis=-1)[..., : 2 * max_lag + 1]

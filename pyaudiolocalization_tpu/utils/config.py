@@ -92,6 +92,14 @@ class LocalizationConfig:
     # subspace / MVDR estimators (pure tones defeat the GCC chain
     # outright).  See EVALUATION.md's hard-regime table.
     solver: str = "lm"
+    # GCC frequency weighting (physical mode only; parity mode is PHAT —
+    # the only weighting the reference implements, utils.py:116).  'scot'
+    # is invariant to per-channel gain/coloration (mismatched mic
+    # responses); 'roth' is the Wiener/least-squares weighting; 'cc' is
+    # plain cross-correlation (best at very low SNR where PHAT's unit-
+    # magnitude normalization amplifies noise-only bins); 'ml' (Hannan-
+    # Thomson) is streaming-only — see ops/gccphat.GCC_WEIGHTINGS.
+    gcc_weighting: str = "phat"
     # Grid-search box for the srp/beam/music/capon solvers as
     # ((x0,y0,z0), (x1,y1,z1)).  None derives a default from the mic
     # array: its bounding box expanded by max(array diameter, 0.5 m) per
@@ -123,6 +131,7 @@ class LocalizationConfig:
             phat_band=d.get("phat_band", "auto"),
             threshold_method=d.get("threshold_method", None),
             solver=d.get("solver", "lm"),
+            gcc_weighting=d.get("gcc_weighting", "phat"),
             search_box=box,
         )
 
