@@ -145,6 +145,11 @@ class SweepSpec:
     # reference's median-|corr| threshold from mean |corr| in one reduction
     # pass (see models/tdoa.py — exact 'median'/'adaptive' also accepted).
     threshold_method: str = "gaussian"
+    # GCC frequency weighting for the correlation-based solvers
+    # (ops/gccphat.GCC_WEIGHTINGS minus 'ml' — single-snapshot scenes have
+    # degenerate coherence).  Non-PHAT weightings take the XLA path, not
+    # the fused Pallas kernels.
+    gcc_weighting: str = "phat"
     temperature: float = 20.0
     humidity: float = 50.0
     # Extra seconds of propagation headroom baked into the render length; must
@@ -250,6 +255,11 @@ def _permutations(k: int) -> np.ndarray:
 def _check_spec(spec: SweepSpec) -> None:
     if spec.num_sources < 1:
         raise ValueError("num_sources must be >= 1")
+    if spec.gcc_weighting not in ("phat", "scot", "roth", "cc"):
+        raise ValueError(
+            f"unknown gcc_weighting {spec.gcc_weighting!r}; sweeps support "
+            "'phat', 'scot', 'roth', 'cc' ('ml' needs Welch-averaged "
+            "spectra — single-snapshot scene coherence is degenerate)")
     if spec.num_sources > 1:
         if spec.solver not in ("srp", "music", "capon"):
             raise ValueError(
@@ -303,7 +313,8 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         td = jnp.zeros(pi.shape[0], signals.dtype)
         return out.positions, -out.powers, td
     corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
-                                      band=band, fs=spec.fs)
+                                      band=band, fs=spec.fs,
+                                      weighting=spec.gcc_weighting)
     # Diagnostic per-pair argmax TDOA (dominated by the strongest source):
     # physical decode of the circular peak index, td = -lag/fs as in
     # models/tdoa.time_delays_from_corr.
@@ -407,6 +418,7 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
     # The windowed kernel has no HBM-streaming input mode, so very large
     # M*nfft working sets must take the streaming full-correlation path.
     use_windowed = (_windowed_tdoa_solvers(spec)
+                    and spec.gcc_weighting == "phat"
                     and pallas_fft.bfly_gcc_eligible(
                         spec.nfft, spec.num_mics, signals.dtype)
                     and not pallas_fft._bfly_gcc_hbm_input(
@@ -424,7 +436,8 @@ def _estimate(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         td = -delays
     else:
         corr = gccphat.gcc_phat_all_pairs(filtered, pi, pj, nfft=spec.nfft,
-                                          band=band, fs=spec.fs)
+                                          band=band, fs=spec.fs,
+                                          weighting=spec.gcc_weighting)
         res = tdoa_ops.time_delays_from_corr(
             corr, spec.num_samples, spec.num_samples, spec.fs, num_peaks=1,
             threshold_method=spec.threshold_method,
@@ -698,6 +711,7 @@ def _mono_scene_eligible(spec: SweepSpec, dtype) -> bool:
     from ..ops.fftutils import next_pow2
     return (spec.num_sources == 1
             and _windowed_tdoa_solvers(spec)
+            and spec.gcc_weighting == "phat"
             and spec.filter_method in ("butterworth", "fir")
             and next_pow2(spec.total_samples) == spec.nfft
             and pallas_fft.bfly_scene_eligible(

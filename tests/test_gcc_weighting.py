@@ -162,6 +162,21 @@ def test_api_gcc_weighting_localizes(weighting):
     assert err < 0.1, (weighting, err)
 
 
+def test_sweep_gcc_weighting():
+    """SweepSpec.gcc_weighting routes the Monte-Carlo estimator through the
+    weighted XLA path; 'ml'/unknown are rejected at spec check."""
+    from pyaudiolocalization_tpu.parallel.sweep import SweepSpec, run_scene
+
+    spec = SweepSpec(fs=16000.0, duration=0.05, signal_type="noise",
+                     source_box_lo=(0.2,) * 3, source_box_hi=(0.8,) * 3,
+                     gcc_weighting="scot")
+    res = run_scene(spec, jax.random.PRNGKey(5))
+    assert float(res.error) < 0.1, float(res.error)
+    with pytest.raises(ValueError, match="gcc_weighting"):
+        run_scene(SweepSpec(fs=16000.0, duration=0.05,
+                            gcc_weighting="ml"), jax.random.PRNGKey(0))
+
+
 def test_api_weighting_validation():
     cfg = _small_config(lag_mode="reference", gcc_weighting="scot")
     with pytest.raises(ValueError, match="physical-mode extension"):
