@@ -41,10 +41,13 @@ class StreamState(NamedTuple):
     buffer: jnp.ndarray      # (M, frame) most recent samples
     cross_r: jnp.ndarray     # (P, bins) EMA cross-spectrum, real plane
     cross_i: jnp.ndarray     # (P, bins) imag plane
+    auto: jnp.ndarray        # (M, bins) EMA per-mic auto power spectra —
+    # feeds the non-PHAT GCC weightings (scot/roth/ml); EMA'd with the
+    # same constant so coherence estimates stay consistent
     count: jnp.ndarray       # () blocks absorbed (diagnostics; note that
     # EMA warmup debiasing (1 - a^count) would be a positive scalar on the
     # cross-spectra, which PHAT whitening cancels exactly — so none is
-    # applied)
+    # applied; the ratio weightings cancel it the same way)
 
 
 class CovStreamState(NamedTuple):
@@ -111,7 +114,8 @@ class StreamingLocalizer:
                  method: str = "srp",
                  num_bins: int = 8,
                  loading: float = 1e-3,
-                 nb_frame: int = 256):
+                 nb_frame: int = 256,
+                 weighting: str = "phat"):
         if frame & (frame - 1):
             raise ValueError("frame must be a power of two")
         if frame % hop:
@@ -122,6 +126,17 @@ class StreamingLocalizer:
             raise ValueError(
                 "method must be 'srp' (broadband GCC-PHAT), 'capon', or "
                 "'music' (narrowband covariance estimators)")
+        if weighting not in gccphat.GCC_WEIGHTINGS:
+            raise ValueError(f"unknown weighting {weighting!r}; expected "
+                             f"one of {gccphat.GCC_WEIGHTINGS}")
+        if weighting != "phat" and method != "srp":
+            raise ValueError("weighting applies to the broadband 'srp' "
+                             "method only (capon/music are covariance "
+                             "estimators with no GCC stage)")
+        # The EMA cross/auto spectra are exactly the Welch averages the
+        # 'ml' (Hannan-Thomson) weighting needs — streaming is where its
+        # coherence estimate is non-degenerate (ops/gccphat.GCC_WEIGHTINGS).
+        self.weighting = weighting
         self.mics = jnp.asarray(np.asarray(mic_positions, np.float32))
         m = self.mics.shape[0]
         pi, pj = np.triu_indices(m, 1)
@@ -197,6 +212,7 @@ class StreamingLocalizer:
             buffer=jnp.zeros((m, self.frame), jnp.float32),
             cross_r=jnp.zeros((p, bins), jnp.float32),
             cross_i=jnp.zeros((p, bins), jnp.float32),
+            auto=jnp.zeros((m, bins), jnp.float32),
             count=jnp.zeros((), jnp.int32))
 
     def _step_cov_impl(self, state: CovStreamState,
@@ -414,13 +430,20 @@ class StreamingLocalizer:
         a = self.ema
         cr = a * state.cross_r + (1.0 - a) * jnp.real(cross)
         ci = a * state.cross_i + (1.0 - a) * jnp.imag(cross)
-        # Reuse the shared whitening (gccphat._whiten / PHAT_EPS) so the
-        # streaming path cannot drift from the batch pipeline's semantics.
-        white = gccphat._whiten(jax.lax.complex(cr, ci), gccphat.PHAT_EPS)
+        auto = a * state.auto + (1.0 - a) * (jnp.real(spec) ** 2
+                                             + jnp.imag(spec) ** 2)
+        # Reuse the shared weighting (gccphat._weight_cross / PHAT_EPS) so
+        # the streaming path cannot drift from the batch pipeline's
+        # semantics; the EMA spectra are the Welch averages the ratio
+        # weightings (scot/roth/ml) expect.
+        white = gccphat._weight_cross(
+            jax.lax.complex(cr, ci),
+            jnp.take(auto, self.pi, 0), jnp.take(auto, self.pj, 0),
+            self.weighting, gccphat.PHAT_EPS)
         if self._mask is not None:
             white = white * self._mask
         corr = jnp.fft.irfft(white, n=self.frame)
-        new_state = StreamState(buf, cr, ci, state.count + 1)
+        new_state = StreamState(buf, cr, ci, auto, state.count + 1)
         if self.num_sources > 1:
             multi = srp_ops.srp_phat_locate_multi(
                 corr, self.mics, self.pi, self.pj, self.fs, self.c,

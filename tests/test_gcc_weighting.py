@@ -177,6 +177,42 @@ def test_sweep_gcc_weighting():
                             gcc_weighting="ml"), jax.random.PRNGKey(0))
 
 
+@pytest.mark.parametrize("weighting", ["scot", "ml", "cc"])
+def test_streaming_localizer_weighting_converges(weighting):
+    """StreamingLocalizer(method='srp', weighting=...) tracks a static
+    source — the EMA cross/auto spectra are the Welch averages the ratio
+    weightings (incl. Hannan-Thomson 'ml') expect."""
+    from pyaudiolocalization_tpu.models.online import StreamingLocalizer
+    from pyaudiolocalization_tpu.models.simulator import simulate_signals
+    from pyaudiolocalization_tpu.models.acoustics import speed_of_sound
+
+    fs = 16000.0
+    mics = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                     [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    c = float(speed_of_sound(20.0, 50.0))
+    src = np.array([0.3, 0.6, 0.4])
+    sigs = np.asarray(simulate_signals(src, mics, fs, c, duration=0.5,
+                                       signal_type="noise",
+                                       key=jax.random.PRNGKey(0)))
+    loc = StreamingLocalizer(mics, fs, c, [0.0] * 3, [1.0] * 3,
+                             frame=2048, hop=512, weighting=weighting)
+    positions, powers = loc.run(sigs)
+    tail = positions[len(positions) // 2:]
+    assert np.linalg.norm(tail - src[None, :], axis=-1).max() < 0.05
+    assert np.all(np.isfinite(powers))
+
+
+def test_streaming_localizer_weighting_validation():
+    from pyaudiolocalization_tpu.models.online import StreamingLocalizer
+    mics = np.zeros((4, 3)) + np.eye(4, 3)
+    with pytest.raises(ValueError, match="unknown weighting"):
+        StreamingLocalizer(mics, 16000.0, 343.0, [0] * 3, [1] * 3,
+                           weighting="bogus")
+    with pytest.raises(ValueError, match="broadband 'srp'"):
+        StreamingLocalizer(mics, 16000.0, 343.0, [0] * 3, [1] * 3,
+                           method="capon", weighting="scot")
+
+
 def test_api_weighting_validation():
     cfg = _small_config(lag_mode="reference", gcc_weighting="scot")
     with pytest.raises(ValueError, match="physical-mode extension"):
