@@ -156,7 +156,8 @@ def localize_trajectory(signals: jnp.ndarray,
                         fine_n: int = 10,
                         method: str = "srp",
                         smoother: str = "ema",
-                        accel_std: float = 0.5) -> Track:
+                        accel_std: float = 0.5,
+                        weighting: str = "phat") -> Track:
     """Track a (slowly) moving source through a long capture.
 
     signals: (M, T); segments of ``segment`` samples every ``hop`` (default
@@ -167,10 +168,18 @@ def localize_trajectory(signals: jnp.ndarray,
     time (0 disables).  ``smoother='kalman'`` replaces the EMA with the
     power-weighted constant-velocity Kalman/RTS smoother
     (:func:`kalman_rts_smooth`; ``accel_std`` is its process noise and
-    ``smoothing`` is ignored).  Fully jittable.
+    ``smoothing`` is ignored).  ``weighting`` selects the GCC frequency
+    weighting for the 'srp' method (ops/gccphat.GCC_WEIGHTINGS minus
+    'ml' — per-segment single snapshots have degenerate coherence; for
+    ML-weighted online tracking use StreamingLocalizer).  Fully jittable.
     """
     if method not in ("srp", "capon", "music"):
         raise ValueError("method must be 'srp', 'capon', or 'music'")
+    if weighting not in ("phat", "scot", "roth", "cc"):
+        raise ValueError("weighting must be 'phat', 'scot', 'roth', or "
+                         "'cc' for segment tracking")
+    if weighting != "phat" and method != "srp":
+        raise ValueError("weighting applies to method='srp' only")
     if smoother not in ("ema", "kalman"):
         raise ValueError("smoother must be 'ema' or 'kalman'")
     m, t = signals.shape
@@ -191,7 +200,8 @@ def localize_trajectory(signals: jnp.ndarray,
     if method == "srp":
         def one(seg):
             corr = gccphat.gcc_phat_all_pairs(seg, pi, pj, nfft=nfft,
-                                              band=band, fs=fs)
+                                              band=band, fs=fs,
+                                              weighting=weighting)
             out = srp_ops.srp_phat_locate(corr, mic_positions, pi, pj, fs, c,
                                           lower, upper, coarse_n=coarse_n,
                                           fine_n=fine_n)

@@ -202,6 +202,40 @@ def test_streaming_localizer_weighting_converges(weighting):
     assert np.all(np.isfinite(powers))
 
 
+def test_tracking_weighting_follows_moving_source():
+    """localize_trajectory(weighting=...) tracks the same moving source
+    as the PHAT default; narrowband methods reject weighting overrides."""
+    from pyaudiolocalization_tpu.models.tracking import localize_trajectory
+    from pyaudiolocalization_tpu.models.simulator import simulate_signals
+    from pyaudiolocalization_tpu.models.acoustics import speed_of_sound
+
+    fs = 16000.0
+    mics = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                     [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    c = float(speed_of_sound(20.0, 50.0))
+    a = np.asarray(simulate_signals([0.3, 0.4, 0.5], mics, fs, c,
+                                    duration=0.3, signal_type="noise",
+                                    key=jax.random.PRNGKey(1)))
+    b = np.asarray(simulate_signals([0.7, 0.6, 0.5], mics, fs, c,
+                                    duration=0.3, signal_type="noise",
+                                    key=jax.random.PRNGKey(2)))
+    sigs = jnp.asarray(np.concatenate([a, b], axis=1))
+    track = localize_trajectory(sigs, jnp.asarray(mics, jnp.float32), fs, c,
+                                jnp.zeros(3), jnp.ones(3),
+                                segment=2048, weighting="scot")
+    pos = np.asarray(track.positions)
+    assert np.linalg.norm(pos[0] - [0.3, 0.4, 0.5]) < 0.1
+    assert np.linalg.norm(pos[-1] - [0.7, 0.6, 0.5]) < 0.1
+    with pytest.raises(ValueError, match="weighting"):
+        localize_trajectory(sigs, jnp.asarray(mics, jnp.float32), fs, c,
+                            jnp.zeros(3), jnp.ones(3), segment=2048,
+                            weighting="ml")
+    with pytest.raises(ValueError, match="srp"):
+        localize_trajectory(sigs, jnp.asarray(mics, jnp.float32), fs, c,
+                            jnp.zeros(3), jnp.ones(3), segment=2048,
+                            method="capon", weighting="scot")
+
+
 def test_streaming_localizer_weighting_validation():
     from pyaudiolocalization_tpu.models.online import StreamingLocalizer
     mics = np.zeros((4, 3)) + np.eye(4, 3)
