@@ -53,9 +53,15 @@ def simulate_signals_with_multipath(source_pos,
                                     absorption_threshold: float = 0.01,
                                     trim_to_duration: bool = True,
                                     key: Optional[jax.Array] = None,
-                                    dtype=None) -> List[np.ndarray]:
+                                    dtype=None,
+                                    absorption_mode: str = "carrier"
+                                    ) -> List[np.ndarray]:
     """Reference-signature wrapper (main.py:66-79): returns a list of per-mic
-    numpy arrays like the reference."""
+    numpy arrays like the reference.
+
+    ``absorption_mode='per-bin'`` (extension) evaluates the attenuation
+    law's exp(-freq_coeff * f * d) term at every rfft bin instead of the
+    single carrier ``freq`` — see models/simulator.simulate_signals."""
     table = MaterialTable.from_dict(material_properties) \
         if material_properties is not None else default_table()
     planes = reflective_planes or []
@@ -70,7 +76,7 @@ def simulate_signals_with_multipath(source_pos,
         coeffs, mat_ids,
         jnp.asarray(table.absorption), jnp.asarray(table.freq),
         max_reflections, absorption_threshold, trim_to_duration, key=key,
-        dtype=dtype)
+        dtype=dtype, absorption_mode=absorption_mode)
     return [np.asarray(s) for s in sigs]
 
 
@@ -570,8 +576,14 @@ def localize_sound_source(config,
                 scene.signal_type, scene.freq, scene.plane_coeffs,
                 scene.plane_material_ids, scene.materials.absorption,
                 scene.materials.freq, loc.max_reflections,
-                loc.absorption_threshold, key=k_sim, dtype=dtype)
+                loc.absorption_threshold, key=k_sim, dtype=dtype,
+                absorption_mode=scene.absorption_mode)
         else:
+            if scene.absorption_mode != "carrier":
+                raise ValueError(
+                    "absorption_mode is a physical-mode simulation "
+                    "extension; reference-parity mode keeps the carrier-"
+                    "frequency attenuation law (utils.py:50-65)")
             sigs = simulate_signals(
                 scene.source_position, mic_positions, fs, c, scene.duration,
                 scene.signal_type, scene.freq, scene.plane_coeffs,

@@ -71,6 +71,16 @@ def calculate_attenuation(dist, material_id, frequency,
     return (1.0 / d) * jnp.exp(-fcoeff * frequency * d) * jnp.exp(-absorption * d)
 
 
+def attenuation_freq_slope(dist, material_id, freq_table: jnp.ndarray):
+    """d(log gain)/d(frequency) of the attenuation law: the reference's
+    exp(-freq_coeff * f * d) term (utils.py:50-65) is log-linear in f with
+    slope -freq_coeff * d.  Per-bin rendering (absorption_mode='per-bin')
+    evaluates the SAME law at every rfft bin instead of the carrier:
+    gain(f) = gain(f0) * exp(-slope * (f - f0))."""
+    d = jnp.maximum(dist, 0.1)
+    return jnp.take(freq_table, material_id) * d
+
+
 def log_attenuation(dist, material_id, frequency,
                     absorption_table: jnp.ndarray,
                     freq_table: jnp.ndarray):

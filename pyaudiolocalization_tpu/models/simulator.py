@@ -82,6 +82,26 @@ def scene_paths(source: jnp.ndarray,
     return ScenePaths(delays, jnp.where(alive, gains, 0.0))
 
 
+def scene_path_slopes(source: jnp.ndarray,
+                      mic_positions: jnp.ndarray,
+                      images: acoustics.ImageSources,
+                      freq_table: jnp.ndarray) -> jnp.ndarray:
+    """Per-path log-gain frequency slopes (M, 1 + I) for per-bin absorption
+    rendering (acoustics.attenuation_freq_slope): direct path uses 'air',
+    each image its plane's material — the same material assignment as
+    scene_paths.  Rejected paths keep their finite slope; their gain is
+    already 0."""
+    d_direct = jnp.linalg.norm(source[None, :] - mic_positions, axis=-1)
+    s_direct = acoustics.attenuation_freq_slope(d_direct, AIR_ID, freq_table)
+    if images.positions.shape[0] == 0:
+        return s_direct[:, None]
+    d_img = jnp.linalg.norm(
+        images.positions[None, :, :] - mic_positions[:, None, :], axis=-1)
+    s_img = acoustics.attenuation_freq_slope(
+        d_img, images.material_ids[None, :], freq_table)
+    return jnp.concatenate([s_direct[:, None], s_img], 1)
+
+
 @functools.partial(jax.jit, static_argnames=("total_samples", "out_samples",
                                               "pad_mode", "finalize"))
 def render_scene(base_signal: jnp.ndarray,
@@ -93,7 +113,9 @@ def render_scene(base_signal: jnp.ndarray,
                  pad_mode: str = "exact",
                  finalize: bool = True,
                  snr_db=None,
-                 noise_key=None) -> jnp.ndarray:
+                 noise_key=None,
+                 freq_slopes=None,
+                 freq_ref=0.0) -> jnp.ndarray:
     """Render (M, out_samples) mic signals: pad base to total_samples
     (main.py:102-103), delay-and-sum all paths, trim (main.py:119-120),
     normalize + compress per mic (main.py:121-122).
@@ -107,13 +129,17 @@ def render_scene(base_signal: jnp.ndarray,
     measurement noise at that per-mic SNR after finalization.  On the
     fused TPU path the Gaussian tensor is generated in-kernel from the
     core PRNG (seeded from ``noise_key``) — a different, equally
-    deterministic stream than the XLA fallback's ``jax.random.normal``."""
+    deterministic stream than the XLA fallback's ``jax.random.normal``.
+
+    ``freq_slopes`` (M, P) with ``freq_ref`` enables frequency-dependent
+    per-path absorption (ops/delay.delay_and_sum); the fused kernel path
+    is scalar-gain only, so per-bin renders take the XLA path."""
     if snr_db is not None and noise_key is None:
         raise ValueError("snr_db requires noise_key")
     m = paths_delays.shape[-2]
     padded = jnp.zeros(total_samples, base_signal.dtype).at[
         : base_signal.shape[0]].set(base_signal)
-    if pad_mode == "pow2":
+    if pad_mode == "pow2" and freq_slopes is None:
         # Fully-fused TPU path: render + fade + trim + per-mic
         # normalize/compress (+ noise) in one VMEM-resident kernel.
         from ..ops import pallas_fft
@@ -144,7 +170,8 @@ def render_scene(base_signal: jnp.ndarray,
     # cheaper next_pow2(total_samples) transform cannot wrap active paths.
     sigs = delay_and_sum(
         padded, paths_delays, paths_gains, fs,
-        pad_mode="pow2-circular" if pad_mode == "pow2" else pad_mode)
+        pad_mode="pow2-circular" if pad_mode == "pow2" else pad_mode,
+        freq_slopes=freq_slopes, freq_ref=freq_ref)
     sigs = sigs[:, :out_samples]
     if finalize:
         sigs = sig_ops.dynamic_range_compression(
@@ -170,6 +197,7 @@ def _scene_geometry(source, mics, plane_coeffs, plane_material_ids,
         absorption_table, freq_table, max_reflections, absorption_threshold)
     paths = scene_paths(source, mics, c, freq, images,
                         absorption_table, freq_table)
+    slopes = scene_path_slopes(source, mics, images, freq_table)
     m = mics.shape[0]
     if images.positions.shape[0]:
         active = jnp.concatenate(
@@ -180,7 +208,7 @@ def _scene_geometry(source, mics, plane_coeffs, plane_material_ids,
         active = jnp.ones((m, 1), bool)
     active = active[:, : paths.delays.shape[1]]
     max_delay = jnp.max(jnp.where(active, paths.delays, 0.0))
-    return paths.delays, paths.gains, max_delay
+    return paths.delays, paths.gains, slopes, max_delay
 
 
 @functools.partial(jax.jit,
@@ -206,9 +234,21 @@ def simulate_signals(source_pos,
                      absorption_threshold: float = 0.01,
                      trim_to_duration: bool = True,
                      key: Optional[jax.Array] = None,
-                     dtype=None) -> jnp.ndarray:
+                     dtype=None,
+                     absorption_mode: str = "carrier") -> jnp.ndarray:
     """Host-level scene simulation with the reference's concrete padding
-    rule.  Returns (M, samples)."""
+    rule.  Returns (M, samples).
+
+    ``absorption_mode``: 'carrier' (default) evaluates the attenuation law
+    at the single carrier ``freq`` — the reference's semantics
+    (utils.py:50-65 via main.py:104-118); 'per-bin' evaluates the same
+    exp(-freq_coeff * f * d) term at every rfft bin, so reflections off
+    high-``freq``-coefficient materials lose treble relative to the direct
+    path (image-source ACCEPTANCE stays carrier-thresholded, matching the
+    reference's culling rule).  Physical-mode extension — parity callers
+    keep 'carrier'."""
+    if absorption_mode not in ("carrier", "per-bin"):
+        raise ValueError("absorption_mode must be 'carrier' or 'per-bin'")
     dt = jnp.dtype(dtype) if dtype is not None else jnp.result_type(float)
     source = jnp.asarray(np.asarray(source_pos), dt)
     mics = jnp.asarray(np.asarray(mic_positions), dt)
@@ -228,7 +268,7 @@ def simulate_signals(source_pos,
         key = jax.random.PRNGKey(0)
     base = _base_signal(key, jnp.asarray(freq, dt), signal_type=signal_type,
                         fs=fs, duration=duration, dtype=dt)
-    path_delays, path_gains, max_delay_dev = _scene_geometry(
+    path_delays, path_gains, path_slopes, max_delay_dev = _scene_geometry(
         source, mics, plane_coeffs, plane_material_ids,
         absorption_table, freq_table, jnp.asarray(freq, dt),
         jnp.asarray(c, dt), max_reflections=max_reflections,
@@ -240,8 +280,11 @@ def simulate_signals(source_pos,
     max_delay = float(max_delay_dev)
     total_samples = int((duration + max_delay) * fs)
     out_samples = int(duration * fs) if trim_to_duration else total_samples
+    per_bin = absorption_mode == "per-bin"
     return render_scene(base, path_delays, path_gains, fs,
-                        total_samples, out_samples)
+                        total_samples, out_samples,
+                        freq_slopes=path_slopes if per_bin else None,
+                        freq_ref=float(freq) if per_bin else 0.0)
 
 
 def static_delay_budget(source_pos, mic_positions, plane_coeffs,
@@ -280,7 +323,8 @@ def simulate_signals_fast(source_pos,
                           max_reflections: int,
                           absorption_threshold: float,
                           key: jax.Array,
-                          dtype=None) -> jnp.ndarray:
+                          dtype=None,
+                          absorption_mode: str = "carrier") -> jnp.ndarray:
     """Physical-mode scene simulation: same geometry/paths as
     ``simulate_signals`` but rendered at a STATIC power-of-two length from a
     conservative host-side delay budget — no per-call device sync for the
@@ -302,7 +346,9 @@ def simulate_signals_fast(source_pos,
                                          jnp.int32)
     base = _base_signal(key, jnp.asarray(freq, dt), signal_type=signal_type,
                         fs=fs, duration=duration, dtype=dt)
-    path_delays, path_gains, _ = _scene_geometry(
+    if absorption_mode not in ("carrier", "per-bin"):
+        raise ValueError("absorption_mode must be 'carrier' or 'per-bin'")
+    path_delays, path_gains, path_slopes, _ = _scene_geometry(
         source, mics, plane_coeffs, plane_material_ids,
         jnp.asarray(absorption_table, dt), jnp.asarray(freq_table, dt),
         jnp.asarray(freq, dt), jnp.asarray(c, dt),
@@ -312,5 +358,8 @@ def simulate_signals_fast(source_pos,
                                  plane_np, max_reflections, fs)
     out_samples = int(duration * fs)
     total_samples = out_samples + int(np.ceil(budget * fs))
+    per_bin = absorption_mode == "per-bin"
     return render_scene(base, path_delays, path_gains, fs,
-                        total_samples, out_samples, pad_mode="pow2")
+                        total_samples, out_samples, pad_mode="pow2",
+                        freq_slopes=path_slopes if per_bin else None,
+                        freq_ref=float(freq) if per_bin else 0.0)

@@ -13,6 +13,8 @@ the frequency domain and inverse-transform once per mic.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from .fftutils import next_pow2, rfft_n, irfft_n, irfft_pack2
@@ -57,7 +59,9 @@ def delay_and_sum(base: jnp.ndarray,
                   gains: jnp.ndarray,
                   fs: float,
                   apply_fade: bool = True,
-                  pad_mode: str = "exact") -> jnp.ndarray:
+                  pad_mode: str = "exact",
+                  freq_slopes: Optional[jnp.ndarray] = None,
+                  freq_ref: float = 0.0) -> jnp.ndarray:
     """Batched multipath render: for each output channel m,
     ``out[m] = fade * sum_p gains[m, p] * delay(base, delays[m, p])``.
 
@@ -78,6 +82,15 @@ def delay_and_sum(base: jnp.ndarray,
     interpolation tails differ from the reference's 2N transform (~1e-3
     waveform level).
     returns (M, N).
+
+    ``freq_slopes`` (M, P), optional, enables frequency-dependent per-path
+    absorption: each path's gain is additionally shaped per rfft bin by
+    ``exp(-freq_slopes * (f - freq_ref))`` — the reference's own
+    exp(-freq_coeff * f * d) attenuation term evaluated at every bin
+    instead of a single carrier (``gains`` stay the carrier-frequency
+    values, so freq_ref is that carrier and the render is unchanged AT the
+    carrier bin).  Takes the XLA path (the fused Pallas render synthesizes
+    scalar-gain ramps only).
     """
     n = base.shape[-1]
     if pad_mode == "exact":
@@ -91,8 +104,8 @@ def delay_and_sum(base: jnp.ndarray,
             f"pad_mode must be 'exact', 'pow2' or 'pow2-circular', got "
             f"{pad_mode!r}")
     from . import pallas_fft
-    if pallas_fft.bfly_render_eligible(padded, delays.shape[-2],
-                                       delays.shape[-1], base.dtype):
+    if freq_slopes is None and pallas_fft.bfly_render_eligible(
+            padded, delays.shape[-2], delays.shape[-1], base.dtype):
         # Fused VMEM-resident render (TPU, f32, pow2 lengths): one forward
         # FFT per scene, per-mic ramps synthesized on-chip, truncated
         # writeback — the (M, P, F) ramp tensor never reaches HBM.
@@ -101,7 +114,19 @@ def delay_and_sum(base: jnp.ndarray,
                                          n, fade=fade)
     spec = rfft_n(base, padded)                              # (F,)
     ramps = _phase_ramp(padded, delays.astype(base.dtype), fs)  # (M, P, F)
-    mixed = jnp.einsum("mp,mpf->mf", gains.astype(ramps.real.dtype), ramps) * spec
+    if freq_slopes is None:
+        mixed = jnp.einsum("mp,mpf->mf", gains.astype(ramps.real.dtype),
+                           ramps) * spec
+    else:
+        freqs = jnp.fft.rfftfreq(padded, d=1.0 / fs).astype(base.dtype)
+        # Per-bin gain relative to the carrier; exp underflow to 0 is the
+        # physically-correct "bin fully absorbed" limit (f32 FTZ-safe: the
+        # argument is <= 0, never a denormal guard constant).
+        shaped = (gains.astype(base.dtype)[..., None]
+                  * jnp.exp(-freq_slopes.astype(base.dtype)[..., None]
+                            * (freqs - jnp.asarray(freq_ref, base.dtype))))
+        mixed = jnp.einsum("mpf,mpf->mf", shaped.astype(ramps.real.dtype),
+                           ramps) * spec
     # Packed-pair inverse (2 channels per c2c FFT); ineligible shapes and
     # lengths fall back to the safe transform internally.
     out = irfft_pack2(mixed, padded)[..., :n].astype(base.dtype)

@@ -161,6 +161,11 @@ class SceneConfig:
     plane_material_ids: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0,), np.int32))
     materials: MaterialTable = dataclasses.field(default_factory=default_table)
+    # 'carrier' (default) evaluates the attenuation law at the single
+    # carrier `freq` (the reference's semantics, utils.py:50-65); 'per-bin'
+    # evaluates its exp(-freq_coeff * f * d) term at every rfft bin —
+    # physical-mode simulation extension (models/simulator).
+    absorption_mode: str = "carrier"
     calibration: CalibrationConfig = dataclasses.field(
         default_factory=CalibrationConfig)
     localization: LocalizationConfig = dataclasses.field(
@@ -215,6 +220,7 @@ class SceneConfig:
             plane_coeffs=coeffs,
             plane_material_ids=mat_ids,
             materials=table,
+            absorption_mode=config.get("absorption_mode", "carrier"),
             calibration=CalibrationConfig.from_dict(config.get("calibration")),
             localization=LocalizationConfig.from_dict(config.get("localization")),
             seed=int(config.get("seed", seed)),
