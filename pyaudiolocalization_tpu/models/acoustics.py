@@ -76,7 +76,9 @@ def attenuation_freq_slope(dist, material_id, freq_table: jnp.ndarray):
     exp(-freq_coeff * f * d) term (utils.py:50-65) is log-linear in f with
     slope -freq_coeff * d.  Per-bin rendering (absorption_mode='per-bin')
     evaluates the SAME law at every rfft bin instead of the carrier:
-    gain(f) = gain(f0) * exp(-slope * (f - f0))."""
+    gain(f) = gain(0) * exp(-slope * f), with gain referenced at f=0 so the
+    exponent argument is never positive (f32-safe; see
+    simulator._scene_geometry per_bin)."""
     d = jnp.maximum(dist, 0.1)
     return jnp.take(freq_table, material_id) * d
 

@@ -430,8 +430,15 @@ class StreamingLocalizer:
         a = self.ema
         cr = a * state.cross_r + (1.0 - a) * jnp.real(cross)
         ci = a * state.cross_i + (1.0 - a) * jnp.imag(cross)
-        auto = a * state.auto + (1.0 - a) * (jnp.real(spec) ** 2
-                                             + jnp.imag(spec) ** 2)
+        if self.weighting in ("phat", "cc"):
+            # These weightings never consult the per-mic auto spectra —
+            # carry the state through unchanged (the EMA update and the
+            # downstream takes DCE away) instead of paying (M, bins)
+            # elementwise work per step on the hot path.
+            auto = state.auto
+        else:
+            auto = a * state.auto + (1.0 - a) * (jnp.real(spec) ** 2
+                                                 + jnp.imag(spec) ** 2)
         # Reuse the shared weighting (gccphat._weight_cross / PHAT_EPS) so
         # the streaming path cannot drift from the batch pipeline's
         # semantics; the EMA spectra are the Welch averages the ratio

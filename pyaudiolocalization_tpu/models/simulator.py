@@ -184,18 +184,63 @@ def render_scene(base_signal: jnp.ndarray,
     return sigs
 
 
+def _check_per_bin_coefficients(freq_table, plane_material_ids,
+                                fs: float) -> None:
+    """Warn when per-bin rendering meets reference-Q2-scale frequency
+    coefficients.  The reference table's per-Hz values (air 0.1, wood 0.8 —
+    materials.py:3-17, SURVEY.md Q2) give exp(-0.1*f*d) ~ exp(-400) across
+    an audio band: survivable in carrier mode (a per-path SCALAR that
+    per-mic normalization rescales) but, evaluated per bin, they annihilate
+    everything above near-DC.  The render stays well-defined (absorbed bins
+    underflow to exactly 0) — but the result is almost certainly not what
+    the user wants, so say so.  Physically-scaled coefficients are ~1e-6
+    (air) to ~1e-3 (very absorbent walls) per Hz*m.  Only materials the
+    scene actually uses count: the direct path's row 0 ('air') plus the
+    planes' — users who register sane materials (README) must not be warned
+    about unused defaults."""
+    table = np.asarray(freq_table)
+    if not table.size:
+        return
+    used = np.unique(np.concatenate(
+        [[0], np.asarray(plane_material_ids, np.int64).ravel()]))
+    worst = float(np.max(table[used])) * (fs / 2.0)
+    if worst > 50.0:
+        import warnings
+        warnings.warn(
+            "absorption_mode='per-bin' with frequency coefficients that "
+            f"absorb the band ~exp(-{worst:.0f}) at Nyquist per metre: the "
+            "default material table keeps the reference's per-Hz values "
+            "(air 0.1, wood 0.8), which only make sense as carrier-mode "
+            "scalars.  Per-bin rendering expects physically-scaled "
+            "coefficients (~1e-6..1e-3 per Hz*m); most of the band will "
+            "render as exact zeros otherwise.", stacklevel=3)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("max_reflections", "absorption_threshold"))
+                   static_argnames=("max_reflections", "absorption_threshold",
+                                    "per_bin"))
 def _scene_geometry(source, mics, plane_coeffs, plane_material_ids,
                     absorption_table, freq_table, freq, c, *,
-                    max_reflections: int, absorption_threshold: float):
+                    max_reflections: int, absorption_threshold: float,
+                    per_bin: bool = False):
     """Image sources + path delays/gains + the reference's max active path
     delay (main.py:93-101) in ONE device call — the previous eager version
-    paid a tunnel round trip per op."""
+    paid a tunnel round trip per op.
+
+    ``per_bin=True`` references the gains at f=0 (geometric spreading +
+    scalar absorption only, i.e. log_attenuation evaluated at frequency 0)
+    for per-bin rendering: the render then applies the absolute law
+    exp(-slope * f) per rfft bin, whose exponent is always <= 0 — no f32
+    overflow/NaN hazard, and relative path weights AT the carrier bin equal
+    the carrier-mode weights exactly (both differ only by a per-mic common
+    scale that the per-mic normalization removes).  Image-source ACCEPTANCE
+    stays thresholded at the carrier either way (the reference's culling
+    rule, utils.py:90-106)."""
     images = acoustics.image_sources(
         source, plane_coeffs, plane_material_ids, mics, freq,
         absorption_table, freq_table, max_reflections, absorption_threshold)
-    paths = scene_paths(source, mics, c, freq, images,
+    gain_freq = jnp.zeros_like(freq) if per_bin else freq
+    paths = scene_paths(source, mics, c, gain_freq, images,
                         absorption_table, freq_table)
     slopes = scene_path_slopes(source, mics, images, freq_table)
     m = mics.shape[0]
@@ -242,11 +287,14 @@ def simulate_signals(source_pos,
     ``absorption_mode``: 'carrier' (default) evaluates the attenuation law
     at the single carrier ``freq`` — the reference's semantics
     (utils.py:50-65 via main.py:104-118); 'per-bin' evaluates the same
-    exp(-freq_coeff * f * d) term at every rfft bin, so reflections off
-    high-``freq``-coefficient materials lose treble relative to the direct
-    path (image-source ACCEPTANCE stays carrier-thresholded, matching the
-    reference's culling rule).  Physical-mode extension — parity callers
-    keep 'carrier'."""
+    exp(-freq_coeff * f * d) term at every rfft bin (the ABSOLUTE law
+    exp(-slope * f), gains referenced at f=0 — see _scene_geometry), so
+    reflections off high-``freq``-coefficient materials lose treble
+    relative to the direct path (image-source ACCEPTANCE stays
+    carrier-thresholded, matching the reference's culling rule).
+    Physical-mode extension — parity callers keep 'carrier'; expects
+    physically-scaled frequency coefficients (warns on reference-Q2-scale
+    tables, see _check_per_bin_coefficients)."""
     if absorption_mode not in ("carrier", "per-bin"):
         raise ValueError("absorption_mode must be 'carrier' or 'per-bin'")
     dt = jnp.dtype(dtype) if dtype is not None else jnp.result_type(float)
@@ -266,13 +314,16 @@ def simulate_signals(source_pos,
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    per_bin = absorption_mode == "per-bin"
+    if per_bin:
+        _check_per_bin_coefficients(freq_table, plane_material_ids, fs)
     base = _base_signal(key, jnp.asarray(freq, dt), signal_type=signal_type,
                         fs=fs, duration=duration, dtype=dt)
     path_delays, path_gains, path_slopes, max_delay_dev = _scene_geometry(
         source, mics, plane_coeffs, plane_material_ids,
         absorption_table, freq_table, jnp.asarray(freq, dt),
         jnp.asarray(c, dt), max_reflections=max_reflections,
-        absorption_threshold=absorption_threshold)
+        absorption_threshold=absorption_threshold, per_bin=per_bin)
 
     # Reference padding rule (main.py:93-103): max delay over *accepted*
     # image sources and the direct path — data-dependent, so ONE scalar
@@ -280,11 +331,10 @@ def simulate_signals(source_pos,
     max_delay = float(max_delay_dev)
     total_samples = int((duration + max_delay) * fs)
     out_samples = int(duration * fs) if trim_to_duration else total_samples
-    per_bin = absorption_mode == "per-bin"
     return render_scene(base, path_delays, path_gains, fs,
                         total_samples, out_samples,
                         freq_slopes=path_slopes if per_bin else None,
-                        freq_ref=float(freq) if per_bin else 0.0)
+                        freq_ref=0.0)
 
 
 def static_delay_budget(source_pos, mic_positions, plane_coeffs,
@@ -348,18 +398,20 @@ def simulate_signals_fast(source_pos,
                         fs=fs, duration=duration, dtype=dt)
     if absorption_mode not in ("carrier", "per-bin"):
         raise ValueError("absorption_mode must be 'carrier' or 'per-bin'")
+    per_bin = absorption_mode == "per-bin"
+    if per_bin:
+        _check_per_bin_coefficients(freq_table, plane_material_ids, fs)
     path_delays, path_gains, path_slopes, _ = _scene_geometry(
         source, mics, plane_coeffs, plane_material_ids,
         jnp.asarray(absorption_table, dt), jnp.asarray(freq_table, dt),
         jnp.asarray(freq, dt), jnp.asarray(c, dt),
         max_reflections=max_reflections,
-        absorption_threshold=absorption_threshold)
+        absorption_threshold=absorption_threshold, per_bin=per_bin)
     budget = static_delay_budget(np.asarray(source_pos), mic_positions,
                                  plane_np, max_reflections, fs)
     out_samples = int(duration * fs)
     total_samples = out_samples + int(np.ceil(budget * fs))
-    per_bin = absorption_mode == "per-bin"
     return render_scene(base, path_delays, path_gains, fs,
                         total_samples, out_samples, pad_mode="pow2",
                         freq_slopes=path_slopes if per_bin else None,
-                        freq_ref=float(freq) if per_bin else 0.0)
+                        freq_ref=0.0)

@@ -17,6 +17,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
 from .fftutils import next_pow2, rfft_n, irfft_n, irfft_pack2
 
 
@@ -87,10 +89,15 @@ def delay_and_sum(base: jnp.ndarray,
     absorption: each path's gain is additionally shaped per rfft bin by
     ``exp(-freq_slopes * (f - freq_ref))`` — the reference's own
     exp(-freq_coeff * f * d) attenuation term evaluated at every bin
-    instead of a single carrier (``gains`` stay the carrier-frequency
-    values, so freq_ref is that carrier and the render is unchanged AT the
-    carrier bin).  Takes the XLA path (the fused Pallas render synthesizes
-    scalar-gain ramps only).
+    instead of a single carrier.  CALLER CONTRACT: reference ``gains`` at
+    (or below) the band's maximum-response frequency — the simulator passes
+    f=0-referenced gains with ``freq_ref=0.0`` so the exponent argument is
+    always <= 0 (underflow-to-0 is the physically correct "bin fully
+    absorbed" limit and is f32-FTZ-safe; no overflow is possible).  For
+    other references the exponent is clamped to an exp-safe value so that
+    dead paths (gain 0, finite slope — the simulator keeps rejected paths'
+    slopes) stay exactly 0 instead of 0 * inf = NaN.  Takes the XLA path
+    (the fused Pallas render synthesizes scalar-gain ramps only).
     """
     n = base.shape[-1]
     if pad_mode == "exact":
@@ -119,12 +126,17 @@ def delay_and_sum(base: jnp.ndarray,
                            ramps) * spec
     else:
         freqs = jnp.fft.rfftfreq(padded, d=1.0 / fs).astype(base.dtype)
-        # Per-bin gain relative to the carrier; exp underflow to 0 is the
-        # physically-correct "bin fully absorbed" limit (f32 FTZ-safe: the
-        # argument is <= 0, never a denormal guard constant).
+        # Per-bin shaping exp(-slope * (f - freq_ref)).  Bins above the
+        # reference underflow to 0 = "fully absorbed" (f32-FTZ-safe); bins
+        # BELOW it have a positive argument, so clamp to an exp-safe value:
+        # dead paths carry gain 0 with a finite slope, and an unclamped
+        # overflow would make them 0 * inf = NaN (the simulator references
+        # gains at f=0 so the argument is <= 0 and the clamp never binds).
+        arg = (-freq_slopes.astype(base.dtype)[..., None]
+               * (freqs - jnp.asarray(freq_ref, base.dtype)))
+        max_arg = float(np.log(np.finfo(jnp.dtype(base.dtype)).max)) - 8.0
         shaped = (gains.astype(base.dtype)[..., None]
-                  * jnp.exp(-freq_slopes.astype(base.dtype)[..., None]
-                            * (freqs - jnp.asarray(freq_ref, base.dtype))))
+                  * jnp.exp(jnp.minimum(arg, max_arg)))
         mixed = jnp.einsum("mpf,mpf->mf", shaped.astype(ramps.real.dtype),
                            ramps) * spec
     # Packed-pair inverse (2 channels per c2c FFT); ineligible shapes and
