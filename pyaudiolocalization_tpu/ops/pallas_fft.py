@@ -148,6 +148,13 @@ def _roll(x, shift, n2):
     return pltpu.roll(x, shift % n2, 0)
 
 
+def _zero_top_ok(n_samp: int, nfft: int) -> bool:
+    """Whether forward inputs of ``n_samp`` samples padded to ``nfft``
+    qualify for zero-top pruning (see ``_dif_stages``)."""
+    n2 = nfft // _N1
+    return _SLICED_STAGES and n2 >= 16 and n_samp <= nfft // 2
+
+
 # Stage schedule: butterflies whose half-distance h is >= 8 sublanes pair
 # CONTIGUOUS 8-aligned block halves, so they are computed exactly (one add,
 # one sub, one twiddle-mul per output) on a (blocks, m, 128) leading-dim
@@ -160,24 +167,175 @@ def _roll(x, shift, n2):
 # the sliced share of total stage work grows with log2(N2).
 _SLICED_STAGES = True
 
+# Within-tile schedule for the last three stages (h = 4, 2, 1): the three
+# radix-2 stages act identically and independently on every 8-sublane tile,
+# so their composition is ONE fixed 8x8 complex matrix — the 8-point DFT
+# with bit-reversed output (forward DIF) / input (inverse DIT) order:
+#   B_fwd[r, j] = W8^{bitrev3(r)*j}      B_inv[k, j] = W8^{-k*bitrev3(j)}*
+# (*conjugate twiddles).  48 of the 64 entries are exactly 0/±1/±i and the
+# rest (±1±i)/√2, so on a (g, 8, 128) leading-dim view each output row is
+# a short unrolled linear combination of the 8 input row-slices with
+# SCALAR constants — zero rolls, zero masked selects, and exact flops
+# (the roll form evaluates BOTH branches everywhere and selects).
+#   'roll':     the original full-plane roll+select stages.
+#   'slice':    8x8 combos on 2-D (g, 128) row slices, restacked at the end.
+#   'bcast':    8x8 combos as full-plane MACs against (1, 8, 1) coefficient
+#               planes (middle-dim keepdim slices broadcast over sublanes).
+#   'subslice': no 8x8 transform — extend the sliced butterfly loop below
+#               h=8 (sub-tile-aligned slices, exact flops, zero rolls).
+# A/B measured on-chip (v5e, 2026-08-19, tools/stage_ab_bench.py, with
+# zero-top pruning active on all schedules): 'bcast' wins the full-output
+# GCC kernels at every production shape (1.17x at nfft=131072, 1.09-1.13x
+# at 8192-65536) and is neutral on the windowed kernels (0.96-1.03x);
+# 'slice' LOSES everywhere (0.74-1.00x — within-tile row extraction +
+# restack relayouts cost more than the rolls they replace) and 'subslice'
+# loses badly (0.56-0.93x — sub-tile-aligned slices force masked copies
+# per stage).  The 8x8 modes are NOT bit-identical to 'roll' (a DFT-sum
+# rounds differently than cascaded butterflies); 'subslice' is exact-flops
+# identical butterflies, bit-identical to 'roll'.
+_TILE8_MODE = "bcast"
 
-def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2):
+# Exact W8 powers: e^{-2*pi*i*p/8} as (re, im) Python floats (cos(pi/2)
+# via np.exp is 6e-17, not 0 — build from the integer exponent instead so
+# zero/±1 coefficients specialize away at trace time).
+_SQ2 = float(1.0 / np.sqrt(2.0))
+_W8 = ((1.0, 0.0), (_SQ2, -_SQ2), (0.0, -1.0), (-_SQ2, -_SQ2),
+       (-1.0, 0.0), (-_SQ2, _SQ2), (0.0, 1.0), (_SQ2, _SQ2))
+
+
+@functools.lru_cache(maxsize=2)
+def _tile8_coeffs(inverse: bool):
+    """8x8 (re, im) scalar table for the composed within-tile transform."""
+    br = _bitrev_perm(8)
+    out = []
+    for k in range(8):
+        row = []
+        for j in range(8):
+            p = (-k * br[j]) % 8 if inverse else (br[k] * j) % 8
+            row.append(_W8[p])
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def _cmac(acc_r, acc_i, cr, ci, xr, xi):
+    """acc += (cr + i*ci) * (xr + i*xi) with 0/±1 specialization.
+    ``xi=None`` marks an exactly-zero imaginary plane (real input)."""
+    def add(a, t):
+        return t if a is None else a + t
+
+    def scaled(c, v):
+        return v if c == 1.0 else (-v if c == -1.0 else c * v)
+
+    if cr != 0.0:
+        acc_r = add(acc_r, scaled(cr, xr))
+        if xi is not None:
+            acc_i = add(acc_i, scaled(cr, xi))
+    if ci != 0.0:
+        if xi is not None:
+            acc_r = add(acc_r, scaled(-ci, xi))
+        acc_i = add(acc_i, scaled(ci, xr))
+    return acc_r, acc_i
+
+
+def _tile8(x3r, x3i, inverse: bool):
+    """Apply the composed h=4,2,1 transform on a (g, 8, 128) view.
+
+    'slice': row slices are 2-D (g, 128) — full sublane occupancy per op
+    (a (g, 1, 128) formulation would waste 7/8 of every vreg) — and the 8
+    outputs are restacked into (g, 8, 128) once at the end.
+    'bcast': keepdim (g, 1, 128) slices broadcast against (1, 8, 1)
+    coefficient planes; every MAC is a full-plane op, no restack."""
+    if _TILE8_MODE == "bcast":
+        return _tile8_bcast(x3r, x3i, inverse)
+    B = _tile8_coeffs(inverse)
+    xr = [x3r[:, j] for j in range(8)]
+    xi = None if x3i is None else [x3i[:, j] for j in range(8)]
+    outr, outi = [], []
+    for k in range(8):
+        ar = ai = None
+        for j in range(8):
+            cr, ci = B[k][j]
+            ar, ai = _cmac(ar, ai, cr, ci, xr[j],
+                           None if xi is None else xi[j])
+        if ai is None:  # real input, all-real row (k = 0 forward)
+            ai = jnp.zeros_like(ar)
+        outr.append(ar[:, None])
+        outi.append(ai[:, None])
+    return (jnp.concatenate(outr, axis=1), jnp.concatenate(outi, axis=1))
+
+
+def _const_col8(vals):
+    """(1, 8, 1) f32 plane holding ``vals`` along the middle axis, built
+    from iota + selects (Pallas kernels cannot capture array constants)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    out = jnp.full((1, 8, 1), vals[7], jnp.float32)
+    for idx in range(7):
+        out = jnp.where(k == idx, jnp.float32(vals[idx]), out)
+    return out
+
+
+def _tile8_bcast(x3r, x3i, inverse: bool):
+    B = _tile8_coeffs(inverse)
+    yr = yi = None
+    for j in range(8):
+        cr = _const_col8([B[k][j][0] for k in range(8)])
+        ci = _const_col8([B[k][j][1] for k in range(8)])
+        xjr = x3r[:, j:j + 1]
+        tr = cr * xjr
+        ti = ci * xjr
+        if x3i is not None:
+            xji = x3i[:, j:j + 1]
+            tr = tr - ci * xji
+            ti = ti + cr * xji
+        yr = tr if yr is None else yr + tr
+        yi = ti if yi is None else yi + ti
+    return yr, yi
+
+
+def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
     """Forward radix-2 DIF stages along axis 0; bit-reversed output order.
 
     ``xi=None`` marks a real input: the first sliced stage elides all
     imaginary-plane work (the forward transforms here are always r2c).
+
+    ``zero_top=True`` declares the caller padded a signal of n <= nfft/2
+    samples, so ``xr`` holds ONLY the nonzero lower n2/2 rows (callers also
+    shrink the input block — half the input HBM traffic) and the first
+    stage prunes to a = u, b = u * tw.  Requires a real input and n2 >= 16
+    (the first stage must be a sliced stage).
     """
     stages = int(np.log2(n2))
     h = n2 // 2
     s = 0
-    if _SLICED_STAGES and h >= 8:
+    tile8 = (_TILE8_MODE in ("slice", "bcast") and _SLICED_STAGES
+             and stages >= 3)
+    min_h = 1 if (_TILE8_MODE == "subslice" and _SLICED_STAGES) else 8
+    if zero_top:
+        assert xi is None and _SLICED_STAGES and h >= 8
+        x3r = xr.reshape(1, n2 // 2, _N1)
+        x3i = None
+    elif (_SLICED_STAGES and h >= min_h) or (tile8 and h == 4):
         x3r = xr.reshape(1, n2, _N1)
         x3i = None if xi is None else xi.reshape(1, n2, _N1)
-        while h >= 8:
+    if (_SLICED_STAGES and h >= min_h) or (tile8 and h == 4):
+        while h >= min_h:
             # Within-block twiddle W_m^j, identical for every block: the
             # v-half rows of block 0 of the stage's (n2, 1) const plane.
             twr = stw_r[s, h:2 * h]
             twi = stw_i[s, h:2 * h]
+            if zero_top and s == 0:
+                # v half is identically zero: a = u, d = u.
+                ar = x3r[:, :h]
+                dr = ar
+                ai = jnp.zeros_like(ar)
+                br = dr * twr
+                bi = dr * twi
+                g = 1
+                x3r = jnp.concatenate([ar, br], axis=1).reshape(2, h, _N1)
+                x3i = jnp.concatenate([ai, bi], axis=1).reshape(2, h, _N1)
+                s += 1
+                h //= 2
+                continue
             ur, vr = x3r[:, :h], x3r[:, h:]
             ar = ur + vr
             dr = ur - vr
@@ -196,6 +354,9 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2):
             x3i = jnp.concatenate([ai, bi], axis=1).reshape(2 * g, h, _N1)
             s += 1
             h //= 2
+        if tile8:  # the remaining h = 4, 2, 1 stages as one 8x8 transform
+            x3r, x3i = _tile8(x3r, x3i, inverse=False)
+            return x3r.reshape(n2, _N1), x3i.reshape(n2, _N1)
         xr = x3r.reshape(n2, _N1)
         xi = x3i.reshape(n2, _N1)
     elif xi is None:
@@ -219,9 +380,27 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2):
 def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
     """Inverse (conjugate) DIT stages consuming bit-reversed order."""
     stages = int(np.log2(n2))
-    n_roll = stages if not _SLICED_STAGES else min(stages, 3)
-    h = 1
-    for s in range(stages - 1, stages - 1 - n_roll, -1):
+    tile8 = (_TILE8_MODE in ("slice", "bcast") and _SLICED_STAGES
+             and stages >= 3)
+    if tile8:
+        # First three stages (h = 1, 2, 4) as the composed 8x8 transform
+        # on each 8-sublane tile, then hand off to the sliced loop at h=8.
+        g8 = n2 // 8
+        x3r, x3i = _tile8(xr.reshape(g8, 8, _N1), xi.reshape(g8, 8, _N1),
+                          inverse=True)
+        xr = x3r.reshape(n2, _N1)
+        xi = x3i.reshape(n2, _N1)
+        if stages == 3:
+            return xr, xi
+        n_roll = 3  # consumed by tile8; the sliced loop below continues
+        h = 8
+    elif _TILE8_MODE == "subslice" and _SLICED_STAGES:
+        n_roll = 0  # every stage takes the sliced form
+        h = 1
+    else:
+        n_roll = stages if not _SLICED_STAGES else min(stages, 3)
+        h = 1
+    for s in range(stages - 1, stages - 1 - (0 if tile8 else n_roll), -1):
         mu = mask_u[s]
         tr = stw_r[s]
         ti = -stw_i[s]  # conjugate stage twiddles
@@ -385,9 +564,11 @@ def bfly_band_plane(n: int, band, fs: float) -> np.ndarray:
 
 
 def _fwd_one(xr, mask_ref, str_ref, sti_ref, twr_ref, twi_ref, w1r_ref,
-             w1i_ref, n2):
-    """Forward butterfly transform of one real (N2, 128) plane."""
-    xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2)
+             w1i_ref, n2, zero_top: bool = False):
+    """Forward butterfly transform of one real (N2, 128) plane (lower
+    (N2/2, 128) half-plane when ``zero_top``)."""
+    xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2,
+                         zero_top=zero_top)
     twr = twr_ref[:]
     twi = twi_ref[:]
     cr = xr * twr - xi * twi
@@ -409,11 +590,12 @@ def _inv_packed(dr, di, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
 
 
 def _fwd_spectra(get_mic, m, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
-                 w1r_ref, w1i_ref, sr_ref, si_ref, n2):
+                 w1r_ref, w1i_ref, sr_ref, si_ref, n2,
+                 zero_top: bool = False):
     """Forward-transform every mic row into the spectra scratch planes."""
     for mm in range(m):
         yr, yi = _fwd_one(get_mic(mm), mask_ref, str_ref, sti_ref, twr_ref,
-                          twi_ref, w1r_ref, w1i_ref, n2)
+                          twi_ref, w1r_ref, w1i_ref, n2, zero_top=zero_top)
         sr_ref[mm] = yr
         si_ref[mm] = yi
 
@@ -421,7 +603,7 @@ def _fwd_spectra(get_mic, m, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
 def _bfly_gcc_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
                      sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref,
                      sr_ref, si_ref, *dma, n2, eps, scale,
-                     hbm_input=False):
+                     hbm_input=False, zero_top=False):
     """Fused per-scene GCC-PHAT: (1, M, N2, 128) real signals ->
     (1, P, N2, 128) whitened circular correlations, all stages VMEM-resident.
 
@@ -461,7 +643,8 @@ def _bfly_gcc_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
             def get_mic(mm):
                 return x_ref[0, mm]
         _fwd_spectra(get_mic, m, mask_ref, str_ref, sti_ref,
-                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2)
+                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2,
+                     zero_top=zero_top)
 
     b = band_ref[:]
 
@@ -545,15 +728,21 @@ def bfly_gcc_all_pairs(signals: jnp.ndarray,
     n2 = nfft // _N1
     b = int(np.prod(lead)) if lead else 1
     x = signals.reshape(b, m, n_samp)
-    if n_samp < nfft:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, nfft - n_samp)))
-    x4 = x.reshape(b, m, n2, _N1)
+    # Zero-top pruning: GCC inputs always satisfy n <= nfft/2 (nfft >=
+    # 2n-1), so ship only the nonzero lower half-plane — half the input
+    # HBM traffic — and let the first forward stage skip the zero half.
+    zero_top = _zero_top_ok(n_samp, nfft)
+    rows = n2 // 2 if zero_top else n2
+    if n_samp < rows * _N1:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, rows * _N1 - n_samp)))
+    x4 = x.reshape(b, m, rows, _N1)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     band_plane = jnp.asarray(bfly_band_plane(nfft, band, fs))
     p = pi.shape[0]
     hbm = _bfly_gcc_hbm_input(nfft, m)
     kernel = functools.partial(_bfly_gcc_kernel, n2=n2, eps=eps,
-                               scale=1.0 / nfft, hbm_input=hbm)
+                               scale=1.0 / nfft, hbm_input=hbm,
+                               zero_top=zero_top)
 
     def cspec2(shape):
         nd = len(shape)
@@ -562,10 +751,10 @@ def bfly_gcc_all_pairs(signals: jnp.ndarray,
 
     if hbm:
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        dma_scratch = [pltpu.VMEM((2, n2, _N1), jnp.float32),
+        dma_scratch = [pltpu.VMEM((2, rows, _N1), jnp.float32),
                        pltpu.SemaphoreType.DMA((2,))]
     else:
-        x_spec = pl.BlockSpec((1, m, n2, _N1), lambda i, q: (i, 0, 0, 0),
+        x_spec = pl.BlockSpec((1, m, rows, _N1), lambda i, q: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
         dma_scratch = []
 
@@ -597,7 +786,7 @@ def bfly_gcc_all_pairs(signals: jnp.ndarray,
 def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
                          sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
                          win_ref, stat_ref, sr_ref, si_ref, *, n2, wq, eps,
-                         scale):
+                         scale, zero_top=False):
     """Windowed variant of ``_bfly_gcc_kernel``: instead of the full
     correlation, writes only the +-wq*128-lag window around lag 0 plus the
     global statistics the single-peak TDOA ladder needs — the (P, nfft)
@@ -617,7 +806,8 @@ def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
     @pl.when(p == 0)
     def _():
         _fwd_spectra(lambda mm: x_ref[0, mm], m, mask_ref, str_ref, sti_ref,
-                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2)
+                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2,
+                     zero_top=zero_top)
 
     _couple_window_stats(p, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
                          mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
@@ -698,14 +888,16 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
         raise ValueError("wq must be in (0, n2//2]")
     b = int(np.prod(lead)) if lead else 1
     x = signals.reshape(b, m, n_samp)
-    if n_samp < nfft:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, nfft - n_samp)))
-    x4 = x.reshape(b, m, n2, _N1)
+    zero_top = _zero_top_ok(n_samp, nfft)
+    rows = n2 // 2 if zero_top else n2
+    if n_samp < rows * _N1:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, rows * _N1 - n_samp)))
+    x4 = x.reshape(b, m, rows, _N1)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     band_plane = jnp.asarray(bfly_band_plane(nfft, band, fs))
     p = pi.shape[0]
     kernel = functools.partial(_bfly_gcc_win_kernel, n2=n2, wq=wq, eps=eps,
-                               scale=1.0 / nfft)
+                               scale=1.0 / nfft, zero_top=zero_top)
 
     def cspec2(shape):
         nd = len(shape)
@@ -718,7 +910,7 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
         grid=(b, ph),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, m, n2, _N1), lambda i, q: (i, 0, 0, 0),
+                  pl.BlockSpec((1, m, rows, _N1), lambda i, q: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
                   cspec2(band_plane.shape)] +
                  [cspec2(c.shape) for c in consts],
@@ -767,13 +959,13 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
 
 def _bfly_boot_kernel(s1r_ref, s1i_ref, x_ref, mask_ref, str_ref, sti_ref,
                       twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref, *,
-                      n2, eps, scale):
+                      n2, eps, scale, zero_top=False):
     ar, ai = s1r_ref[:], s1i_ref[:]
 
     def whitened(k):
         # R = S1 * conj(S2); R /= |R| + eps  (ops/gccphat._whiten order).
         br, bi = _fwd_one(x_ref[k], mask_ref, str_ref, sti_ref, twr_ref,
-                          twi_ref, w1r_ref, w1i_ref, n2)
+                          twi_ref, w1r_ref, w1i_ref, n2, zero_top=zero_top)
         rr = ar * br + ai * bi
         ri = ai * br - ar * bi
         mag = jnp.sqrt(rr * rr + ri * ri) + eps
@@ -817,15 +1009,17 @@ def bfly_bootstrap_peaks(s1_planes, shuffled: jnp.ndarray,
     nfft = n2 * _N1
     b, n_samp = shuffled.shape
     x = shuffled
-    if n_samp < nfft:
-        x = jnp.pad(x, ((0, 0), (0, nfft - n_samp)))
+    zero_top = _zero_top_ok(n_samp, nfft)
+    rows = n2 // 2 if zero_top else n2
+    if n_samp < rows * _N1:
+        x = jnp.pad(x, ((0, 0), (0, rows * _N1 - n_samp)))
     bh = (b + 1) // 2
     if b % 2:
         x = jnp.pad(x, ((0, 1), (0, 0)))
-    x3 = x.reshape(2 * bh, n2, _N1)
+    x3 = x.reshape(2 * bh, rows, _N1)
     consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
     kernel = functools.partial(_bfly_boot_kernel, n2=n2, eps=eps,
-                               scale=1.0 / nfft)
+                               scale=1.0 / nfft, zero_top=zero_top)
 
     def cspec(shape):
         nd = len(shape)
@@ -836,7 +1030,7 @@ def bfly_bootstrap_peaks(s1_planes, shuffled: jnp.ndarray,
         kernel,
         grid=(bh,),
         in_specs=[cspec(s1r.shape), cspec(s1i.shape),
-                  pl.BlockSpec((2, n2, _N1), lambda q: (q, 0, 0),
+                  pl.BlockSpec((2, rows, _N1), lambda q: (q, 0, 0),
                                memory_space=pltpu.VMEM)] +
                  [cspec(c.shape) for c in consts],
         out_specs=pl.BlockSpec((2, 8, _N1), lambda q: (q, 0, 0),
@@ -845,6 +1039,99 @@ def bfly_bootstrap_peaks(s1_planes, shuffled: jnp.ndarray,
         compiler_params=_BFLY_PARAMS,
         interpret=interpret,
     )(s1r, s1i, x3, *consts)
+    return out[:b, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Noise-null bootstrap (bootstrap_mode='noise'): under PHAT whitening the
+# permutation null equals the WHITE-NOISE null within Monte-Carlo error —
+# a permuted row is exchangeable, its padded-window spectrum is
+# asymptotically complex Gaussian with the SAME Dirichlet-kernel bin
+# covariance as a length-n noise burst (the n-of-nfft zero-padding is what
+# a naive full-band phase surrogate gets wrong: measured 12% low), and the
+# whitening cancels the amplitude spectrum.  So each draw synthesizes a
+# LENGTH-n uniform-noise row in-kernel (pltpu.prng bits, no HBM input, no
+# permutation sort), forward-transforms it (zero-top pruned), whitens
+# against the fixed S1, and reduces to the packed-pair maxima.  The draw
+# stream is deterministic per key but BACKEND-SPECIFIC (hardware PRNG in
+# the kernel, jax.random on the XLA fallback) — like the simulator's
+# in-kernel measurement noise; the thresholds agree in distribution.
+# ---------------------------------------------------------------------------
+
+
+def _bfly_noise_boot_kernel(seed_ref, s1r_ref, s1i_ref, mask_ref, str_ref,
+                            sti_ref, twr_ref, twi_ref, w1r_ref, w1i_ref,
+                            out_ref, *, n2, n_samp, eps, scale, zero_top):
+    ar, ai = s1r_ref[:], s1i_ref[:]
+    rows = n2 // 2 if zero_top else n2
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, _N1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, _N1), 1)
+    valid = (ri * _N1 + ci) < n_samp
+
+    def whitened(d):
+        # Uniform noise in [-0.5, 0.5): the null only needs the padded
+        # white-noise spectrum (Gaussian bins by the CLT); uniform variates
+        # are one bitcast + cast from the raw PRNG bits.
+        pltpu.prng_seed(seed_ref[0, d, 0], seed_ref[0, d, 1])
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, _N1)), jnp.int32)
+        row = jnp.where(valid, bits.astype(jnp.float32) * (2.0 ** -32), 0.0)
+        br, bi = _fwd_one(row, mask_ref, str_ref, sti_ref, twr_ref,
+                          twi_ref, w1r_ref, w1i_ref, n2, zero_top=zero_top)
+        rr = ar * br + ai * bi
+        rim = ai * br - ar * bi
+        mag = jnp.sqrt(rr * rr + rim * rim) + eps
+        return rr / mag, rim / mag
+
+    r0r, r0i = whitened(0)
+    r1r, r1i = whitened(1)
+    y0, y1 = _inv_packed(r0r - r1i, r0i + r1r, mask_ref, str_ref, sti_ref,
+                         twr_ref, twi_ref, w1r_ref, w1i_ref, n2)
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 0)
+    c8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 1)
+    slot0 = (r8 == 0) & (c8 == 0)
+    out_ref[0] = jnp.where(slot0, jnp.max(y0) * scale, 0.0)
+    out_ref[1] = jnp.where(slot0, jnp.max(y1) * scale, 0.0)
+
+
+def bfly_noise_bootstrap_peaks(s1_planes, seeds: jnp.ndarray, n_samp: int,
+                               eps: float = 1e-10) -> jnp.ndarray:
+    """Peak maxima of PHAT correlations between sig1 and in-kernel
+    length-``n_samp`` uniform-noise rows (bootstrap_mode='noise').
+
+    s1_planes: (s1r, s1i) (N2, 128) f32 spectrum planes of the padded sig1.
+    seeds: (B, 2) int32 per-draw key words.  Returns (B,) f32 maxima.
+    No CPU interpret mode (prng_seed does not lower there)."""
+    s1r, s1i = s1_planes
+    n2 = s1r.shape[-2]
+    nfft = n2 * _N1
+    b = seeds.shape[0]
+    bh = (b + 1) // 2
+    if b % 2:
+        seeds = jnp.concatenate([seeds, seeds[-1:]], axis=0)
+    seeds2 = seeds.reshape(bh, 2, 2).astype(jnp.int32)
+    consts = [jnp.asarray(c) for c in _bfly_consts(nfft)]
+    zero_top = _zero_top_ok(n_samp, nfft)
+    kernel = functools.partial(_bfly_noise_boot_kernel, n2=n2,
+                               n_samp=n_samp, eps=eps, scale=1.0 / nfft,
+                               zero_top=zero_top)
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda q: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[pl.BlockSpec((1, 2, 2), lambda q: (q, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  cspec(s1r.shape), cspec(s1i.shape)] +
+                 [cspec(c.shape) for c in consts],
+        out_specs=pl.BlockSpec((2, 8, _N1), lambda q: (q, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * bh, 8, _N1), jnp.float32),
+        compiler_params=_BFLY_PARAMS,
+    )(seeds2, s1r, s1i, *consts)
     return out[:b, 0, 0]
 
 
@@ -989,7 +1276,8 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
                        w1r_ref, w1i_ref,
                        win_ref, stat_ref, sig_ref, sr_ref, si_ref, *,
                        n2, n2_out, wq, num_paths, out_samples, eps,
-                       render_scale, corr_scale, with_noise):
+                       render_scale, corr_scale, with_noise,
+                       zero_top=False):
     m = d_ref.shape[1]
     q = pl.program_id(1)
 
@@ -999,7 +1287,8 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
         # packed inverse per mic couple, finalize (+noise), store signals
         # (zero-padded to the transform length) in scratch.
         br_, bi_ = _fwd_one(base_ref[0], mask_ref, str_ref, sti_ref,
-                            twr_ref, twi_ref, w1r_ref, w1i_ref, n2)
+                            twr_ref, twi_ref, w1r_ref, w1i_ref, n2,
+                            zero_top=zero_top)
         sgn = sgn_ref[:]
         tnat = tnat_ref[:]
         nyq = _nyq_mask(n2)
@@ -1036,9 +1325,16 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
                     sig_ref[mi, n2_out:] = jnp.zeros((n2 - n2_out, _N1),
                                                      jnp.float32)
 
-        # Phase 2: forward spectra of the finished signals.
-        _fwd_spectra(lambda mm: sig_ref[mm], m, mask_ref, str_ref, sti_ref,
-                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2)
+        # Phase 2: forward spectra of the finished signals.  The scratch
+        # rows above n2_out are explicit zeros, so when the rendered
+        # signals cover at most half the transform the forward can read
+        # only the lower half-plane and prune its first stage.
+        sig_zt = _SLICED_STAGES and n2 >= 16 and n2_out <= n2 // 2
+        get_sig = ((lambda mm: sig_ref[mm, :n2 // 2]) if sig_zt
+                   else (lambda mm: sig_ref[mm]))
+        _fwd_spectra(get_sig, m, mask_ref, str_ref, sti_ref,
+                     twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2,
+                     zero_top=sig_zt)
 
     # Phase 3 (every couple step): whiten + windowed inverse + stats.
     _couple_window_stats(q, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
@@ -1105,9 +1401,11 @@ def bfly_scene_windowed(base: jnp.ndarray,
     if not 0 < wq <= n2 // 2:
         raise ValueError("wq must be in (0, n2//2]")
     x = base.reshape(b, n_samp)
-    if n_samp < nfft:
-        x = jnp.pad(x, ((0, 0), (0, nfft - n_samp)))
-    x3 = x.reshape(b, n2, _N1)
+    zero_top = _zero_top_ok(n_samp, nfft)
+    in_rows = n2 // 2 if zero_top else n2
+    if n_samp < in_rows * _N1:
+        x = jnp.pad(x, ((0, 0), (0, in_rows * _N1 - n_samp)))
+    x3 = x.reshape(b, in_rows, _N1)
     # Path delays travel in SAMPLES (the kernel's separable ramp synthesis
     # needs no frequency plane, so fs never enters the kernel).
     d3 = (delays * fs).reshape(b, m, num_paths).astype(jnp.float32)
@@ -1134,7 +1432,8 @@ def bfly_scene_windowed(base: jnp.ndarray,
                                wq=wq, num_paths=num_paths,
                                out_samples=out_samples, eps=eps,
                                render_scale=1.0 / nfft,
-                               corr_scale=1.0 / nfft, with_noise=with_noise)
+                               corr_scale=1.0 / nfft, with_noise=with_noise,
+                               zero_top=zero_top)
 
     def cspec2(shape):
         nd = len(shape)
@@ -1154,7 +1453,7 @@ def bfly_scene_windowed(base: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, 1, 1), lambda i, qq: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, n2, _N1), lambda i, qq: (i, 0, 0),
+                  pl.BlockSpec((1, in_rows, _N1), lambda i, qq: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   cspec2(fade_plane.shape), cspec2(sgn.shape),
                   cspec2(tnat.shape),
@@ -1198,13 +1497,14 @@ def _bfly_render_kernel(d_ref, g_ref, seed_ref, snr_ref, x_ref, fade_ref,
                         twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref,
                         sr_ref, si_ref,
                         *, n2, n2_out, num_paths, out_samples, scale,
-                        finalize=False, with_noise=False):
+                        finalize=False, with_noise=False, zero_top=False):
     mq = pl.program_id(1)
 
     @pl.when(mq == 0)
     def _():
         xr = x_ref[0]
-        xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2)
+        xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2,
+                             zero_top=zero_top)
         twr = twr_ref[:]
         twi = twi_ref[:]
         cr = xr * twr - xi * twi
@@ -1343,9 +1643,11 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
     n2 = nfft // _N1
     n2_out = -(-out_samples // _N1)
     x = base.reshape(b, n_samp)
-    if n_samp < nfft:
-        x = jnp.pad(x, ((0, 0), (0, nfft - n_samp)))
-    x3 = x.reshape(b, n2, _N1)
+    zero_top = _zero_top_ok(n_samp, nfft)
+    in_rows = n2 // 2 if zero_top else n2
+    if n_samp < in_rows * _N1:
+        x = jnp.pad(x, ((0, 0), (0, in_rows * _N1 - n_samp)))
+    x3 = x.reshape(b, in_rows, _N1)
     # Path delays travel in SAMPLES (separable ramp synthesis in-kernel).
     d3 = (delays * fs).reshape(b, m, num_paths).astype(jnp.float32)
     g3 = gains.reshape(b, m, num_paths).astype(jnp.float32)
@@ -1367,7 +1669,7 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
     kernel = functools.partial(_bfly_render_kernel, n2=n2, n2_out=n2_out,
                                num_paths=num_paths, out_samples=out_samples,
                                scale=1.0 / nfft, finalize=finalize,
-                               with_noise=with_noise)
+                               with_noise=with_noise, zero_top=zero_top)
 
     def cspec2(shape):
         nd = len(shape)
@@ -1386,7 +1688,7 @@ def bfly_delay_sum(base: jnp.ndarray, delays: jnp.ndarray, gains: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, 1, 1), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, n2, _N1), lambda i, q: (i, 0, 0),
+                  pl.BlockSpec((1, in_rows, _N1), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   cspec2(fade_plane.shape), cspec2(sgn.shape),
                   cspec2(tnat.shape)] +

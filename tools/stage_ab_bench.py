@@ -40,7 +40,20 @@ def _time(fn, *args, iters=8, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def ab(batch, m, n, nfft, wq=None):
+# (sliced-stages flag, within-tile mode) per named schedule.  'sliced' was
+# round 3's production schedule; 'sliced+tile8' replaces the h=4,2,1
+# roll+select stages with the composed 8x8 tile transform.
+SCHEDULES = {
+    "all-roll": (False, "roll"),
+    "sliced": (True, "roll"),
+    "tile8": (True, "slice"),
+    "bcast": (True, "bcast"),
+    "subslice": (True, "subslice"),
+}
+
+
+def ab(batch, m, n, nfft, wq=None,
+       schedules=("sliced", "tile8", "bcast", "subslice")):
     key = jax.random.PRNGKey(0)
     sigs = jax.random.normal(key, (batch, m, n), jnp.float32)
     if m == 4:
@@ -50,8 +63,9 @@ def ab(batch, m, n, nfft, wq=None):
                           for j in range(i + 1, m)], np.int32)
         pi, pj = pairs[:, 0], pairs[:, 1]
 
-    def run(sliced, windowed):
-        pallas_fft._SLICED_STAGES = sliced
+    def run(schedule, windowed):
+        pallas_fft._SLICED_STAGES, pallas_fft._TILE8_MODE = \
+            SCHEDULES[schedule]
 
         # Reduce ON DEVICE: fetching the full (B, P, nfft) tensor through
         # the tunnel would dominate (and wildly vary) the measurement.
@@ -68,17 +82,22 @@ def ab(batch, m, n, nfft, wq=None):
         dt = _time(fn, sigs)
         return dt, np.asarray(jnp.stack(fn(sigs)))
 
+    base = schedules[0]
     for windowed in ([False, True] if wq else [False]):
-        dt_roll, out_roll = run(False, windowed)
-        dt_slice, out_slice = run(True, windowed)
-        scale = np.max(np.abs(out_roll)) or 1.0
-        err = np.max(np.abs(out_roll - out_slice)) / scale
+        dt_base, out_base = run(base, windowed)
         tag = "win " if windowed else "full"
-        print(f"B={batch:4d} M={m:2d} n={n:6d} nfft={nfft:6d} {tag}: "
-              f"roll {dt_roll*1e3:7.2f} ms  sliced {dt_slice*1e3:7.2f} ms  "
-              f"speedup {dt_roll/dt_slice:5.2f}x  rel-err {err:.2e}",
-              flush=True)
+        line = (f"B={batch:4d} M={m:2d} n={n:6d} nfft={nfft:6d} {tag}: "
+                f"{base} {dt_base*1e3:7.2f} ms")
+        scale = np.max(np.abs(out_base)) or 1.0
+        for sched in schedules[1:]:
+            dt, out = run(sched, windowed)
+            err = np.max(np.abs(out_base - out)) / scale
+            line += (f"  {sched} {dt*1e3:7.2f} ms "
+                     f"({dt_base/dt:5.2f}x, err {err:.1e})")
+        print(line, flush=True)
+    # restore the production schedule
     pallas_fft._SLICED_STAGES = True
+    pallas_fft._TILE8_MODE = "bcast"
 
 
 def render_abs(batch, m, paths, n, nfft):
