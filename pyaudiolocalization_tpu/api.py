@@ -88,7 +88,8 @@ def simulate_signals_with_multipath(source_pos,
     jax.jit,
     static_argnames=("fs", "pairs_i", "pairs_j", "nfft", "filter_method",
                      "lag_mode", "max_expected_delay", "analyze",
-                     "num_bootstrap", "clustering_method", "eps",
+                     "num_bootstrap", "bootstrap_mode",
+                     "clustering_method", "eps",
                      "min_samples", "use_calibration", "phat_band",
                      "threshold_method", "solver", "pool", "max_lag",
                      "need_corr", "weighting"))
@@ -109,6 +110,7 @@ def _estimation_core(signals: jnp.ndarray,
                      max_expected_delay: Optional[float],
                      analyze: bool,
                      num_bootstrap: int,
+                     bootstrap_mode: str,
                      clustering_method: str,
                      eps: float,
                      min_samples: int,
@@ -176,7 +178,8 @@ def _estimation_core(signals: jnp.ndarray,
         # exact length, matching the reference's own calibration).
         thresholds = jax.vmap(
             lambda s1, s2, k: tdoa_ops.bootstrap_significance(
-                s1, s2, k, num_bootstrap=num_bootstrap, nfft=nfft)
+                s1, s2, k, num_bootstrap=num_bootstrap, nfft=nfft,
+                bootstrap_mode=bootstrap_mode)
         )(jnp.take(filtered, pi, 0), jnp.take(filtered, pj, 0),
           jax.random.split(k_metrics, pi.shape[0]))
         significant = (peak_corr > thresholds) & (snr > 2.0)
@@ -681,6 +684,7 @@ def localize_sound_source(config,
             filter_method=loc.filter_method, lag_mode=loc.lag_mode,
             max_expected_delay=loc.max_expected_delay,
             analyze=loc.analyze_correlation, num_bootstrap=loc.num_bootstrap,
+            bootstrap_mode=loc.bootstrap_mode,
             clustering_method=loc.clustering_method, eps=loc.clustering_eps,
             min_samples=loc.clustering_min_samples,
             use_calibration=calib_delays is not None,

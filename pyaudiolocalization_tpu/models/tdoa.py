@@ -312,10 +312,29 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
     per pair (~258 s of the 274 s default run, SURVEY.md §6) — becomes
     batched device FFTs: FFT(sig1) once, then chunks of shuffled sig2
     transformed together.
+
+    ``bootstrap_mode='noise'`` is a physical-mode SURROGATE for
+    'permutation': a permuted row is exchangeable, so its padded-window
+    spectrum is asymptotically complex Gaussian with the SAME
+    Dirichlet-kernel bin covariance as a length-n white-noise burst, and
+    PHAT whitening cancels the amplitude spectrum — the permutation null
+    equals the white-noise null within Monte-Carlo error
+    (tests/test_bootstrap_noise.py; a full-band phase surrogate, which
+    ignores the zero-padding DOF structure, measured 12% low and was
+    rejected).  Each draw therefore synthesizes a fresh length-n noise
+    row — in-kernel on TPU (no permutation sort, no HBM row traffic) —
+    and runs the same fwd/whiten/inverse/max pipeline.  The draw stream
+    is deterministic per key but backend-specific (hardware PRNG in the
+    kernel vs jax.random on the fallback), like the simulator's in-kernel
+    measurement noise.  Parity callers keep 'permutation'.
     """
     n1, n2 = sig1.shape[-1], sig2.shape[-1]
     n = nfft if nfft is not None else n1 + n2 - 1
     from ..ops import pallas_fft
+    if bootstrap_mode == "noise":
+        peaks = _noise_null_peaks(sig1, sig2, key, num_bootstrap, n,
+                                  pallas_fft)
+        return jnp.percentile(peaks, 100.0 * (1.0 - alpha))
     # The kernel path has no truncation mode: signals longer than the
     # requested transform (nfft < len) must take the XLA path, whose
     # rfft_n truncates like the reference's np.fft semantics.
@@ -343,8 +362,8 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
         if bootstrap_mode == "circular":
             shift = jax.random.randint(k, (), 0, n2)
             return jnp.roll(sig2, shift)
-        raise ValueError(
-            "Unknown bootstrap_mode. Use 'permutation', 'block' or 'circular'.")
+        raise ValueError("Unknown bootstrap_mode. Use 'permutation', "
+                         "'block', 'circular' or 'noise'.")
 
     def chunk_peaks(ks):
         # Whole chunk as one batch so the packed-pair transforms apply
@@ -362,6 +381,39 @@ def bootstrap_significance(sig1: jnp.ndarray, sig2: jnp.ndarray,
     keys = jax.random.split(key, num_chunks * chunk).reshape(num_chunks, chunk, -1)
     peaks = jax.lax.map(chunk_peaks, keys).reshape(-1)[:num_bootstrap]
     return jnp.percentile(peaks, 100.0 * (1.0 - alpha))
+
+
+def _noise_null_peaks(sig1, sig2, key, num_bootstrap, n, pallas_fft):
+    """Peak maxima of PHAT correlations between sig1 and fresh length-n2
+    noise rows (see bootstrap_mode='noise').  sig2 enters only through its
+    LENGTH (the null's degrees of freedom — the Dirichlet bin covariance
+    of an n2-of-n padded window); PHAT cancels its spectrum anyway."""
+    n2_len = sig2.shape[-1]
+    if pallas_fft.bfly_bootstrap_eligible(n, sig1.dtype) \
+            and sig1.shape[-1] <= n:
+        ks = jax.random.split(key, num_bootstrap)
+        seed_words = ks if isinstance(ks, jax.Array) and ks.ndim == 2 \
+            else jax.random.key_data(ks)
+        pad1 = jnp.pad(sig1, (0, n - sig1.shape[-1]))
+        s1r, s1i = pallas_fft.bfly_fft_real(pad1[None])
+        return pallas_fft.bfly_noise_bootstrap_peaks(
+            (s1r[0], s1i[0]), seed_words.astype(jnp.int32), n2_len,
+            eps=gccphat.PHAT_EPS)
+    s1 = rfft_n(sig1, n)
+
+    def chunk_peaks(ks):
+        rows = jax.vmap(lambda k: jax.random.uniform(
+            k, (n2_len,), sig1.dtype, -0.5, 0.5))(ks)
+        s2 = rfft_pack2(rows, n)
+        r = s1[None, :] * jnp.conj(s2)
+        r = r / (jnp.abs(r) + gccphat.PHAT_EPS)
+        return jnp.max(irfft_pack2(r, n), axis=-1)
+
+    chunk = 64
+    num_chunks = -(-num_bootstrap // chunk)
+    keys = jax.random.split(key, num_chunks * chunk).reshape(
+        num_chunks, chunk, -1)
+    return jax.lax.map(chunk_peaks, keys).reshape(-1)[:num_bootstrap]
 
 
 def significance_test(corr: jnp.ndarray, sig1: jnp.ndarray, sig2: jnp.ndarray,

@@ -71,6 +71,12 @@ class LocalizationConfig:
     # Bootstrap resamples for the significance test (reference hardcodes 1000,
     # utils.py:186).
     num_bootstrap: int = 1000
+    # Null-threshold resampling scheme (reference: per-draw sample
+    # permutation, utils.py:183-216).  'permutation' is parity-exact;
+    # 'noise' is the physical-mode surrogate (fresh length-n noise rows —
+    # distribution-equal under PHAT, tests/test_bootstrap_noise.py, and
+    # ~50x faster on TPU: no per-draw permutation sort).
+    bootstrap_mode: str = "permutation"
     # PHAT whitening band (Hz): 'auto' band-limits to the noise-reduction
     # passband in physical lag mode (fixes the reference's bandpass+PHAT
     # lag-0 artifact, SURVEY.md Q5), None disables, or an explicit (lo, hi).
@@ -128,6 +134,7 @@ class LocalizationConfig:
             lag_mode=d.get("lag_mode", "physical"),
             sync_mode=d.get("sync_mode", "reference"),
             num_bootstrap=int(d.get("num_bootstrap", 1000)),
+            bootstrap_mode=d.get("bootstrap_mode", "permutation"),
             phat_band=d.get("phat_band", "auto"),
             threshold_method=d.get("threshold_method", None),
             solver=d.get("solver", "lm"),

@@ -19,6 +19,7 @@ Run on the real TPU after any kernel change:
     PYTHONPATH=/root/.axon_site:/root/repo python tools/tpu_kernel_check.py
 Prints one JSON line per check and ALL OK / FAILURES; exit code 0/1.
 """
+import functools
 import os, json
 import jax
 
@@ -155,8 +156,45 @@ def check_scene_kernel():
            est_diff_m=round(d_est, 6))
 
 
+# ---------------------------------------------------------------------------
+# (d) noise-null bootstrap kernel (bootstrap_mode='noise'): the in-kernel
+# uniform-noise draws cannot run in CPU interpret mode (prng_seed), so the
+# distribution-equality claim vs the sort-based permutation path is pinned
+# HERE: same signals, same draw count, thresholds within Monte-Carlo error;
+# plus determinism and key sensitivity of the kernel stream.
+# ---------------------------------------------------------------------------
+def check_noise_bootstrap():
+    from pyaudiolocalization_tpu.models import tdoa
+    rng = np.random.default_rng(9)
+    n = 4000
+    sig1 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    sig2 = jnp.asarray(0.5 * np.asarray(sig1)
+                       + rng.standard_normal(n) * 0.8, jnp.float32)
+    nfft = 8192
+    B = 400
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def thr(key, mode):
+        return tdoa.bootstrap_significance(sig1, sig2, key, num_bootstrap=B,
+                                           nfft=nfft, bootstrap_mode=mode)
+
+    perm = np.mean([float(thr(jax.random.PRNGKey(50 + i), "permutation"))
+                    for i in range(3)])
+    noise = np.mean([float(thr(jax.random.PRNGKey(60 + i), "noise"))
+                     for i in range(3)])
+    rel = abs(perm - noise) / perm
+    a = float(thr(jax.random.PRNGKey(70), "noise"))
+    b = float(thr(jax.random.PRNGKey(70), "noise"))
+    c = float(thr(jax.random.PRNGKey(71), "noise"))
+    good = rel < 0.05 and a == b and a != c
+    report("noise_bootstrap", good, perm_thr=round(perm, 5),
+           noise_thr=round(noise, 5), rel_diff=round(rel, 4),
+           deterministic=a == b, key_sensitive=a != c)
+
+
 check_noise()
 check_hbm_streaming()
 check_scene_kernel()
+check_noise_bootstrap()
 print("ALL OK" if ok else "FAILURES")
 raise SystemExit(0 if ok else 1)
