@@ -337,6 +337,136 @@ def simulate_signals(source_pos,
                         freq_ref=0.0)
 
 
+def simulate_moving_source(start_pos,
+                           velocity,
+                           mic_positions,
+                           fs: float,
+                           c: float,
+                           duration: float = 1.0,
+                           signal_type: str = "noise",
+                           freq: float = 1000.0,
+                           frame: int = 1024,
+                           key: Optional[jax.Array] = None,
+                           snr_db=None,
+                           finalize: bool = True,
+                           dtype=None) -> jnp.ndarray:
+    """Render (M, duration*fs) mic signals for a source moving at constant
+    velocity — the time-varying-delay counterpart of ``simulate_signals``
+    (no reference counterpart: the reference renders one static scene,
+    main.py:66-124).
+
+    The render is WOLA (weighted overlap-add): the base signal is split
+    into Hann-windowed frames of ``frame`` samples hopped by frame/2; each
+    frame renders with the STATIC per-mic delay/gain of the source position
+    at its centre (the same phase-ramp render as the static path,
+    ops/delay.delay_and_sum), and the delayed frames overlap-add.  The
+    per-frame delay error is bounded by |d tau/dt| * frame/2 samples —
+    at walking speed (1.5 m/s, 16 kHz, frame=1024) about 2 samples of
+    intra-frame smear, the same physical smear a real moving source puts
+    into any frame-based analysis.  Direct path only: image sources of a
+    moving source move along per-plane MIRRORED trajectories, so a
+    reverberant mover is a sum of such renders — out of scope here.
+
+    Per-mic gains follow the same carrier-frequency log-attenuation law as
+    the static scene (geometric spreading + air absorption), referenced to
+    the strongest (mic, frame) so float32 cannot flush the render.
+
+    Used by tests/test_tracking_motion.py to show segment-static tracking
+    bias vs the motion-compensated tracker (models/tracking.py
+    ``motion='compensated'``)."""
+    dt = jnp.dtype(dtype) if dtype is not None else jnp.result_type(float)
+    start = jnp.asarray(np.asarray(start_pos), dt)
+    vel = jnp.asarray(np.asarray(velocity), dt)
+    mics = jnp.asarray(np.asarray(mic_positions), dt)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if frame < 64 or frame % 2:
+        raise ValueError("frame must be an even length >= 64")
+    hop = frame // 2
+    # Conservative host-side delay budget: |p(t) - mic| is convex in t, so
+    # its max over the capture sits at an endpoint (padded by one second of
+    # travel to cover the lead/tail margin below).
+    s0 = np.asarray(start_pos, float)
+    v0 = np.asarray(velocity, float)
+    mics_np = np.asarray(mic_positions, float)
+    d_ends = [np.linalg.norm(s0 + tt * v0 - mics_np, axis=-1)
+              for tt in (-1.0, float(duration) + 1.0)]
+    budget = int(np.ceil(float(np.max(d_ends)) / float(c) * fs)) + 2
+
+    # Lead/tail margin: the WOLA sum only reaches steady state (window sum
+    # exactly 1, every sample covered by two frames) one frame in, and the
+    # fade regions have per-mic-misaligned envelopes that degrade inter-mic
+    # coherence.  Content at output time t arrives delayed by up to
+    # ``budget`` samples, so the margin must absorb the delay too: render
+    # [0, duration) + 2*(frame + budget) of extra signal and slice out the
+    # steady-state interior.  ``start_pos`` is the source position at the
+    # first OUTPUT sample.
+    lead = frame + budget
+    if lead > int(fs):
+        raise ValueError("scene too distant for the moving render: the "
+                         "propagation delay budget exceeds 1 s")
+    base = _base_signal(key, jnp.asarray(freq, dt), signal_type=signal_type,
+                        fs=fs, duration=duration + 2.0 * lead / fs, dtype=dt)
+    t_gen = base.shape[0]
+    t_out = t_gen - 2 * lead
+    num_frames = max(1, -(-t_gen // hop))
+    pad_base = jnp.pad(base, (0, num_frames * hop + frame - t_gen))
+
+    # Periodic Hann: with 50% overlap the interior window sum is exactly 1;
+    # the start/end fade regions fall in the lead/tail margin and are
+    # sliced away.
+    n_idx = jnp.arange(frame, dtype=dt)
+    win = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * n_idx / frame))
+
+    starts = np.arange(num_frames) * hop
+    frames = jnp.stack([pad_base[s:s + frame] for s in starts]) * win
+
+    # Per-frame source position at the frame centre (generated time starts
+    # ``lead`` samples before the first output sample).
+    t_c = jnp.asarray((starts + frame / 2.0 - lead) / fs, dt)     # (K,)
+    pos_k = start[None, :] + t_c[:, None] * vel[None, :]          # (K, 3)
+    d_k = jnp.linalg.norm(pos_k[:, None, :] - mics[None, :, :],
+                          axis=-1)                                # (K, M)
+    from ..utils.materials import default_table
+    table = default_table()
+    la = acoustics.log_attenuation(
+        d_k, AIR_ID, jnp.asarray(freq, dt),
+        jnp.asarray(table.absorption, dt), jnp.asarray(table.freq, dt))
+    gains = jnp.exp(la - jnp.max(la))                             # (K, M)
+    delays = d_k / c
+
+    total = frame + budget
+
+    def render_frame(xk, dk, gk):
+        padded = jnp.pad(xk, (0, total - frame))
+        return delay_and_sum(padded, dk[:, None], gk[:, None], fs,
+                             pad_mode="pow2-circular")
+    rendered = jax.vmap(render_frame)(frames, delays, gains)      # (K, M, T)
+
+    m = mics.shape[0]
+    t_full = int(starts[-1]) + total
+    out = jnp.zeros((m, t_full), dt)
+    wsum = jnp.zeros((t_full,), dt)
+    for k, s in enumerate(starts):
+        out = out + jnp.pad(rendered[k], ((0, 0), (s, t_full - s - total)))
+        wsum = wsum + jnp.pad(win, (s, t_full - s - frame))
+    # Slice the steady-state interior (see the lead/tail note above); the
+    # wsum division is an exact identity there and only guards the slice
+    # arithmetic.
+    out = (out[:, lead:lead + t_out]
+           / jnp.maximum(wsum[lead:lead + t_out], 1e-3))
+
+    if finalize:
+        out = sig_ops.dynamic_range_compression(
+            sig_ops.normalize_signal(out))
+    if snr_db is not None:
+        rms = jnp.sqrt(jnp.mean(out * out, -1, keepdims=True))
+        sigma = rms * 10.0 ** (-jnp.asarray(snr_db, dt) / 20.0)
+        out = out + sigma * jax.random.normal(
+            jax.random.fold_in(key, 1), out.shape, dt)
+    return out
+
+
 def static_delay_budget(source_pos, mic_positions, plane_coeffs,
                         max_reflections: int, fs: float) -> float:
     """Conservative HOST-side bound on the longest path delay (s), no

@@ -42,6 +42,7 @@ class Track(NamedTuple):
     positions: jnp.ndarray   # (S, 3) raw per-segment estimates
     smoothed: jnp.ndarray    # (S, 3) smoothed track (EMA or Kalman/RTS)
     powers: jnp.ndarray      # (S,) SRP power per segment (confidence)
+    velocities: Optional[jnp.ndarray] = None  # (S, 3) m/s, motion mode only
 
 
 def kalman_rts_smooth(positions: jnp.ndarray,
@@ -142,6 +143,114 @@ def kalman_rts_smooth(positions: jnp.ndarray,
     return x_smooth[..., 0], x_smooth[..., 1]
 
 
+def _motion_compensated_corr(segs: jnp.ndarray, pi, pj, fs: float, band,
+                             weighting: str, nsub: int, w_half: int,
+                             s_max: int, nfft_f: int):
+    """Per-segment delay-rate estimation + correlation alignment.
+
+    A source moving during a segment drifts the pair delay by
+    tau_dot * L samples (tau_dot = (u_i - u_j)·v / c, dimensionless),
+    smearing the segment-long GCC peak and biasing the 'static' tracker.
+    Here each segment splits into ``nsub`` subframes; per (segment, pair):
+
+      1. subframe GCC windows (±(w_half + s_max) lags around 0),
+      2. per-subframe peak lag (parabolic-refined) + peak-squared weight,
+      3. weighted linear fit lag(f) ≈ tau_c + tau_dot · dt_f
+         (dt_f = subframe-centre offset from the segment centre, samples),
+      4. each subframe window Fourier-shifted by -tau_dot·dt_f and summed —
+         a delay-rate-aligned correlation whose peak sits at the SEGMENT
+         CENTRE delay tau_c, with the full segment's SNR.
+
+    All shifts ride a batched rfft of the (2(w_half+s_max)+1)-lag windows —
+    no data-dependent gathers (CLAUDE.md).  Returns
+    ``(circ, tau_dot, weight)``: (S, P, nfft_f) compensated correlations
+    rebuilt in circular lag order for srp_phat_locate, the per-pair delay
+    rates, and the per-pair fit confidence for the velocity solve.
+    """
+    s_dim, m, seg_len = segs.shape
+    lf = seg_len // nsub
+    sub = segs[:, :, :nsub * lf].reshape(s_dim, m, nsub, lf)
+    sub = jnp.swapaxes(sub, 1, 2)                          # (S, K, M, Lf)
+    corr = gccphat.gcc_phat_all_pairs(sub, pi, pj, nfft=nfft_f, band=band,
+                                      fs=fs, weighting=weighting)
+    wn = w_half + s_max
+    win = jnp.concatenate([corr[..., -wn:], corr[..., :wn + 1]], -1)
+    wlen = 2 * wn + 1                                      # (S, K, P, wlen)
+
+    # Per-subframe peak + parabolic refinement (tiny take_along_axis — off
+    # the sweep hot path).
+    pk = jnp.argmax(win, -1)
+    pk_c = jnp.clip(pk, 1, wlen - 2)
+    v0 = jnp.take_along_axis(win, pk_c[..., None], -1)[..., 0]
+    vm = jnp.take_along_axis(win, (pk_c - 1)[..., None], -1)[..., 0]
+    vp = jnp.take_along_axis(win, (pk_c + 1)[..., None], -1)[..., 0]
+    denom = vm - 2.0 * v0 + vp
+    delta = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (vm - vp) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    lag_f = pk_c.astype(win.dtype) + jnp.clip(delta, -1.0, 1.0) - wn
+    wt = jnp.maximum(v0, 0.0) ** 2 + 1e-12                 # (S, K, P)
+
+    # Weighted linear fit over subframes, per (segment, pair).
+    dt_f = jnp.asarray((np.arange(nsub) + 0.5) * lf - (nsub * lf) / 2.0,
+                       win.dtype)[None, :, None]           # (1, K, 1)
+    sw = jnp.sum(wt, 1)
+    swx = jnp.sum(wt * dt_f, 1)
+    swxx = jnp.sum(wt * dt_f * dt_f, 1)
+    swy = jnp.sum(wt * lag_f, 1)
+    swxy = jnp.sum(wt * dt_f * lag_f, 1)
+    det = sw * swxx - swx * swx
+    tau_dot = jnp.where(jnp.abs(det) > 1e-20,
+                        (sw * swxy - swx * swy)
+                        / jnp.where(det == 0, 1.0, det), 0.0)  # (S, P)
+
+    # Fourier-align every subframe window by -tau_dot*dt_f and sum.  The
+    # s_max margin absorbs the circular wrap (|shift| <= s_max by
+    # construction of the tau_dot search range — clip enforces it).
+    tau_dot = jnp.clip(tau_dot, -s_max / jnp.maximum(dt_f[0, -1, 0], 1.0),
+                       s_max / jnp.maximum(dt_f[0, -1, 0], 1.0))
+    shift = tau_dot[:, None, :] * dt_f[..., 0][..., None]  # (S, K, P)
+    npad = int(2 ** np.ceil(np.log2(wlen)))
+    spec = jnp.fft.rfft(win, n=npad, axis=-1)
+    k_bins = jnp.arange(spec.shape[-1], dtype=win.dtype)
+    phase = 2.0 * jnp.pi * k_bins * (shift[..., None] / npad)
+    shifted = jnp.fft.irfft(spec * jax.lax.complex(jnp.cos(phase),
+                                                   jnp.sin(phase)),
+                            n=npad, axis=-1)[..., :wlen]
+    comp_wide = jnp.sum(shifted, 1)                        # (S, P, wlen)
+    comp = comp_wide[..., s_max:s_max + 2 * w_half + 1]
+
+    # Rebuild circular lag order (win_c[j] = corr[(j - w) mod nfft]).
+    zeros = jnp.zeros(comp.shape[:-1] + (nfft_f - 2 * w_half - 1,),
+                      comp.dtype)
+    circ = jnp.concatenate([comp[..., w_half:], zeros, comp[..., :w_half]],
+                           -1)
+    return circ, tau_dot, sw
+
+
+def _velocity_lsq(pos: jnp.ndarray, mics: jnp.ndarray, pi, pj, c,
+                  tau_dot: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Source velocity from per-pair delay rates at the estimated position.
+
+    The peak lag (samples) of pair (i, j) is (d_i - d_j) * fs / c, so its
+    dimensionless rate is (u_i - u_j)·v / c with u the source→mic unit
+    bearings; weighted 3x3 least squares recovers v.  A trace-relative
+    ridge keeps the normal matrix invertible when the geometry
+    under-constrains an axis (e.g. coplanar mics → vertical rate
+    unobservable → that component shrinks to 0 instead of blowing up);
+    relative scaling matters: the matrix entries go as 1/c^2 ~ 1e-5, so
+    an absolute ridge would bias the well-observed axes."""
+    d = pos[None, :] - mics
+    u = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    a = (jnp.take(u, pi, 0) - jnp.take(u, pj, 0)) / c      # (P, 3)
+    aw = a * w[:, None]
+    n_mat = aw.T @ a
+    lam = 1e-6 * (jnp.trace(n_mat) / 3.0) + 1e-30
+    n_mat = n_mat + lam * jnp.eye(3, dtype=pos.dtype)
+    rhs = aw.T @ tau_dot
+    return jnp.linalg.solve(n_mat, rhs)
+
+
 def localize_trajectory(signals: jnp.ndarray,
                         mic_positions: jnp.ndarray,
                         fs: float,
@@ -157,7 +266,10 @@ def localize_trajectory(signals: jnp.ndarray,
                         method: str = "srp",
                         smoother: str = "ema",
                         accel_std: float = 0.5,
-                        weighting: str = "phat") -> Track:
+                        weighting: str = "phat",
+                        motion: str = "static",
+                        motion_subframes: int = 8,
+                        max_speed: float = 5.0) -> Track:
     """Track a (slowly) moving source through a long capture.
 
     signals: (M, T); segments of ``segment`` samples every ``hop`` (default
@@ -172,6 +284,18 @@ def localize_trajectory(signals: jnp.ndarray,
     weighting for the 'srp' method (ops/gccphat.GCC_WEIGHTINGS minus
     'ml' — per-segment single snapshots have degenerate coherence; for
     ML-weighted online tracking use StreamingLocalizer).  Fully jittable.
+
+    ``motion='compensated'`` (method='srp' only) drops the static-source-
+    per-segment assumption: a mover drifts each pair delay by up to
+    2·speed/c·segment samples WITHIN a segment, smearing the segment-long
+    correlation peak and biasing the estimate toward where the source
+    spent its loudest subframes.  The compensated path estimates each
+    pair's delay RATE from ``motion_subframes`` subframe GCCs, aligns the
+    subframe correlations to the segment centre, and SRPs the aligned sum
+    (see ``_motion_compensated_corr``) — positions become segment-centre
+    snapshots, and ``Track.velocities`` carries the per-segment velocity
+    solved from the delay rates (``_velocity_lsq``).  ``max_speed`` (m/s)
+    bounds the rate search (sets the alignment window margin).
     """
     if method not in ("srp", "capon", "music"):
         raise ValueError("method must be 'srp', 'capon', or 'music'")
@@ -182,6 +306,10 @@ def localize_trajectory(signals: jnp.ndarray,
         raise ValueError("weighting applies to method='srp' only")
     if smoother not in ("ema", "kalman"):
         raise ValueError("smoother must be 'ema' or 'kalman'")
+    if motion not in ("static", "compensated"):
+        raise ValueError("motion must be 'static' or 'compensated'")
+    if motion == "compensated" and method != "srp":
+        raise ValueError("motion='compensated' requires method='srp'")
     m, t = signals.shape
     hop = segment // 2 if hop is None else hop
     if t < segment:
@@ -197,7 +325,42 @@ def localize_trajectory(signals: jnp.ndarray,
     segs = jnp.take(signals, jnp.asarray(idx), axis=-1)     # (M, S, L)
     segs = jnp.swapaxes(segs, 0, 1)                         # (S, M, L)
 
-    if method == "srp":
+    velocities = None
+    if method == "srp" and motion == "compensated":
+        lf = segment // motion_subframes
+        if lf < 64:
+            raise ValueError("segment // motion_subframes must be >= 64")
+        nfft_f = next_pow2(2 * lf)
+        # Window sizing is host-side: compensated mode needs CONCRETE mic
+        # positions (static mode stays fully jittable).
+        mics_np = np.asarray(mic_positions, float)
+        diam = float(np.max(np.linalg.norm(
+            mics_np[:, None, :] - mics_np[None, :, :], axis=-1)))
+        w_half = int(np.ceil(diam * float(fs) / float(c))) + 12
+        s_max = int(np.ceil(2.0 * max_speed / float(c) * segment / 2.0)) + 2
+        if 2 * (w_half + s_max) + 1 > nfft_f:
+            raise ValueError(
+                "motion='compensated' alignment window (mic diameter "
+                f"{w_half} + drift margin {s_max} lags) exceeds the "
+                f"subframe transform {nfft_f}: use a longer segment, "
+                "fewer motion_subframes, or a smaller max_speed")
+        circ, tau_dot, wts = _motion_compensated_corr(
+            segs, pi, pj, fs, band, weighting, motion_subframes, w_half,
+            s_max, nfft_f)
+
+        def locate_one(corr_s):
+            out = srp_ops.srp_phat_locate(corr_s, mic_positions, pi, pj,
+                                          fs, c, lower, upper,
+                                          coarse_n=coarse_n, fine_n=fine_n)
+            return out.position, out.power
+
+        positions, powers = jax.vmap(locate_one)(circ)
+        mics_dev = jnp.asarray(mic_positions, positions.dtype)
+        velocities = jax.vmap(
+            lambda p, td, w: _velocity_lsq(p, mics_dev, pi, pj, c, td, w)
+        )(positions, tau_dot, wts)
+        one = None
+    elif method == "srp":
         def one(seg):
             corr = gccphat.gcc_phat_all_pairs(seg, pi, pj, nfft=nfft,
                                               band=band, fs=fs,
@@ -222,7 +385,8 @@ def localize_trajectory(signals: jnp.ndarray,
                          coarse_n=coarse_n, fine_n=fine_n)
             return out.position, out.power
 
-    positions, powers = jax.vmap(one)(segs)
+    if one is not None:
+        positions, powers = jax.vmap(one)(segs)
 
     def ema(prev, cur):
         nxt = smoothing * prev + (1.0 - smoothing) * cur
@@ -237,4 +401,4 @@ def localize_trajectory(signals: jnp.ndarray,
         smoothed = positions
 
     times = jnp.asarray((starts + segment / 2.0) / fs, positions.dtype)
-    return Track(times, positions, smoothed, powers)
+    return Track(times, positions, smoothed, powers, velocities)
