@@ -1,11 +1,20 @@
 """Track a moving source through a long capture (models/tracking.py).
 
-A quasi-static source walks across the room; each overlapping segment
+The capture comes from ``simulate_moving_source`` — a time-varying-delay
+WOLA render, so the source genuinely moves WITHIN each tracking segment
+(not a concatenation of static scenes).  Each overlapping segment
 localizes independently via GCC-PHAT -> SRP-PHAT (all segments in one
 vmapped XLA graph) and a smoother stabilizes the track: either a causal
 EMA (``smoother='ema'``) or a power-weighted constant-velocity Kalman
-filter + RTS backward smoother (``smoother='kalman'``) that also recovers
-per-segment velocity and down-weights low-confidence segments.
+filter + RTS backward smoother (``smoother='kalman'``).
+
+``motion='compensated'`` drops the static-source-per-segment assumption:
+a brisk walker drifts each pair delay by tens of samples within a
+segment, smearing the segment-long correlation and biasing the 'static'
+tracker by tens of centimetres; the compensated path estimates each
+pair's delay RATE from subframe GCCs, aligns the subframe correlations
+to the segment centre, and also recovers the source velocity from the
+delay rates (``Track.velocities``).
 """
 
 import jax
@@ -13,32 +22,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyaudiolocalization_tpu.models.tracking import localize_trajectory
-from pyaudiolocalization_tpu.models.simulator import simulate_signals
+from pyaudiolocalization_tpu.models.simulator import simulate_moving_source
 from pyaudiolocalization_tpu.models.acoustics import speed_of_sound
 
 FS = 16000.0
-MICS = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
-                 [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+# Non-coplanar (tetrahedral) array: a near-coplanar array has a mirror
+# ghost across its plane that SRP can lock onto.
+MICS = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0],
+                 [1.5, 3.0, 0.0], [1.5, 1.5, 2.0]])
 C = float(speed_of_sound(20.0, 50.0))
+START = np.array([0.8, 1.2, 0.7])
+VEL = np.array([1.5, 0.4, 0.0])      # a brisk walk, mostly along x
 
-# Source path: 8 waypoints across the room, 0.25 s each.
-path = np.stack([np.linspace(0.2, 0.8, 8),
-                 np.linspace(0.3, 0.6, 8),
-                 np.full(8, 0.4)], axis=-1)
-capture = jnp.asarray(np.concatenate(
-    [np.asarray(simulate_signals(w, MICS, FS, C, duration=0.25,
-                                 signal_type="noise",
-                                 key=jax.random.PRNGKey(i)))
-     for i, w in enumerate(path)], axis=-1))
+capture = simulate_moving_source(START, VEL, MICS, FS, C, duration=2.0,
+                                 signal_type="noise", frame=512,
+                                 key=jax.random.PRNGKey(0))
 print(f"capture: {capture.shape[0]} mics x {capture.shape[1]} samples "
-      f"({capture.shape[1] / FS:.2f} s)")
+      f"({capture.shape[1] / FS:.2f} s), |v| = {np.linalg.norm(VEL):.2f} m/s")
 
-track = localize_trajectory(
-    capture, jnp.asarray(MICS), FS, C,
-    jnp.zeros(3), jnp.ones(3), segment=2048, hop=1024, smoother="kalman")
-
-for t, p, s in zip(np.asarray(track.times)[::4],
-                   np.asarray(track.positions)[::4],
-                   np.asarray(track.smoothed)[::4]):
-    print(f"t={t:5.2f}s  raw=({p[0]:.3f},{p[1]:.3f},{p[2]:.3f})  "
-          f"smoothed=({s[0]:.3f},{s[1]:.3f},{s[2]:.3f})")
+for motion in ("static", "compensated"):
+    track = localize_trajectory(
+        capture, jnp.asarray(MICS), FS, C,
+        jnp.zeros(3), jnp.asarray([3.2, 3.2, 2.2]), segment=4096,
+        coarse_n=32, fine_n=12, smoother="kalman", motion=motion,
+        max_speed=3.0)
+    truth = START[None, :] + np.asarray(track.times)[:, None] * VEL[None, :]
+    err = np.linalg.norm(np.asarray(track.positions) - truth, axis=-1)
+    print(f"\nmotion='{motion}': mean error {err.mean():.3f} m")
+    for i in range(0, len(err), 4):
+        t = float(np.asarray(track.times)[i])
+        p = np.asarray(track.positions)[i]
+        line = (f"t={t:5.2f}s  est=({p[0]:.3f},{p[1]:.3f},{p[2]:.3f})  "
+                f"err={err[i]:.3f} m")
+        if track.velocities is not None:
+            v = np.asarray(track.velocities)[i]
+            line += f"  vel=({v[0]:+.2f},{v[1]:+.2f},{v[2]:+.2f})"
+        print(line)

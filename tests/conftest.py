@@ -23,11 +23,35 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compile cache: the suite is compile-dominated (big prefix-scan
 # filter graphs, sweep pipelines) and re-runs identical shapes every round —
-# cached reruns cut wall time several-fold.  CPU-specific dir (TPU runs use
-# /root/.cache/jaxcomp; sharing a dir across hosts triggers AOT
-# machine-feature warnings).
-os.makedirs("/root/.cache/jaxcomp-cpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp-cpu")
+# cached reruns cut wall time several-fold.  The directory is fingerprinted
+# by the HOST CPU's feature set: XLA:CPU cache entries are AOT machine code,
+# and loading a blob compiled on a different microarchitecture is not just a
+# warning — it SEGFAULTED the suite (exit 139, crash inside
+# backend_compile_and_load, "Machine type used for XLA:CPU compilation
+# doesn't match ... could lead to execution errors such as SIGILL").
+# Sessions run on heterogeneous hosts, so per-microarch dirs are required.
+import hashlib
+
+
+def _cpu_cache_dir() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.md5(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:10]
+                    break
+            else:
+                fp = "noflags"
+    except OSError:
+        fp = "noinfo"
+    return f"/root/.cache/jaxcomp-cpu-{fp}"
+
+
+_cache_dir = _cpu_cache_dir()
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 # 0.3 s: the suite compiles dozens of mid-size (0.3-2 s) graphs per run;
 # caching them is worth far more than the ~ms spent serializing each.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
@@ -53,6 +77,29 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+def _raise_map_count_limit() -> bool:
+    """Every XLA:CPU JIT'd executable costs several mmaps, and the full
+    suite compiles enough of them to EXHAUST the kernel's default
+    vm.max_map_count (65,530) — at which point LLVM segfaults on a failed
+    mmap: exit 139 at ~93% of the suite, inside backend_compile_and_load
+    of a trivial eager op, with /proc/<pid>/maps measured at 64,341 lines
+    right before death (2026-08-19; adding any ~4 tests tipped it over,
+    which is why the crash first looked correlated with one test file).
+    Raise the limit when the container allows it (root namespaces do);
+    _maps_guard is the fallback."""
+    try:
+        with open("/proc/sys/vm/max_map_count", "r+") as f:
+            if int(f.read().strip()) < 1 << 20:
+                f.seek(0)
+                f.write(str(1 << 20))
+        return True
+    except (OSError, ValueError):
+        return False
+
+
+_MAPS_RAISED = _raise_map_count_limit()
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _gc_freeze_between_modules():
     """Bound Python GC cost: by late modules the process holds millions of
@@ -61,7 +108,20 @@ def _gc_freeze_between_modules():
     full suite (684 s -> 608 s with gc off).  Instead of disabling the
     collector, collect at each module boundary and freeze the survivors into
     the permanent generation, so gen-2 scans only ever cover the current
-    module's allocations."""
+    module's allocations.
+
+    Also the fallback half of the mmap-exhaustion guard (see
+    _raise_map_count_limit): when the limit could not be raised and the
+    map count nears the default wall, drop jax's executable caches —
+    recompiles cost minutes, so only then."""
+    if not _MAPS_RAISED:
+        try:
+            with open("/proc/self/maps") as f:
+                n_maps = sum(1 for _ in f)
+        except OSError:
+            n_maps = 0
+        if n_maps > 48_000:
+            jax.clear_caches()
     gc.collect()
     gc.freeze()
     yield
