@@ -97,6 +97,12 @@ def test_public_api_lm_robust():
     cfg = copy.deepcopy(DEFAULT_CONFIG)
     cfg["localization"]["solver"] = "lm-robust"
     cfg["sampling_rate"] = 8000
+    # This test pins the solver WIRING through the public API; the default
+    # config's analyze_correlation=True would spend ~150 s running 6x1000
+    # CPU permutation bootstraps that assert nothing here (the bootstrap
+    # itself is covered by test_bootstrap_noise / the parity tests).
+    cfg["localization"]["analyze_correlation"] = False
+    cfg["duration"] = 0.4
     out = localize_sound_source(cfg, use_simulation=True, show_plots=False)
     est = np.asarray(out["estimated_position"], float)
     err = np.linalg.norm(est - np.asarray(cfg["source_position"], float))
