@@ -489,6 +489,33 @@ def static_delay_budget(source_pos, mic_positions, plane_coeffs,
     return (diam + max_reflections * reach) / 300.0 + 1.0 / fs
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("signal_type", "fs", "duration", "dtype",
+                                    "max_reflections", "absorption_threshold",
+                                    "per_bin", "total_samples",
+                                    "out_samples"))
+def _simulate_fast_core(source, mics, plane_coeffs, plane_material_ids,
+                        absorption_table, freq_table, freq, c, key, *,
+                        signal_type: str, fs: float, duration: float, dtype,
+                        max_reflections: int, absorption_threshold: float,
+                        per_bin: bool, total_samples: int, out_samples: int):
+    """Base signal + scene geometry + render in ONE jitted graph: the
+    single-scene warm latency is tunnel-dispatch-bound (~3 ms per device
+    call, CLAUDE.md), so the three stages that used to dispatch separately
+    trace together here (the nested jits inline under this trace)."""
+    base = sig_ops.generate_signal(signal_type, fs, duration, freq, key=key,
+                                   dtype=dtype)
+    path_delays, path_gains, path_slopes, _ = _scene_geometry(
+        source, mics, plane_coeffs, plane_material_ids,
+        absorption_table, freq_table, freq, c,
+        max_reflections=max_reflections,
+        absorption_threshold=absorption_threshold, per_bin=per_bin)
+    return render_scene(base, path_delays, path_gains, fs,
+                        total_samples, out_samples, pad_mode="pow2",
+                        freq_slopes=path_slopes if per_bin else None,
+                        freq_ref=0.0)
+
+
 def simulate_signals_fast(source_pos,
                           mic_positions,
                           fs: float,
@@ -524,24 +551,20 @@ def simulate_signals_fast(source_pos,
         plane_coeffs = jnp.asarray(plane_np, dt)
         plane_material_ids = jnp.asarray(np.asarray(plane_material_ids),
                                          jnp.int32)
-    base = _base_signal(key, jnp.asarray(freq, dt), signal_type=signal_type,
-                        fs=fs, duration=duration, dtype=dt)
     if absorption_mode not in ("carrier", "per-bin"):
         raise ValueError("absorption_mode must be 'carrier' or 'per-bin'")
     per_bin = absorption_mode == "per-bin"
     if per_bin:
         _check_per_bin_coefficients(freq_table, plane_material_ids, fs)
-    path_delays, path_gains, path_slopes, _ = _scene_geometry(
-        source, mics, plane_coeffs, plane_material_ids,
-        jnp.asarray(absorption_table, dt), jnp.asarray(freq_table, dt),
-        jnp.asarray(freq, dt), jnp.asarray(c, dt),
-        max_reflections=max_reflections,
-        absorption_threshold=absorption_threshold, per_bin=per_bin)
     budget = static_delay_budget(np.asarray(source_pos), mic_positions,
                                  plane_np, max_reflections, fs)
     out_samples = int(duration * fs)
     total_samples = out_samples + int(np.ceil(budget * fs))
-    return render_scene(base, path_delays, path_gains, fs,
-                        total_samples, out_samples, pad_mode="pow2",
-                        freq_slopes=path_slopes if per_bin else None,
-                        freq_ref=0.0)
+    return _simulate_fast_core(
+        source, mics, plane_coeffs, plane_material_ids,
+        jnp.asarray(absorption_table, dt), jnp.asarray(freq_table, dt),
+        jnp.asarray(freq, dt), jnp.asarray(c, dt), key,
+        signal_type=signal_type, fs=fs, duration=duration, dtype=dt,
+        max_reflections=max_reflections,
+        absorption_threshold=absorption_threshold, per_bin=per_bin,
+        total_samples=total_samples, out_samples=out_samples)
