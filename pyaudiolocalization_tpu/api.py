@@ -595,7 +595,11 @@ def localize_sound_source(config,
                 jnp.asarray(scene.materials.freq),
                 loc.max_reflections, loc.absorption_threshold,
                 trim_to_duration=True, key=k_sim, dtype=dtype)
-        signal_list = [sigs[i] for i in range(num_mics)]
+        # Keep the stacked (M, n) array: unstacking into a per-mic list and
+        # restacking costs num_mics+1 eager device ops (~ms each through the
+        # tunnel) on the warm single-scene path.  Only sync_mode='reference'
+        # needs the list form.
+        signal_list = None
         logger.info("Simulated signals generated.")
     else:
         if audio_files is None:
@@ -607,15 +611,20 @@ def localize_sound_source(config,
         signal_list = read_audio_files(audio_files, fs, dtype=dtype)
         logger.info("Real audio data loaded.")
 
+    if signal_list is None and loc.sync_mode == "reference":
+        signal_list = [sigs[i] for i in range(num_mics)]
     if loc.sync_mode == "reference":
         signal_list = synchronize_signals(signal_list, fs)
         logger.info("Signals synchronized.")
-    # sync_mode='none' still needs equal lengths: trailing zero-pad like the
-    # reference's pad-align (utils.py:448-456) without the shifting.
-    max_len = max(int(s.shape[-1]) for s in signal_list)
-    signal_list = [jnp.pad(s, (0, max_len - s.shape[-1]))
-                   if s.shape[-1] < max_len else s for s in signal_list]
-    signals = jnp.stack(signal_list)
+    if signal_list is None:
+        signals = sigs  # simulated: already stacked, equal lengths
+    else:
+        # sync_mode='none' still needs equal lengths: trailing zero-pad like
+        # the reference's pad-align (utils.py:448-456) without the shifting.
+        max_len = max(int(s.shape[-1]) for s in signal_list)
+        signal_list = [jnp.pad(s, (0, max_len - s.shape[-1]))
+                       if s.shape[-1] < max_len else s for s in signal_list]
+        signals = jnp.stack(signal_list)
 
     pairs = scene.mic_pairs
     pairs_i = tuple(p[0] for p in pairs)
