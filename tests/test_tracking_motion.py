@@ -59,7 +59,10 @@ def _track(signals, motion):
 
 
 def test_static_tracking_biases_compensated_does_not():
-    sigs = _moving_capture()
+    # 0.75 s -> 2 tracking segments: enough for the mean-bias contrast
+    # below (the effect is ~12x, asserted 3x) at ~60% of the wall cost of
+    # the original 1.0 s / 3-segment capture (58.8 s -> ~35 s).
+    sigs = _moving_capture(duration=0.75)
     t_static = _track(sigs, "static")
     t_comp = _track(sigs, "compensated")
     truth_s = _truth_at(np.asarray(t_static.times))
@@ -74,8 +77,8 @@ def test_static_tracking_biases_compensated_does_not():
 
 
 def test_compensated_velocity_estimate():
-    sigs = _moving_capture(1)
-    t_comp = _track(sigs, "compensated")
+    sigs = _moving_capture(1, duration=0.75)  # shares compiled shapes with
+    t_comp = _track(sigs, "compensated")      # the bias test above
     assert t_comp.velocities is not None
     v = np.asarray(t_comp.velocities)
     assert v.shape == (len(np.asarray(t_comp.times)), 3)
@@ -85,7 +88,7 @@ def test_compensated_velocity_estimate():
 
 
 def test_static_mode_keeps_velocities_none():
-    sigs = _moving_capture(2, duration=0.6)
+    sigs = _moving_capture(2, duration=0.3)   # 1 segment: API contract only
     t_static = _track(sigs, "static")
     assert t_static.velocities is None
 
@@ -94,7 +97,7 @@ def test_moving_render_zero_velocity_matches_static_scene():
     """v=0 must degenerate to a static scene: the tracker localizes the
     (stationary) source to millimetres on the WOLA render (measured
     2.8 mm — identical frames overlap-add to an exact static render)."""
-    sigs = _moving_capture(3, velocity=np.zeros(3), duration=0.6)
+    sigs = _moving_capture(3, velocity=np.zeros(3), duration=0.3)
     tr = _track(sigs, "static")
     err = np.linalg.norm(np.asarray(tr.positions) - START[None, :], axis=-1)
     assert np.max(err) < 0.02, err
