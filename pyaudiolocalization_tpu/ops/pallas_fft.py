@@ -195,6 +195,18 @@ _SLICED_STAGES = True
 # identical butterflies, bit-identical to 'roll'.
 _TILE8_MODE = "bcast"
 
+# Radix-4 sliced stages: fuse each pair of adjacent sliced radix-2 stages
+# (half-distances h, h/2 with h >= 16) into one radix-4 butterfly on the
+# (g, 4q, 128) leading-dim view.  Per 4 outputs this is 3 complex twiddle
+# muls + 22 real adds vs the radix-2 pair's 4 muls + 24 adds (the W^{3j}
+# twiddle plane is the PRODUCT of the two existing (q, 1) stage const
+# planes — negligible against the (g, q, 128) data work), and HALF the
+# concat+reshape relayouts between stages.  Odd stage counts keep one
+# radix-2 stage (the zero-top pruned first stage and/or the final h=8).
+# NOT bit-identical to the radix-2 pairs (different rounding order);
+# tools/tpu_path_fuzz.py tolerances are the contract.
+_RADIX4_SLICED = False
+
 # Exact W8 powers: e^{-2*pi*i*p/8} as (re, im) Python floats (cos(pi/2)
 # via np.exp is 6e-17, not 0 — build from the integer exponent instead so
 # zero/±1 coefficients specialize away at trace time).
@@ -319,11 +331,11 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
         x3i = None if xi is None else xi.reshape(1, n2, _N1)
     if (_SLICED_STAGES and h >= min_h) or (tile8 and h == 4):
         while h >= min_h:
-            # Within-block twiddle W_m^j, identical for every block: the
-            # v-half rows of block 0 of the stage's (n2, 1) const plane.
-            twr = stw_r[s, h:2 * h]
-            twi = stw_i[s, h:2 * h]
             if zero_top and s == 0:
+                # Within-block twiddle W_m^j, identical for every block:
+                # the v-half rows of block 0 of the stage's const plane.
+                twr = stw_r[s, h:2 * h]
+                twi = stw_i[s, h:2 * h]
                 # v half is identically zero: a = u, d = u.
                 ar = x3r[:, :h]
                 dr = ar
@@ -336,6 +348,58 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
                 s += 1
                 h //= 2
                 continue
+            if _RADIX4_SLICED and h >= 2 * max(min_h, 8):
+                # Radix-4: consume stages s (block 2h) and s+1 (block h)
+                # in one pass.  Quarters q0..q3 of each 2h block (size
+                # q = h/2 each), j in [0, q):
+                #   A = (q0+q2) + (q1+q3)
+                #   B = ((q0+q2) - (q1+q3)) * W^{2j}
+                #   C = ((q0-q2) - i(q1-q3)) * W^{j}
+                #   D = ((q0-q2) + i(q1-q3)) * W^{3j}      (W = W_{2h})
+                q = h // 2
+                w1r, w1i = stw_r[s, h:h + q], stw_i[s, h:h + q]
+                w2r, w2i = stw_r[s + 1, q:h], stw_i[s + 1, q:h]
+                w3r = w1r * w2r - w1i * w2i
+                w3i = w1r * w2i + w1i * w2r
+                q0r, q1r = x3r[:, :q], x3r[:, q:2 * q]
+                q2r, q3r = x3r[:, 2 * q:3 * q], x3r[:, 3 * q:]
+                s0r, s1r = q0r + q2r, q1r + q3r
+                d0r, d1r = q0r - q2r, q1r - q3r
+                ar = s0r + s1r
+                tr = s0r - s1r
+                if x3i is None:
+                    ai = jnp.zeros_like(ar)
+                    br, bi = tr * w2r, tr * w2i
+                    # C_in = (d0, -d1), D_in = (d0, +d1) with real quarters
+                    cr = d0r * w1r + d1r * w1i
+                    ci = d0r * w1i - d1r * w1r
+                    er = d0r * w3r - d1r * w3i
+                    ei = d0r * w3i + d1r * w3r
+                else:
+                    q0i, q1i = x3i[:, :q], x3i[:, q:2 * q]
+                    q2i, q3i = x3i[:, 2 * q:3 * q], x3i[:, 3 * q:]
+                    s0i, s1i = q0i + q2i, q1i + q3i
+                    d0i, d1i = q0i - q2i, q1i - q3i
+                    ai = s0i + s1i
+                    ti = s0i - s1i
+                    br = tr * w2r - ti * w2i
+                    bi = tr * w2i + ti * w2r
+                    cinr, cini = d0r + d1i, d0i - d1r     # d0 - i*d1
+                    dinr, dini = d0r - d1i, d0i + d1r     # d0 + i*d1
+                    cr = cinr * w1r - cini * w1i
+                    ci = cinr * w1i + cini * w1r
+                    er = dinr * w3r - dini * w3i
+                    ei = dinr * w3i + dini * w3r
+                g = x3r.shape[0]
+                x3r = jnp.concatenate([ar, br, cr, er],
+                                      axis=1).reshape(4 * g, q, _N1)
+                x3i = jnp.concatenate([ai, bi, ci, ei],
+                                      axis=1).reshape(4 * g, q, _N1)
+                s += 2
+                h //= 4
+                continue
+            twr = stw_r[s, h:2 * h]
+            twi = stw_i[s, h:2 * h]
             ur, vr = x3r[:, :h], x3r[:, h:]
             ar = ur + vr
             dr = ur - vr
@@ -416,25 +480,62 @@ def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
         xr, xi = yr, yi
         h *= 2
     if stages > n_roll:
-        g = n2 // (2 * h)
-        x3r = xr.reshape(g, 2 * h, _N1)
-        x3i = xi.reshape(g, 2 * h, _N1)
-        for s in range(stages - 1 - n_roll, -1, -1):
-            twr = stw_r[s, h:2 * h]
-            twi = -stw_i[s, h:2 * h]  # conjugate stage twiddles
-            ur, vr = x3r[:, :h], x3r[:, h:]
-            ui, vi = x3i[:, :h], x3i[:, h:]
-            tr = vr * twr - vi * twi
-            ti = vr * twi + vi * twr
-            x3r = jnp.concatenate([ur + tr, ur - tr], axis=1)
-            x3i = jnp.concatenate([ui + ti, ui - ti], axis=1)
-            h *= 2
-            if s > 0:
-                g //= 2
-                x3r = x3r.reshape(g, 2 * h, _N1)
-                x3i = x3i.reshape(g, 2 * h, _N1)
-        xr = x3r.reshape(n2, _N1)
-        xi = x3i.reshape(n2, _N1)
+        s = stages - 1 - n_roll
+        while s >= 0:
+            if _RADIX4_SLICED and s >= 1 and h >= 8:
+                # Radix-4: consume stages s (block 2h) and s-1 (block 4h).
+                # Quarters z0..z3 (each h) of a 4h block, j in [0, h):
+                #   c1 = z1*conj(W_{2h}^j); c2 = z2*conj(W_{4h}^j);
+                #   c3 = z3*conj(W_{4h}^{3j});  out = [e0+f0, e1+i*f1,
+                #   e0-f0, e1-i*f1] with e = z0 -+ c1, f = c2 -+ c3.
+                m4 = 4 * h
+                g = n2 // m4
+                x3r = xr.reshape(g, m4, _N1)
+                x3i = xi.reshape(g, m4, _N1)
+                w1r, w1i = stw_r[s, h:2 * h], -stw_i[s, h:2 * h]
+                w2r = stw_r[s - 1, 2 * h:3 * h]
+                w2i = -stw_i[s - 1, 2 * h:3 * h]
+                w3r = w1r * w2r - w1i * w2i
+                w3i = w1r * w2i + w1i * w2r
+                z0r, z1r = x3r[:, :h], x3r[:, h:2 * h]
+                z2r, z3r = x3r[:, 2 * h:3 * h], x3r[:, 3 * h:]
+                z0i, z1i = x3i[:, :h], x3i[:, h:2 * h]
+                z2i, z3i = x3i[:, 2 * h:3 * h], x3i[:, 3 * h:]
+                c1r = z1r * w1r - z1i * w1i
+                c1i = z1r * w1i + z1i * w1r
+                c2r = z2r * w2r - z2i * w2i
+                c2i = z2r * w2i + z2i * w2r
+                c3r = z3r * w3r - z3i * w3i
+                c3i = z3r * w3i + z3i * w3r
+                e0r, e0i = z0r + c1r, z0i + c1i
+                e1r, e1i = z0r - c1r, z0i - c1i
+                f0r, f0i = c2r + c3r, c2i + c3i
+                f1r, f1i = c2r - c3r, c2i - c3i
+                # i*f1 = (-f1_i, f1_r)
+                xr = jnp.concatenate(
+                    [e0r + f0r, e1r - f1i, e0r - f0r, e1r + f1i],
+                    axis=1).reshape(n2, _N1)
+                xi = jnp.concatenate(
+                    [e0i + f0i, e1i + f1r, e0i - f0i, e1i - f1r],
+                    axis=1).reshape(n2, _N1)
+                h *= 4
+                s -= 2
+            else:
+                g = n2 // (2 * h)
+                x3r = xr.reshape(g, 2 * h, _N1)
+                x3i = xi.reshape(g, 2 * h, _N1)
+                twr = stw_r[s, h:2 * h]
+                twi = -stw_i[s, h:2 * h]  # conjugate stage twiddles
+                ur, vr = x3r[:, :h], x3r[:, h:]
+                ui, vi = x3i[:, :h], x3i[:, h:]
+                tr = vr * twr - vi * twi
+                ti = vr * twi + vi * twr
+                xr = jnp.concatenate([ur + tr, ur - tr],
+                                     axis=1).reshape(n2, _N1)
+                xi = jnp.concatenate([ui + ti, ui - ti],
+                                     axis=1).reshape(n2, _N1)
+                h *= 2
+                s -= 1
     return xr, xi
 
 

@@ -76,6 +76,37 @@ def test_sliced_stage_schedule_matches_roll_schedule(rng, n):
         pf._SLICED_STAGES = orig
 
 
+@pytest.mark.parametrize("n", [2048, 4096, 65536])
+def test_radix4_sliced_schedule_matches_radix2(rng, n):
+    """Radix-4 fused stage pairs are numerically interchangeable with the
+    radix-2 sliced schedule on the full fwd -> whiten -> inv GCC chain and
+    on the bare forward transform, including the zero-top pruned first
+    stage (short signals).  n=2048 (n2=16) has a single sliced stage (no
+    radix-4 possible — exercises the flag's no-op path); 4096 one radix-4;
+    65536 (n2=512) the mixed radix-4 + trailing radix-2 parity case."""
+    sigs = rng.standard_normal((1, 2, n)).astype(np.float32)
+    short = rng.standard_normal((1, 2, n // 4)).astype(np.float32)
+    pi = np.array([0], np.int32)
+    pj = np.array([1], np.int32)
+    orig = pf._RADIX4_SLICED
+    try:
+        outs = {}
+        for flag in (False, True):
+            pf._RADIX4_SLICED = flag
+            full = np.asarray(pf.bfly_gcc_all_pairs(
+                jnp.asarray(sigs), pi, pj, n, interpret=True))
+            ztop = np.asarray(pf.bfly_gcc_all_pairs(
+                jnp.asarray(short), pi, pj, n, interpret=True))
+            fr, fi = pf.bfly_fft_real(jnp.asarray(sigs[:, 0]),
+                                      interpret=True)
+            outs[flag] = (full, ztop, np.asarray(fr), np.asarray(fi))
+        for a, b in zip(outs[False], outs[True]):
+            scale = max(np.max(np.abs(a)), 1e-30)
+            assert np.max(np.abs(a - b)) / scale < 1e-5
+    finally:
+        pf._RADIX4_SLICED = orig
+
+
 def test_bfly_band_plane_layout():
     """Band plane passes exactly the natural-order band mask, permuted."""
     n, fs = 4096, 8000.0

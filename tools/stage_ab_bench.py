@@ -28,6 +28,7 @@ from pyaudiolocalization_tpu.ops import pallas_fft
 
 PAIRS_I = np.array([0, 0, 0, 1, 1, 2], np.int32)
 PAIRS_J = np.array([1, 2, 3, 2, 3, 3], np.int32)
+_PROD_RADIX4 = pallas_fft._RADIX4_SLICED
 
 
 def _time(fn, *args, iters=8, warmup=2):
@@ -44,11 +45,12 @@ def _time(fn, *args, iters=8, warmup=2):
 # round 3's production schedule; 'sliced+tile8' replaces the h=4,2,1
 # roll+select stages with the composed 8x8 tile transform.
 SCHEDULES = {
-    "all-roll": (False, "roll"),
-    "sliced": (True, "roll"),
-    "tile8": (True, "slice"),
-    "bcast": (True, "bcast"),
-    "subslice": (True, "subslice"),
+    "all-roll": (False, "roll", False),
+    "sliced": (True, "roll", False),
+    "tile8": (True, "slice", False),
+    "bcast": (True, "bcast", False),
+    "subslice": (True, "subslice", False),
+    "radix4": (True, "bcast", True),
 }
 
 
@@ -64,8 +66,8 @@ def ab(batch, m, n, nfft, wq=None,
         pi, pj = pairs[:, 0], pairs[:, 1]
 
     def run(schedule, windowed):
-        pallas_fft._SLICED_STAGES, pallas_fft._TILE8_MODE = \
-            SCHEDULES[schedule]
+        (pallas_fft._SLICED_STAGES, pallas_fft._TILE8_MODE,
+         pallas_fft._RADIX4_SLICED) = SCHEDULES[schedule]
 
         # Reduce ON DEVICE: fetching the full (B, P, nfft) tensor through
         # the tunnel would dominate (and wildly vary) the measurement.
@@ -98,6 +100,7 @@ def ab(batch, m, n, nfft, wq=None,
     # restore the production schedule
     pallas_fft._SLICED_STAGES = True
     pallas_fft._TILE8_MODE = "bcast"
+    pallas_fft._RADIX4_SLICED = _PROD_RADIX4
 
 
 def render_abs(batch, m, paths, n, nfft):
@@ -163,11 +166,19 @@ def scene_mono_vs_split(batch, m, paths, n, nfft, wq=6):
 
 
 if __name__ == "__main__":
+    import sys
     print("devices:", jax.devices(), flush=True)
-    ab(256, 4, 44100, 131072)
-    ab(192, 4, 44100, 65536, wq=6)
-    ab(256, 4, 4000, 8192, wq=6)
-    ab(128, 8, 16000, 32768, wq=6)
-    render_abs(128, 4, 10, 44100, 65536)
-    render_abs(128, 4, 10, 4000, 8192)
-    scene_mono_vs_split(128, 4, 10, 44100, 65536)
+    if "radix4" in sys.argv:
+        # Focused A/B: production bcast schedule vs radix-4 fused pairs.
+        ab(256, 4, 44100, 131072, schedules=("bcast", "radix4"))
+        ab(192, 4, 44100, 65536, wq=6, schedules=("bcast", "radix4"))
+        ab(256, 4, 4000, 8192, wq=6, schedules=("bcast", "radix4"))
+        ab(128, 8, 16000, 32768, wq=6, schedules=("bcast", "radix4"))
+    else:
+        ab(256, 4, 44100, 131072)
+        ab(192, 4, 44100, 65536, wq=6)
+        ab(256, 4, 4000, 8192, wq=6)
+        ab(128, 8, 16000, 32768, wq=6)
+        render_abs(128, 4, 10, 44100, 65536)
+        render_abs(128, 4, 10, 4000, 8192)
+        scene_mono_vs_split(128, 4, 10, 44100, 65536)
