@@ -205,7 +205,11 @@ _TILE8_MODE = "bcast"
 # radix-2 stage (the zero-top pruned first stage and/or the final h=8).
 # NOT bit-identical to the radix-2 pairs (different rounding order);
 # tools/tpu_path_fuzz.py tolerances are the contract.
-_RADIX4_SLICED = False
+# A/B measured on-chip (v5e, 2026-08-19, 4 repeats, degraded-tunnel
+# variance ~3%): +2-3% at the headline fused-GCC shape (nfft=131072,
+# consistent across every repeat), neutral within noise at 8192-65536
+# and on the windowed kernels (0.97-1.05x scatter centered on 1.00).
+_RADIX4_SLICED = True
 
 # Exact W8 powers: e^{-2*pi*i*p/8} as (re, im) Python floats (cos(pi/2)
 # via np.exp is 6e-17, not 0 — build from the integer exponent instead so
