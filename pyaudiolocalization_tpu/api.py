@@ -34,10 +34,36 @@ from .ops import filters as filter_ops
 from .ops.fftutils import fft_length
 from .utils.audio_io import read_audio_files
 from .utils.config import SceneConfig, LocalizationConfig
+from .utils.devcache import dev_const
 from .utils.materials import MaterialTable, default_table, material_properties
 from .utils import plotting
 
 logger = logging.getLogger(__name__)
+
+
+# Warm single-scene latency: after the one-fetch readback work, the
+# remaining eager device ops on the localize hot path are PRNGKey+split and
+# the tiny constant uploads (mic positions, speed of sound, calibration
+# vector) — each a ~3 ms dispatch through the device tunnel.  Both caches
+# below return values IDENTICAL to what the uncached code built (jax arrays
+# are immutable and split(PRNGKey(seed)) is deterministic), so seed-pinned
+# results are bit-unchanged; they only skip re-uploading/re-deriving on
+# repeat calls, the serving pattern the warm-latency metric measures.
+_SEED_KEYS_CACHE: Dict[Any, Any] = {}
+
+
+def _seed_keys(seed: int):
+    """split(PRNGKey(seed), 3), memoized per (seed, backend)."""
+    k = (int(seed), jax.default_backend())
+    if k not in _SEED_KEYS_CACHE:
+        if len(_SEED_KEYS_CACHE) >= 256:
+            _SEED_KEYS_CACHE.clear()
+        _SEED_KEYS_CACHE[k] = jax.random.split(
+            jax.random.PRNGKey(int(seed)), 3)
+    return _SEED_KEYS_CACHE[k]
+
+
+_dev_const = dev_const  # shared content-keyed upload cache (utils/devcache)
 
 
 def simulate_signals_with_multipath(source_pos,
@@ -513,8 +539,9 @@ def localize_sound_source(config,
     mic_positions = scene.mic_positions
     num_mics = scene.num_mics
     if key is None:
-        key = jax.random.PRNGKey(scene.seed)
-    k_sim, k_core, k_de = jax.random.split(key, 3)
+        k_sim, k_core, k_de = _seed_keys(scene.seed)
+    else:
+        k_sim, k_core, k_de = jax.random.split(key, 3)
 
     # Calibration-delay vector extraction (main.py:147-157).
     calib_delays = None
@@ -657,12 +684,12 @@ def localize_sound_source(config,
             if nfft - n < needed:
                 nfft = fft_length(n, n, "pow2")
 
-    calib_arr = jnp.asarray(calib_delays if calib_delays is not None
-                            else np.zeros(num_mics), signals.dtype)
+    calib_arr = _dev_const(calib_delays if calib_delays is not None
+                           else np.zeros(num_mics), signals.dtype)
     if _fast_path_eligible(loc, nfft, num_mics, signals.dtype, fs):
         core = _estimation_core_fast(
-            signals, jnp.asarray(mic_positions, signals.dtype),
-            jnp.asarray(c, signals.dtype), calib_arr, k_core,
+            signals, _dev_const(mic_positions, signals.dtype),
+            _dev_const(c, signals.dtype), calib_arr, k_core,
             fs=fs, pairs_i=pairs_i, pairs_j=pairs_j, nfft=nfft,
             wq=_fast_window_wq(fs, loc.max_expected_delay, nfft),
             filter_method=loc.filter_method,
@@ -680,14 +707,14 @@ def localize_sound_source(config,
             # are tracers — see models/srp._resolve_pool's fallback).
             blo, bhi, pool, max_lag = _srp_grid_knobs(
                 scene, loc, mic_positions, fs, c)
-            box_lo = jnp.asarray(blo, signals.dtype)
-            box_hi = jnp.asarray(bhi, signals.dtype)
+            box_lo = _dev_const(blo, signals.dtype)
+            box_hi = _dev_const(bhi, signals.dtype)
             if loc.solver in ("beam", "music", "capon"):
                 need_corr = (loc.analyze_correlation
                              or loc.visualize_correlation)
         core = _estimation_core(
-            signals, jnp.asarray(mic_positions, signals.dtype),
-            jnp.asarray(c, signals.dtype), calib_arr,
+            signals, _dev_const(mic_positions, signals.dtype),
+            _dev_const(c, signals.dtype), calib_arr,
             k_core, box_lo, box_hi,
             fs=fs, pairs_i=pairs_i, pairs_j=pairs_j, nfft=nfft,
             filter_method=loc.filter_method, lag_mode=loc.lag_mode,

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..ops import signal as sig_ops
 from ..ops.delay import delay_and_sum
+from ..utils.devcache import dev_const
 from . import acoustics
 
 AIR_ID = 0  # MaterialTable guarantees the fallback material at row 0.
@@ -540,17 +541,20 @@ def simulate_signals_fast(source_pos,
     periodic-sinc interpolation tails, ~1e-3 — see ops/delay.delay_and_sum).
     Reference-parity callers must keep ``simulate_signals``."""
     dt = jnp.dtype(dtype) if dtype is not None else jnp.result_type(float)
-    source = jnp.asarray(np.asarray(source_pos), dt)
-    mics = jnp.asarray(np.asarray(mic_positions), dt)
+    # dev_const: each eager upload is a ~1-3 ms tunnel dispatch; the warm
+    # single-scene path re-ships the same geometry/material constants every
+    # call (utils/devcache — content-keyed, value-identical).
+    source = dev_const(np.asarray(source_pos), dt)
+    mics = dev_const(np.asarray(mic_positions), dt)
     if plane_coeffs is None or np.asarray(plane_coeffs).size == 0:
         plane_np = np.zeros((0, 4))
-        plane_coeffs = jnp.zeros((0, 4), dt)
-        plane_material_ids = jnp.zeros((0,), jnp.int32)
+        plane_coeffs = dev_const(plane_np, dt)
+        plane_material_ids = dev_const(np.zeros((0,)), jnp.int32)
     else:
         plane_np = np.asarray(plane_coeffs, float)
-        plane_coeffs = jnp.asarray(plane_np, dt)
-        plane_material_ids = jnp.asarray(np.asarray(plane_material_ids),
-                                         jnp.int32)
+        plane_coeffs = dev_const(plane_np, dt)
+        plane_material_ids = dev_const(np.asarray(plane_material_ids),
+                                       jnp.int32)
     if absorption_mode not in ("carrier", "per-bin"):
         raise ValueError("absorption_mode must be 'carrier' or 'per-bin'")
     per_bin = absorption_mode == "per-bin"
@@ -562,8 +566,8 @@ def simulate_signals_fast(source_pos,
     total_samples = out_samples + int(np.ceil(budget * fs))
     return _simulate_fast_core(
         source, mics, plane_coeffs, plane_material_ids,
-        jnp.asarray(absorption_table, dt), jnp.asarray(freq_table, dt),
-        jnp.asarray(freq, dt), jnp.asarray(c, dt), key,
+        dev_const(absorption_table, dt), dev_const(freq_table, dt),
+        dev_const(freq, dt), dev_const(c, dt), key,
         signal_type=signal_type, fs=fs, duration=duration, dtype=dt,
         max_reflections=max_reflections,
         absorption_threshold=absorption_threshold, per_bin=per_bin,
