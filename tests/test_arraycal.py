@@ -90,3 +90,79 @@ def test_calibrate_array_geometry_from_signals(rng):
     assert res.tdoas.shape == (len(SOURCES), 6)
     assert err.max() < 0.008, (err, init_err)
     assert err.max() < init_err.max() / 3.0
+
+
+def _pairwise(m):
+    d = np.linalg.norm(m[:, None, :] - m[None, :, :], axis=-1)
+    iu = np.triu_indices(len(m), 1)
+    return d[iu]
+
+
+MICS6_NOMINAL = np.array([
+    [0.0, 0.0, 0.0],
+    [1.0, 0.0, 0.0],
+    [0.0, 1.0, 0.0],
+    [0.0, 0.0, 1.0],
+    [1.0, 1.0, 0.0],
+    [0.5, 0.5, 1.2],
+])
+
+SOURCES12 = np.vstack([SOURCES, np.array([
+    [0.9, 0.2, 0.2], [0.2, 0.8, 0.3], [0.7, 0.7, 1.1], [0.4, 0.1, 0.9],
+])])
+
+
+def test_self_calibrate_rejects_4_mics(rng):
+    """M=4 is structurally unidentifiable from TDOAs alone (each event's 3
+    independent TDOAs are exactly consumed by its own position — measured
+    data cost ~1e-26 at ANY geometry), so the API refuses it."""
+    pi, pj = _pairs(4)
+    td = _analytic_tdoas(_true_mics(rng), SOURCES, pi, pj)
+    import pytest
+    with pytest.raises(ValueError, match="5 microphones"):
+        arraycal.self_calibrate_array(td, MICS_NOMINAL, pi, pj, C)
+
+
+def test_self_calibrate_unknown_sources(rng):
+    """Joint self-calibration (event positions unknown, 6 mics): exact
+    TDOAs must recover the array SHAPE (pairwise distances — the gauge-
+    invariant part; absolute positions are anchor-limited to the rigid
+    component of the survey error) far below the 3 cm survey error."""
+    true_mics = MICS6_NOMINAL + rng.uniform(-0.03, 0.03,
+                                            MICS6_NOMINAL.shape)
+    pi, pj = _pairs(6)
+    td = _analytic_tdoas(true_mics, SOURCES12, pi, pj)
+    res = arraycal.self_calibrate_array(td, MICS6_NOMINAL, pi, pj, C)
+    shape_err = np.abs(_pairwise(np.asarray(res.mic_positions))
+                       - _pairwise(true_mics))
+    init_shape_err = np.abs(_pairwise(MICS6_NOMINAL) - _pairwise(true_mics))
+    assert res.source_positions.shape == (len(SOURCES12), 3)
+    assert float(res.cost) < float(res.initial_cost) * 1e-6
+    assert shape_err.max() < 1e-4, (shape_err.max(), init_shape_err.max())
+    # absolute positions inherit the rigid (data-null) component of the
+    # survey error — anchored, so at worst survey-scale
+    abs_err = np.linalg.norm(np.asarray(res.mic_positions) - true_mics,
+                             axis=-1)
+    assert abs_err.max() < 0.06
+
+
+def test_calibrate_array_geometry_self_cal_wrapper(rng):
+    """Signal-level wrapper with source_positions=None routes to the joint
+    self-calibration and still beats the survey's shape error."""
+    true_mics = MICS6_NOMINAL + rng.uniform(-0.03, 0.03,
+                                            MICS6_NOMINAL.shape)
+    fs = 48000.0
+    signals = jnp.stack([
+        simulate_signals_fast(
+            SOURCES12[k], true_mics, fs, C, 0.1, "noise", 500.0,
+            None, None, jnp.asarray([0.01]), jnp.asarray([1e-6]),
+            0, 1e-4, key=jax.random.PRNGKey(200 + k))
+        for k in range(len(SOURCES12))])
+    res = arraycal.calibrate_array_geometry(
+        signals, None, MICS6_NOMINAL, fs, C, max_expected_delay=0.02)
+    assert isinstance(res, arraycal.SelfCalResult)
+    assert res.source_positions.shape == (len(SOURCES12), 3)
+    shape_err = np.abs(_pairwise(np.asarray(res.mic_positions))
+                       - _pairwise(true_mics))
+    init_shape_err = np.abs(_pairwise(MICS6_NOMINAL) - _pairwise(true_mics))
+    assert shape_err.max() < init_shape_err.max() / 3.0
