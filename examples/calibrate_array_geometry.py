@@ -65,3 +65,39 @@ for i in range(len(nominal)):
 print(f"worst mic: {init_err.max()*1e3:.1f} mm -> {final_err.max()*1e3:.2f} mm"
       f"  (TDOA sample quantization at {FS/1000:.0f} kHz is "
       f"{C/FS*1e3:.1f} mm of range)")
+
+
+# --- Unknown event positions: joint self-calibration (needs >= 5 mics) ---
+# A 4-mic array is structurally unidentifiable from TDOAs alone (each
+# event's 3 independent TDOAs are exactly consumed by its own unknown
+# position), so this part uses a 6-mic array.  Absolute positions inherit
+# the rigid (data-null) component of the survey error; the inter-mic
+# SHAPE — what TDOA localization actually consumes — recovers to the
+# measurement floor.
+mics6 = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                  [0.0, 0.0, 1.0], [1.0, 1.0, 0.0], [0.5, 0.5, 1.2]])
+true6 = mics6 + rng.uniform(-0.03, 0.03, mics6.shape)
+sources12 = np.vstack([sources, [[0.9, 0.2, 0.2], [0.2, 0.8, 0.3],
+                                 [0.7, 0.7, 1.1], [0.4, 0.1, 0.9]]])
+signals6 = jnp.stack([
+    simulate_signals_fast(
+        sources12[k], true6, FS, C, 0.1, "noise", 500.0,
+        None, None, jnp.asarray([0.01]), jnp.asarray([1e-6]),
+        0, 1e-4, key=jax.random.PRNGKey(300 + k))
+    for k in range(len(sources12))])
+joint = calibrate_array_geometry(signals6, None, mics6, FS, C,
+                                 max_expected_delay=0.02)
+
+
+def _pairwise(m):
+    iu = np.triu_indices(len(m), 1)
+    return np.linalg.norm(m[:, None] - m[None, :], axis=-1)[iu]
+
+
+shape_err = np.abs(_pairwise(np.asarray(joint.mic_positions))
+                   - _pairwise(true6))
+shape_init = np.abs(_pairwise(mics6) - _pairwise(true6))
+print(f"\nself-calibration (event positions unknown, 6 mics, "
+      f"{len(sources12)} events):")
+print(f"  worst inter-mic distance error: {shape_init.max()*1e3:.1f} mm "
+      f"(survey) -> {shape_err.max()*1e3:.2f} mm (calibrated)")
