@@ -448,70 +448,17 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     while pos < len(data):
         frame_start = pos
         br = _BitReader(data, pos)
-        sync = br.read(14)
-        if sync != 0x3FFE:
-            raise RuntimeError(f"Lost FLAC frame sync at byte {frame_start}")
-        if br.read(1):
-            raise RuntimeError("Reserved frame header bit set")
-        br.read(1)                            # blocking strategy
-        bs_code = br.read(4)
-        sr_code = br.read(4)
-        chan_code = br.read(4)
-        ss_code = br.read(3)
-        if br.read(1):
-            raise RuntimeError("Reserved frame header bit set")
-        br.read_utf8_number()
-        if bs_code == 6:
-            block_size = br.read(8) + 1
-        elif bs_code == 7:
-            block_size = br.read(16) + 1
-        elif bs_code in _BLOCK_SIZES:
-            block_size = _BLOCK_SIZES[bs_code]
-        else:
-            raise RuntimeError(f"Reserved block size code {bs_code}")
-        if sr_code == 12:
-            br.read(8)
-        elif sr_code in (13, 14):
-            br.read(16)
-        elif sr_code == 15:
-            raise RuntimeError("Invalid sample rate code")
-        frame_bits = _SAMPLE_SIZES.get(ss_code, bits)
-        header_crc = br.read(8)
-        if _crc8(data[frame_start:br.pos - 1]) != header_crc:
-            raise RuntimeError(f"FLAC frame header CRC mismatch in {path}")
-
-        if chan_code < 8:
-            nch = chan_code + 1
-            subs = [_decode_subframe(br, block_size, frame_bits)
-                    for _ in range(nch)]
-        elif chan_code in (8, 9, 10):
-            nch = 2
-            extra = (0, 1) if chan_code == 8 else \
-                    (1, 0) if chan_code == 9 else (0, 1)
-            a = _decode_subframe(br, block_size, frame_bits + extra[0])
-            b = _decode_subframe(br, block_size, frame_bits + extra[1])
-            if chan_code == 8:      # left/side: right = left - side
-                subs = [a, a - b]
-            elif chan_code == 9:    # right/side: left = right + side
-                subs = [a + b, b]
-            else:                   # mid/side
-                mid, side = a, b
-                left = (((mid << 1) | (side & 1)) + side) >> 1
-                subs = [left, left - side]
-        else:
-            raise RuntimeError(f"Reserved channel assignment {chan_code}")
-        if nch != channels:
-            raise RuntimeError("FLAC frame channel count != STREAMINFO")
-
-        br.align()
-        frame_crc = br.read(16)
-        if _crc16(data[frame_start:br.pos - 2]) != frame_crc:
-            raise RuntimeError(f"FLAC frame CRC-16 mismatch in {path}")
-        pos = br.pos
-        if not chans:
-            chans = [[] for _ in range(nch)]
-        for ch, sub in zip(chans, subs):
-            ch.append(sub)
+        try:
+            chans, pos = _read_frame(br, data, frame_start, path, bits,
+                                     channels, chans)
+        except IndexError:
+            # A corrupted payload can derail Rice/LPC decoding into reading
+            # past the end of the stream before the frame CRC is ever
+            # reached — surface it under the same error contract as a CRC
+            # mismatch, not as a raw IndexError.
+            raise RuntimeError(
+                f"Corrupted FLAC frame at byte {frame_start} in {path}: "
+                "bitstream ended mid-frame") from None
 
     arrays = [np.concatenate(ch) if ch else np.zeros(0, np.int64)
               for ch in chans] or [np.zeros(0, np.int64)]
@@ -519,6 +466,75 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     if total_samples:
         frames = frames[:total_samples]
     return frames, int(fs)
+
+
+def _read_frame(br, data, frame_start, path, bits, channels, chans):
+    """Decode one frame (header + subframes + CRC-16); returns the updated
+    per-channel sample lists and the next byte position."""
+    sync = br.read(14)
+    if sync != 0x3FFE:
+        raise RuntimeError(f"Lost FLAC frame sync at byte {frame_start}")
+    if br.read(1):
+        raise RuntimeError("Reserved frame header bit set")
+    br.read(1)                            # blocking strategy
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    chan_code = br.read(4)
+    ss_code = br.read(3)
+    if br.read(1):
+        raise RuntimeError("Reserved frame header bit set")
+    br.read_utf8_number()
+    if bs_code == 6:
+        block_size = br.read(8) + 1
+    elif bs_code == 7:
+        block_size = br.read(16) + 1
+    elif bs_code in _BLOCK_SIZES:
+        block_size = _BLOCK_SIZES[bs_code]
+    else:
+        raise RuntimeError(f"Reserved block size code {bs_code}")
+    if sr_code == 12:
+        br.read(8)
+    elif sr_code in (13, 14):
+        br.read(16)
+    elif sr_code == 15:
+        raise RuntimeError("Invalid sample rate code")
+    frame_bits = _SAMPLE_SIZES.get(ss_code, bits)
+    header_crc = br.read(8)
+    if _crc8(data[frame_start:br.pos - 1]) != header_crc:
+        raise RuntimeError(f"FLAC frame header CRC mismatch in {path}")
+
+    if chan_code < 8:
+        nch = chan_code + 1
+        subs = [_decode_subframe(br, block_size, frame_bits)
+                for _ in range(nch)]
+    elif chan_code in (8, 9, 10):
+        nch = 2
+        extra = (0, 1) if chan_code == 8 else \
+                (1, 0) if chan_code == 9 else (0, 1)
+        a = _decode_subframe(br, block_size, frame_bits + extra[0])
+        b = _decode_subframe(br, block_size, frame_bits + extra[1])
+        if chan_code == 8:      # left/side: right = left - side
+            subs = [a, a - b]
+        elif chan_code == 9:    # right/side: left = right + side
+            subs = [a + b, b]
+        else:                   # mid/side
+            mid, side = a, b
+            left = (((mid << 1) | (side & 1)) + side) >> 1
+            subs = [left, left - side]
+    else:
+        raise RuntimeError(f"Reserved channel assignment {chan_code}")
+    if nch != channels:
+        raise RuntimeError("FLAC frame channel count != STREAMINFO")
+
+    br.align()
+    frame_crc = br.read(16)
+    if _crc16(data[frame_start:br.pos - 2]) != frame_crc:
+        raise RuntimeError(f"FLAC frame CRC-16 mismatch in {path}")
+    if not chans:
+        chans = [[] for _ in range(nch)]
+    for ch, sub in zip(chans, subs):
+        ch.append(sub)
+    return chans, br.pos
 
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,20 @@ def test_unsupported_compressed_format_error_contract(tmp_path, monkeypatch):
     # And through the batch API's error contract (utils.py:459-482).
     with pytest.raises(RuntimeError):
         audio_io.read_audio_files([p], 8000.0)
+
+
+def test_flac_truncated_mid_frame_raises_runtime_error(tmp_path):
+    """A stream that ends mid-frame must surface the RuntimeError error
+    contract, not a raw IndexError from the bit reader (found when a
+    shifted RNG stream changed test_flac_corruption_detected's payload:
+    some corruptions derail Rice decoding past the end of the buffer
+    before any CRC check is reached)."""
+    import pytest
+    from pyaudiolocalization_tpu.utils.flac import read_flac, write_flac
+    path = str(tmp_path / "t.flac")
+    write_flac(path, np.random.default_rng(5).uniform(-0.5, 0.5, 2000),
+               16000)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:-10])   # cut the last frame short
+    with pytest.raises(RuntimeError):
+        read_flac(path)
