@@ -30,6 +30,7 @@ top_k.  Two-stage grid search like models/srp.py.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -149,10 +150,10 @@ def extract_source(signals: jnp.ndarray,
     then averaged.  The target's wavefronts add coherently while incoherent
     noise adds in power, so SNR improves by ~M (the classic array gain) and
     interferers away from ``position`` are attenuated by the array's
-    spatial response.  For narrowband interferers in a known direction use
-    the Capon weights instead (models/capon.py nulls them adaptively —
-    localization only; adaptive EXTRACTION would need an STFT synthesis
-    path).
+    spatial response.  For directional interferers that the fixed response
+    does not suppress enough, ``extract_source_mvdr`` adapts per-bin nulls
+    from the data (STFT/WOLA path; measured +13 dB SIR over this function
+    on a 1:1 narrowband interferer, +4 dB on white noise).
 
     signals: (..., M, N); position: (3,) (e.g. ``localize_sound_source``'s
     estimate or a ``Track`` point).  mic_weights: optional (M,) non-negative
@@ -180,3 +181,213 @@ def extract_source(signals: jnp.ndarray,
     ramp = jax.lax.complex(jnp.cos(pha), jnp.sin(pha)).astype(spec.dtype)
     summed = jnp.sum(spec * (w[:, None] * ramp), axis=-2)    # (..., F)
     return irfft_n(summed, nfft)[..., :n].astype(signals.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (MVDR) extraction: STFT analysis -> per-bin MVDR -> WOLA synthesis
+# ---------------------------------------------------------------------------
+
+def _sqrt_hann(frame: int, dtype) -> jnp.ndarray:
+    """sqrt of the PERIODIC Hann window.  Periodic (denominator ``frame``,
+    not frame-1) so that the squared window overlap-adds to the exact
+    constant L/2 at hop = frame/L for any integer L >= 2 — the WOLA
+    perfect-reconstruction condition.  np.hanning is the symmetric variant
+    and does NOT satisfy it."""
+    idx = np.arange(frame)
+    h = 0.5 - 0.5 * np.cos(2.0 * np.pi * idx / frame)
+    return jnp.asarray(np.sqrt(h), dtype)
+
+
+def _wola_layout(n: int, frame: int, hop: int) -> Tuple[int, int, int]:
+    """Static WOLA frame layout covering ``n`` samples with full analysis
+    weight everywhere.  Returns (num_frames, pad_left, pad_right): the
+    signal is zero-padded so every real sample sits under all frame/hop
+    overlapping windows (edge samples of an unpadded signal would be
+    attenuated by the incomplete window sum)."""
+    if frame % hop != 0 or frame // hop < 2:
+        raise ValueError(
+            f"WOLA needs hop dividing frame with frame/hop >= 2 "
+            f"(got frame={frame}, hop={hop}).")
+    pad_left = frame - hop
+    # last padded position needing full coverage:
+    p_end = pad_left + n - 1
+    num = p_end // hop + 1                     # frames start at 0..(num-1)*hop
+    padded = (num - 1) * hop + frame
+    pad_right = padded - pad_left - n
+    assert pad_right >= 0
+    return num, pad_left, pad_right
+
+
+def stft_analysis(signals: jnp.ndarray, frame: int,
+                  hop: int) -> jnp.ndarray:
+    """sqrt-Hann STFT of (..., N) real signals -> (..., T, frame//2+1)
+    complex spectra, padded per ``_wola_layout`` so WOLA synthesis with the
+    same window reconstructs the interior exactly.  Framing is a static
+    strided index (one batched rfft, no dynamic slices)."""
+    n = signals.shape[-1]
+    num, pad_left, pad_right = _wola_layout(n, frame, hop)
+    pad = [(0, 0)] * (signals.ndim - 1) + [(pad_left, pad_right)]
+    padded = jnp.pad(signals, pad)
+    idx = (np.arange(num)[:, None] * hop
+           + np.arange(frame)[None, :])                     # (T, L) static
+    frames = padded[..., idx]                               # (..., T, frame)
+    win = _sqrt_hann(frame, signals.dtype)
+    return jnp.fft.rfft(frames * win, axis=-1)
+
+
+def wola_synthesis(spectra: jnp.ndarray, frame: int, hop: int,
+                   n: int) -> jnp.ndarray:
+    """Inverse of ``stft_analysis``: (..., T, frame//2+1) complex frame
+    spectra -> (..., n) real signal via sqrt-Hann weighted overlap-add.
+
+    The overlap-add is L = frame/hop shifted static block sums (a reshape
+    to (T, L, hop) plus L pad+add layers), NOT a scatter — XLA fuses it;
+    data-dependent scatters are the thing to avoid on the TPU hot path."""
+    num, pad_left, _ = _wola_layout(n, frame, hop)
+    lfac = frame // hop
+    frames = jnp.fft.irfft(spectra, n=frame, axis=-1)
+    win = _sqrt_hann(frame, frames.dtype)
+    # squared sqrt-Hann OLA constant is L/2 -> scale by 2/L
+    frames = frames * (win * (2.0 / lfac))
+    lead = frames.shape[:-2]
+    fb = frames.reshape(lead + (num, lfac, hop))
+    total = num + lfac - 1
+    out = jnp.zeros(lead + (total, hop), frames.dtype)
+    for j in range(lfac):
+        col = fb[..., :, j, :]                              # (..., T, hop)
+        pad = [(0, 0)] * len(lead) + [(j, lfac - 1 - j), (0, 0)]
+        out = out + jnp.pad(col, pad)
+    sig = out.reshape(lead + (total * hop,))
+    return sig[..., pad_left:pad_left + n]
+
+
+def mvdr_weights(spectra: jnp.ndarray, tau: jnp.ndarray, fs: float,
+                 frame: int, loading: float) -> Tuple[jnp.ndarray,
+                                                      jnp.ndarray]:
+    """Per-bin MVDR weights toward relative delays ``tau`` (seconds).
+
+    spectra: (M, T, F) complex STFT snapshots; returns (wr, wi): (M, F)
+    real/imag planes of w_k = R_k^-1 a_k / (a_k^H R_k^-1 a_k) with
+    diagonally-loaded per-bin snapshot covariances R_k.  All linear
+    algebra stays in the real 2Mx2M embedding (models/music.embed_planes)
+    — the embedded inverse and quadratic form equal the complex ones
+    exactly, so no complex linalg reaches the TPU."""
+    from .capon import loaded_inverse
+    from .music import embed_planes
+    xr, xi = jnp.real(spectra), jnp.imag(spectra)           # (M, T, F)
+    t = spectra.shape[1]
+    # C_k = (1/T) X X^H = A + iB per bin
+    a_mat = (jnp.einsum("mtf,ntf->fmn", xr, xr)
+             + jnp.einsum("mtf,ntf->fmn", xi, xi)) / t
+    b_mat = (jnp.einsum("mtf,ntf->fmn", xi, xr)
+             - jnp.einsum("mtf,ntf->fmn", xr, xi)) / t
+    r_inv = loaded_inverse(embed_planes(a_mat, b_mat), loading)
+    m = spectra.shape[0]
+    omega = (2.0 * jnp.pi * fs / frame) * jnp.arange(
+        frame // 2 + 1, dtype=xr.dtype)                     # (F,)
+    theta = tau[:, None].astype(xr.dtype) * omega[None, :]  # (M, F)
+    # a = exp(-i omega tau) embeds as [cos; -sin]
+    a_emb = jnp.concatenate([jnp.cos(theta), -jnp.sin(theta)], axis=0)
+    n_emb = jnp.einsum("fmn,nf->mf", r_inv, a_emb)          # (2M, F)
+    denom = jnp.einsum("mf,mf->f", a_emb, n_emb)            # real > 0
+    denom = jnp.maximum(denom, jnp.asarray(1e-30, xr.dtype))
+    w_emb = n_emb / denom[None, :]
+    return w_emb[:m], w_emb[m:]
+
+
+def align_to_position(signals: jnp.ndarray, mic_positions: jnp.ndarray,
+                      position, fs: float, c) -> jnp.ndarray:
+    """Advance each mic by its extra propagation delay toward ``position``
+    (fractional, whole-signal rfft phase ramp at a static pow2 length) so
+    the target's wavefront is time-aligned across mics, referenced to the
+    CLOSEST mic's arrival.  ``extract_source`` is exactly the weighted
+    mean of these aligned channels; ``extract_source_mvdr`` adapts per-bin
+    weights over them instead.  signals: (..., M, N) -> same shape."""
+    signals = jnp.asarray(signals)
+    mics = jnp.asarray(mic_positions, signals.dtype)
+    p = jnp.asarray(position, signals.dtype)
+    n = signals.shape[-1]
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    d = jnp.linalg.norm(p[None, :] - mics, axis=-1)          # (M,)
+    tau = (d - jnp.min(d)) / c
+    from ..ops.fftutils import irfft_n, rfft_n
+    spec = rfft_n(signals, nfft)
+    freqs = jnp.arange(nfft // 2 + 1, dtype=signals.dtype) * (fs / nfft)
+    pha = 2.0 * jnp.pi * freqs[None, :] * tau[:, None]       # (M, F) advance
+    ramp = jax.lax.complex(jnp.cos(pha), jnp.sin(pha)).astype(spec.dtype)
+    return irfft_n(spec * ramp, nfft)[..., :n].astype(signals.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "frame", "hop",
+                                             "loading"))
+def _extract_mvdr_jit(signals, mics, position, c, *, fs, frame, hop,
+                      loading):
+    n = signals.shape[-1]
+    m = signals.shape[-2]
+    aligned = align_to_position(signals, mics, position, fs, c)
+    spectra = stft_analysis(aligned, frame, hop)            # (M, T, F)
+    # Target is pre-aligned, so the steering vector is exactly ones.
+    tau0 = jnp.zeros((m,), jnp.real(spectra).dtype)
+    wr, wi = mvdr_weights(spectra, tau0, fs, frame, loading)
+    xr, xi = jnp.real(spectra), jnp.imag(spectra)
+    # y = w^H x per frame/bin
+    y_r = (jnp.einsum("mf,mtf->tf", wr, xr)
+           + jnp.einsum("mf,mtf->tf", wi, xi))
+    y_i = (jnp.einsum("mf,mtf->tf", wr, xi)
+           - jnp.einsum("mf,mtf->tf", wi, xr))
+    y = jax.lax.complex(y_r, y_i)
+    return wola_synthesis(y, frame, hop, n).astype(signals.dtype)
+
+
+def extract_source_mvdr(signals: jnp.ndarray,
+                        mic_positions: jnp.ndarray,
+                        position,
+                        fs: float,
+                        c,
+                        frame: int = 256,
+                        hop: Optional[int] = None,
+                        loading: float = 1e-2) -> jnp.ndarray:
+    """ADAPTIVE beamformed audio extraction: time-aligned per-bin MVDR
+    toward ``position`` through an STFT/WOLA synthesis path (the adaptive
+    counterpart of ``extract_source``; no reference counterpart — the
+    reference stops at localization, main.py:126-347).
+
+    Pipeline: fractional-delay alignment toward the target
+    (``align_to_position`` — after it the target's steering vector is
+    exactly ones, which is what protects it from self-cancellation) ->
+    sqrt-Hann STFT (``stft_analysis``) -> per-bin snapshot covariance +
+    diagonally-loaded MVDR weights w = R^-1 1 / (1^H R^-1 1)
+    (``mvdr_weights``, real-embedded linear algebra, no complex linalg)
+    -> weighted frame combine -> sqrt-Hann weighted overlap-add
+    (``wola_synthesis``, exact interior reconstruction).
+
+    Versus delay-and-sum, the minimum-output-power objective places
+    adaptive NULLS on directional interferers.  Measured envelope
+    (8-mic unit cube, 1:1 mixes, EVALUATION.md): a NARROWBAND (sine)
+    interferer is nulled to ~+13 dB better SIR than delay-and-sum (19 vs
+    6 dB); a WHITE-NOISE interferer only to ~+4 dB — a broadband point
+    source with delay spread of tens of samples is not rank-1 per STFT
+    bin (cross-mic coherence is bounded by the analysis-window
+    autocorrelation at the interferer's relative delay), so its residual
+    cannot be fully nulled by any per-bin weights.  Deeper broadband
+    suppression needs multi-tap (convolutive) weights — out of scope.
+
+    ``loading`` is the diagonal-loading fraction of the mean covariance
+    eigenvalue; extraction defaults to 1e-2 (stiffer than localization's
+    1e-3: the target is PRESENT in the covariance, and with few snapshots
+    low loading trades target gain for spurious nulls — measured
+    src-level 0.93 at 1e-2 vs 0.83 at 1e-3).  Default frame=256/hop=64:
+    the 75% overlap quadruples snapshots (T ~ 4N/frame), which matters
+    more than bin resolution at clip lengths of a fraction of a second.
+
+    signals: (M, N); position: (3,).  ``frame`` should stay a power of two
+    on the TPU (non-pow2 rfft lowers to a dense DFT matmul).  Fully
+    jitted; vmap over a leading scene axis for batches.
+    """
+    signals = jnp.asarray(signals)
+    mics = jnp.asarray(mic_positions, signals.dtype)
+    p = jnp.asarray(position, signals.dtype)
+    h = frame // 4 if hop is None else int(hop)
+    return _extract_mvdr_jit(signals, mics, p, c, fs=float(fs),
+                             frame=int(frame), hop=h,
+                             loading=float(loading))

@@ -80,12 +80,12 @@ class TestExtractSource:
     FS = 16000.0
     C = 343.0
 
-    def _simulate(self, pos, key, snr_noise=None, seed=0):
+    def _simulate(self, pos, key, signal_type="noise", freq=500.0):
         from pyaudiolocalization_tpu.models.simulator import (
             simulate_signals_fast)
         import jax
         sigs = simulate_signals_fast(
-            pos, self.MICS, self.FS, self.C, 0.25, "noise", 500.0,
+            pos, self.MICS, self.FS, self.C, 0.25, signal_type, freq,
             None, None, jnp.asarray([0.01]), jnp.asarray([1e-6]),
             0, 1e-4, key=jax.random.PRNGKey(key))
         return sigs
@@ -148,6 +148,104 @@ class TestExtractSource:
         den = np.var(src_ref)
         assert num < 0.5 * den, (num, den)
         assert np.isfinite(out).all()
+
+    def test_mvdr_wola_perfect_reconstruction(self):
+        """sqrt-Hann STFT -> WOLA round-trip is exact in the interior
+        (periodic-Hann COLA), at 50% and 75% overlap."""
+        rng = np.random.default_rng(41)
+        x = jnp.asarray(rng.standard_normal((2, 3001)))
+        for frame, hop in ((256, 128), (256, 64)):
+            spec = bf.stft_analysis(x, frame, hop)
+            back = np.asarray(bf.wola_synthesis(spec, frame, hop,
+                                                x.shape[-1]))
+            np.testing.assert_allclose(back, np.asarray(x), atol=1e-10)
+
+    def test_mvdr_single_mic_passthrough(self):
+        """M=1: the MVDR weight is exactly 1 (tau=0, unit steering), so
+        the extraction is the analysis/synthesis identity."""
+        rng = np.random.default_rng(43)
+        x = rng.standard_normal((1, 2500))
+        out = np.asarray(bf.extract_source_mvdr(
+            jnp.asarray(x), self.MICS[:1], np.array([0.4, 0.2, 0.7]),
+            self.FS, self.C, frame=256))
+        np.testing.assert_allclose(out, x[0], atol=1e-8)
+
+    def _mvdr_component_sirs(self, s_only, i_only, ps, frame=256, hop=64):
+        """Weights adapted on the 1:1 mix, applied per component
+        (linearity): returns (sir_mvdr, sir_das, src_pass)."""
+        n = s_only.shape[-1]
+        s_al = bf.align_to_position(jnp.asarray(s_only), self.MICS, ps,
+                                    self.FS, self.C)
+        i_al = bf.align_to_position(jnp.asarray(i_only), self.MICS, ps,
+                                    self.FS, self.C)
+        tau0 = jnp.zeros((s_only.shape[0],), s_al.dtype)
+        wr, wi = bf.mvdr_weights(bf.stft_analysis(s_al + i_al, frame, hop),
+                                 tau0, self.FS, frame, loading=1e-2)
+
+        def apply(aligned):
+            spec = bf.stft_analysis(aligned, frame, hop)
+            xr, xi = jnp.real(spec), jnp.imag(spec)
+            y = jax.lax.complex(
+                jnp.einsum("mf,mtf->tf", wr, xr)
+                + jnp.einsum("mf,mtf->tf", wi, xi),
+                jnp.einsum("mf,mtf->tf", wr, xi)
+                - jnp.einsum("mf,mtf->tf", wi, xr))
+            return np.asarray(bf.wola_synthesis(y, frame, hop, n))
+
+        src_out, int_out = apply(s_al), apply(i_al)
+        das_src = np.asarray(bf.extract_source(
+            jnp.asarray(s_only), self.MICS, ps, self.FS, self.C))
+        das_int = np.asarray(bf.extract_source(
+            jnp.asarray(i_only), self.MICS, ps, self.FS, self.C))
+        sir_mvdr = np.var(src_out) / np.var(int_out)
+        sir_das = np.var(das_src) / np.var(das_int)
+        return sir_mvdr, sir_das, np.var(src_out) / np.var(das_src)
+
+    def test_mvdr_nulls_narrowband_interferer(self):
+        """A 1 kHz sine interferer is rank-1 per STFT bin — the adaptive
+        null must beat delay-and-sum's fixed response by >10 dB SIR
+        (measured ~+13 dB)."""
+        ps = np.array([0.25, 0.55, 0.45])
+        pi_ = np.array([0.85, 0.15, 0.80])
+        s_only = np.array(self._simulate(ps, key=51))
+        i_only = np.array(self._simulate(pi_, key=72, signal_type="sine",
+                                         freq=1000.0))
+        i_only *= np.sqrt(np.var(s_only) / np.var(i_only))
+        sir_mvdr, sir_das, src_pass = self._mvdr_component_sirs(
+            s_only, i_only, ps)
+        assert sir_mvdr > 10.0 * sir_das, (sir_mvdr, sir_das)
+        assert src_pass > 0.5, src_pass
+
+    def test_mvdr_beats_das_on_broadband_interferer(self):
+        """White-noise interferer: per-bin rank exceeds 1 (window-
+        autocorrelation coherence bound, see the extract_source_mvdr
+        docstring), so the win is smaller but must still be a clear
+        improvement with ~unit target gain."""
+        ps = np.array([0.25, 0.55, 0.45])
+        pi_ = np.array([0.85, 0.15, 0.80])
+        s_only = np.array(self._simulate(ps, key=51))
+        i_only = np.array(self._simulate(pi_, key=52))
+        sir_mvdr, sir_das, src_pass = self._mvdr_component_sirs(
+            s_only, i_only, ps)
+        assert sir_mvdr > 1.5 * sir_das, (sir_mvdr, sir_das)
+        assert src_pass > 0.8, src_pass
+
+    def test_mvdr_api_output_tracks_target(self):
+        """End-to-end API: extract_source_mvdr(mix) correlates strongly
+        with the clean target reference and is finite."""
+        ps = np.array([0.30, 0.60, 0.40])
+        pi_ = np.array([0.80, 0.20, 0.75])
+        s_only = np.asarray(self._simulate(ps, key=61))
+        i_only = np.asarray(self._simulate(pi_, key=62))
+        out = np.asarray(bf.extract_source_mvdr(
+            jnp.asarray(s_only + i_only), self.MICS, ps, self.FS, self.C))
+        ref = np.asarray(bf.extract_source(
+            jnp.asarray(s_only), self.MICS, ps, self.FS, self.C))
+        lo = len(out) // 8
+        a, b = out[lo:-lo], ref[lo:-lo]
+        rho = np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b))
+        assert np.isfinite(out).all()
+        assert rho > 0.9, rho
 
     def test_mic_weights_normalized(self):
         sigs = self._simulate(np.array([0.5, 0.5, 0.5]), key=31)
