@@ -152,8 +152,8 @@ def extract_source(signals: jnp.ndarray,
     interferers away from ``position`` are attenuated by the array's
     spatial response.  For directional interferers that the fixed response
     does not suppress enough, ``extract_source_mvdr`` adapts per-bin nulls
-    from the data (STFT/WOLA path; measured +13 dB SIR over this function
-    on a 1:1 narrowband interferer, +4 dB on white noise).
+    from the data (STFT/WOLA path; measured +16 dB SIR over this function
+    on a 1:1 narrowband interferer, +5.7 dB on white noise).
 
     signals: (..., M, N); position: (3,) (e.g. ``localize_sound_source``'s
     estimate or a ``Track`` point).  mic_weights: optional (M,) non-negative
@@ -346,7 +346,7 @@ def extract_source_mvdr(signals: jnp.ndarray,
                         c,
                         frame: int = 256,
                         hop: Optional[int] = None,
-                        loading: float = 1e-2) -> jnp.ndarray:
+                        loading: float = 0.3) -> jnp.ndarray:
     """ADAPTIVE beamformed audio extraction: time-aligned per-bin MVDR
     toward ``position`` through an STFT/WOLA synthesis path (the adaptive
     counterpart of ``extract_source``; no reference counterpart — the
@@ -363,22 +363,28 @@ def extract_source_mvdr(signals: jnp.ndarray,
 
     Versus delay-and-sum, the minimum-output-power objective places
     adaptive NULLS on directional interferers.  Measured envelope
-    (8-mic unit cube, 1:1 mixes, EVALUATION.md): a NARROWBAND (sine)
-    interferer is nulled to ~+13 dB better SIR than delay-and-sum (19 vs
-    6 dB); a WHITE-NOISE interferer only to ~+4 dB — a broadband point
-    source with delay spread of tens of samples is not rank-1 per STFT
-    bin (cross-mic coherence is bounded by the analysis-window
-    autocorrelation at the interferer's relative delay), so its residual
-    cannot be fully nulled by any per-bin weights.  Deeper broadband
-    suppression needs multi-tap (convolutive) weights — out of scope.
+    (8-mic unit cube, 1:1 mixes over 6 random scenes, EVALUATION.md): a
+    NARROWBAND (sine) interferer is nulled to +16 dB better SIR than
+    delay-and-sum (27.8 vs 11.9 dB); a WHITE-NOISE interferer to +5.7 dB
+    (14.2 vs 8.5) — a broadband point source with delay spread of tens of
+    samples is not rank-1 per STFT bin (cross-mic coherence is bounded by
+    the analysis-window autocorrelation at the interferer's relative
+    delay), so its residual cannot be fully nulled by any per-bin
+    weights.  Deeper broadband suppression needs multi-tap (convolutive)
+    weights — out of scope.
 
-    ``loading`` is the diagonal-loading fraction of the mean covariance
-    eigenvalue; extraction defaults to 1e-2 (stiffer than localization's
-    1e-3: the target is PRESENT in the covariance, and with few snapshots
-    low loading trades target gain for spurious nulls — measured
-    src-level 0.93 at 1e-2 vs 0.83 at 1e-3).  Default frame=256/hop=64:
-    the 75% overlap quadruples snapshots (T ~ 4N/frame), which matters
-    more than bin resolution at clip lengths of a fraction of a second.
+    ``loading`` (diagonal-loading fraction of the mean covariance
+    eigenvalue) defaults to 0.3 — two orders STIFFER than localization's
+    1e-3, and the measured optimum for BOTH SIR and target gain.  The
+    target is present in the covariance (MPDR), so self-cancellation
+    scales with its per-bin SNR over the loading floor times the squared
+    steering mismatch (~0.5% alignment residual + ~5% per-mic compress
+    gain spread here): at loading 1e-2 the worst scene keeps only 0.52 of
+    the target (and the SIR numerator with it — 17.5 dB sine), while 0.3
+    keeps 0.91+ at 27.8 dB sine SIR; by 3.0 the nulls wash toward
+    delay-and-sum.  Default frame=256/hop=64: the 75% overlap quadruples
+    snapshots (T ~ 4N/frame), which matters more than bin resolution at
+    clip lengths of a fraction of a second.
 
     signals: (M, N); position: (3,).  ``frame`` should stay a power of two
     on the TPU (non-pow2 rfft lowers to a dense DFT matmul).  Fully
