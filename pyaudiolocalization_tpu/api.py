@@ -26,6 +26,7 @@ from .models import music as music_ops
 from .models import solver as solver_ops
 from .models import srp as srp_ops
 from .models import tdoa as tdoa_ops
+from .models import uncertainty as uncertainty_ops
 from .models.calibration import run_calibration  # re-export  # noqa: F401
 from .models.simulator import simulate_signals, simulate_signals_fast
 from .models.sync import synchronize_signals
@@ -782,6 +783,24 @@ def localize_sound_source(config,
     else:
         logger.info("Estimated source: (%.3f, %.3f, %.3f) m", *estimated)
 
+    # Rebuild extension: Gauss-Markov position uncertainty from the TDOA
+    # geometry at the fix (models/uncertainty.py — the reference's
+    # least_squares solve, main.py:261-274, discards all curvature).
+    # Host-side NumPy on already-fetched values: zero extra tunnel round
+    # trips on the warm path.  Narrowband grid solvers skip it — their
+    # corr/tdoa outputs are zero-filled diagnostics, not the measurements
+    # the fix came from.
+    uncertainty = None
+    if loc.solver in ("lm", "lm-robust", "srp", "srp+lm"):
+        w_np = (uncertainty_ops.weights_from_snr(pk[off:off + num_pairs])
+                if loc.analyze_correlation else None)
+        uncertainty = uncertainty_ops.position_uncertainty(
+            estimated, mic_positions, pairs_i, pairs_j, td_np, c,
+            weights=w_np)
+        if uncertainty is not None:
+            logger.info("Position 1-sigma (x,y,z): (%.4f, %.4f, %.4f) m",
+                        *uncertainty["std"])
+
     correlation_metrics = None
     if loc.analyze_correlation:
         snr_np = pk[off:off + num_pairs]
@@ -826,4 +845,5 @@ def localize_sound_source(config,
         # Rebuild extensions (not in the reference dict):
         "tdoas": td_np,
         "cost": cost,
+        "uncertainty": uncertainty,
     }

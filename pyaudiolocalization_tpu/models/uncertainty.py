@@ -1,0 +1,155 @@
+"""Position-uncertainty quantification for the TDOA fix.
+
+The reference solves the weighted TDOA least-squares system
+(main.py:261-274 via ``scipy.optimize.least_squares``) and discards all
+curvature information — the result dict carries a point estimate only.
+This module is a rebuild extension: it propagates per-pair TDOA noise
+through the solve's local geometry (the Gauss-Markov / GDOP analysis) so
+``localize_sound_source`` can report a position covariance, per-axis
+standard deviations and a confidence ellipsoid next to the estimate.
+
+Model.  The solver minimizes ``sum_p (w_p * r_p)^2`` with
+``r_p = (||x - m_j|| - ||x - m_i||) - c * tau_p`` (models/solver.py:35,
+reference utils.py:384-405).  Writing the TDOA measurement noise as
+``c * tau_p ~ N(0, sigma_p^2)``, the first-order (Gauss-Markov)
+covariance of the weighted-least-squares fix is the sandwich
+
+    A   = (J^T W^2 J)^{-1}
+    Cov = A  J^T W^2 S W^2 J  A,        S = diag(sigma_p^2)
+
+with ``J`` the (P, 3) Jacobian of the residuals at the solution — row p
+is ``u_j - u_i``, the difference of unit vectors from the two mics
+toward the fix (the same rows models/solver.py:45 feeds LM).  Two noise
+models are supported:
+
+* ``sigma_td`` given: homoscedastic, ``sigma_p = c * sigma_td`` for all
+  pairs (e.g. the GCC-PHAT CRLB or the sample-quantization floor
+  ``1 / (fs * sqrt(12))``).
+* ``sigma_td=None`` (default): estimated from the fit residuals under
+  the classical WLS assumption ``sigma_p = sigma / w_p`` (weights are
+  inverse noise scales — the reference's SNR-derived weights,
+  utils.py:484-497, approximate this), which collapses the sandwich to
+  ``sigma_hat^2 * A`` with ``sigma_hat^2 = sum (w_p r_p)^2 / (P - 3)``.
+  Needs ``P > 3`` pairs (4 mics give P=6, dof=3).
+
+Everything here is host-side NumPy on (P, 3)-sized arrays: the API calls
+it after its single packed device fetch, so it adds no tunnel round
+trips to the warm single-scene path (CLAUDE.md: each fetch ~27 ms).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# chi-square quantiles for 3 degrees of freedom (position ellipsoid).
+_CHI2_3 = {0.68: 3.505915, 0.90: 6.251389, 0.95: 7.814728, 0.99: 11.344867}
+
+
+def weights_from_snr(snr: np.ndarray) -> np.ndarray:
+    """Host-side mirror of models/tdoa.compute_weights (reference
+    utils.py:484-497): per-pair SNR normalized by the mean weight."""
+    snr = np.asarray(snr, np.float64)
+    mean = snr.mean() if snr.size else 0.0
+    return snr / mean if mean != 0 else snr
+
+
+def tdoa_jacobian(x: np.ndarray, mic_positions: np.ndarray,
+                  pairs_i: Sequence[int],
+                  pairs_j: Sequence[int]) -> np.ndarray:
+    """(P, 3) Jacobian of the range-difference residuals at ``x``: row p
+    is ``u_j - u_i`` (unit vectors mic -> x; models/solver.py:45)."""
+    x = np.asarray(x, np.float64)
+    mics = np.asarray(mic_positions, np.float64)
+    diff = x[None, :] - mics                     # (M, 3)
+    dist = np.linalg.norm(diff, axis=1)
+    unit = diff / np.maximum(dist, 1e-12)[:, None]
+    pi = np.asarray(pairs_i, np.intp)
+    pj = np.asarray(pairs_j, np.intp)
+    return unit[pj] - unit[pi]
+
+
+def position_uncertainty(x_hat: np.ndarray,
+                         mic_positions: np.ndarray,
+                         pairs_i: Sequence[int],
+                         pairs_j: Sequence[int],
+                         tdoas: np.ndarray,
+                         c: float,
+                         weights: Optional[np.ndarray] = None,
+                         sigma_td: Optional[float] = None,
+                         confidence: float = 0.95,
+                         ) -> Optional[Dict[str, np.ndarray]]:
+    """Gauss-Markov uncertainty of a TDOA fix (see module docstring).
+
+    Returns ``None`` when no noise scale is obtainable (``sigma_td`` not
+    given and ``P <= 3`` leaves zero residual degrees of freedom).
+    Otherwise a dict with:
+
+    * ``covariance`` — (3, 3) position covariance (m^2), symmetric PSD.
+    * ``std`` — (3,) per-axis standard deviations (m).
+    * ``sigma_td`` — the per-pair TDOA noise scale used (s); for the
+      residual-estimated path this is ``sigma_hat / c`` (the w_p=1
+      equivalent scale).
+    * ``ellipsoid_radii`` / ``ellipsoid_axes`` — semi-axis lengths (m)
+      and unit axes (columns) of the ``confidence`` ellipsoid
+      (chi-square with 3 dof; supported levels 0.68/0.90/0.95/0.99).
+    * ``dof`` — residual degrees of freedom ``P - 3`` (0 when
+      ``sigma_td`` was supplied and residuals were not consulted).
+
+    A geometrically degenerate array (coplanar/collinear mics) makes
+    ``J^T W^2 J`` singular; the pseudo-inverse then reports (correctly)
+    enormous variance along the unobservable direction rather than
+    failing.
+    """
+    if confidence not in _CHI2_3:
+        raise ValueError(f"confidence must be one of {sorted(_CHI2_3)}")
+    x_hat = np.asarray(x_hat, np.float64)
+    tdoas = np.asarray(tdoas, np.float64)
+    P = tdoas.shape[0]
+    w = (np.ones(P) if weights is None
+         else np.asarray(weights, np.float64))
+    jac = tdoa_jacobian(x_hat, mic_positions, pairs_i, pairs_j)
+    w2 = w * w
+    normal = jac.T @ (w2[:, None] * jac)          # J^T W^2 J
+    a_inv = np.linalg.pinv(normal, hermitian=True)
+
+    if sigma_td is not None:
+        # Homoscedastic known noise: full sandwich (exact even when the
+        # solve's weights were not inverse-variance).
+        s2 = (float(c) * float(sigma_td)) ** 2
+        meat = jac.T @ ((w2 * w2)[:, None] * jac)  # J^T W^4 J
+        cov = s2 * (a_inv @ meat @ a_inv)
+        dof = 0
+        sigma_used = float(sigma_td)
+    else:
+        dof = P - 3
+        if dof < 1:
+            logger.warning(
+                "position_uncertainty: %d pairs leave no residual degrees "
+                "of freedom (need > 3 pairs); pass sigma_td explicitly.", P)
+            return None
+        mics = np.asarray(mic_positions, np.float64)
+        di = np.linalg.norm(x_hat[None, :] - mics, axis=1)
+        pi = np.asarray(pairs_i, np.intp)
+        pj = np.asarray(pairs_j, np.intp)
+        r = (di[pj] - di[pi]) - float(c) * tdoas
+        sigma2_hat = float(np.sum((w * r) ** 2)) / dof
+        cov = sigma2_hat * a_inv
+        sigma_used = float(np.sqrt(sigma2_hat)) / float(c)
+
+    cov = 0.5 * (cov + cov.T)
+    evals, evecs = np.linalg.eigh(cov)
+    evals = np.maximum(evals, 0.0)
+    radii = np.sqrt(evals * _CHI2_3[confidence])
+    return {
+        "covariance": cov,
+        "std": np.sqrt(np.maximum(np.diag(cov), 0.0)),
+        "sigma_td": sigma_used,
+        "ellipsoid_radii": radii,
+        "ellipsoid_axes": evecs,
+        "confidence": confidence,
+        "dof": dof,
+    }

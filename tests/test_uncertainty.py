@@ -1,0 +1,186 @@
+"""Position-uncertainty quantification (models/uncertainty.py — rebuild
+extension; the reference's least_squares solve, main.py:261-274, discards
+curvature).
+
+The load-bearing check is Monte-Carlo consistency: over many noisy-TDOA
+draws of a fixed geometry, the normalized estimation error squared
+(NEES = e^T Cov^{-1} e) of the LM fixes against the PREDICTED covariance
+must average ~3 (the chi-square-3 mean).  That validates the whole chain
+(Jacobian, weighting, sandwich) rather than individual matrix entries.
+
+All tests use PRIVATE seeded RNGs (the conftest ``rng`` fixture is
+session-scoped; consuming it here would reshuffle every later test).
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyaudiolocalization_tpu as pal
+from pyaudiolocalization_tpu.models import solver as solver_ops
+from pyaudiolocalization_tpu.models.uncertainty import (
+    position_uncertainty, tdoa_jacobian, weights_from_snr)
+
+
+def _geometry(num_mics=8, seed=0):
+    r = np.random.default_rng(seed)
+    mics = r.uniform(0.0, 1.0, (num_mics, 3))
+    pairs = [(i, j) for i in range(num_mics) for j in range(i + 1, num_mics)]
+    pi = tuple(p[0] for p in pairs)
+    pj = tuple(p[1] for p in pairs)
+    return mics, pi, pj
+
+
+def _mc_fixes(mics, pi, pj, truth, c, sigma_td, weights, n_draws, seed):
+    """Vmapped LM solves of noisy-TDOA draws (one jitted call)."""
+    r = np.random.default_rng(seed)
+    di = np.linalg.norm(truth[None, :] - mics, axis=1)
+    pi_a, pj_a = np.asarray(pi), np.asarray(pj)
+    td_true = (di[pj_a] - di[pi_a]) / c
+    # WLS noise model: sigma_p = sigma / w_p per pair.
+    noise = r.standard_normal((n_draws, len(pi))) * (sigma_td / weights)
+    td = jnp.asarray(td_true[None, :] + noise)
+    lower = jnp.full(3, -10.0)
+    upper = jnp.full(3, 10.0)
+
+    @jax.jit
+    def solve_all(tds):
+        return jax.vmap(
+            lambda t: solver_ops.lm_solve(
+                jnp.asarray(truth), jnp.asarray(mics),
+                np.asarray(pi, np.int32), np.asarray(pj, np.int32), t, c,
+                jnp.asarray(weights), lower, upper).x)(tds)
+
+    return np.asarray(solve_all(td)), td_true
+
+
+def test_mc_consistency_known_sigma():
+    """NEES against the known-sigma covariance averages ~3 over 256 draws
+    (5-sigma Monte-Carlo band [2.25, 3.8])."""
+    mics, pi, pj = _geometry()
+    truth = np.array([0.6, 0.4, 0.5])
+    c, sigma_td = 343.0, 2e-5
+    w = np.ones(len(pi))
+    fixes, td_true = _mc_fixes(mics, pi, pj, truth, c, sigma_td, w, 256, 1)
+    unc = position_uncertainty(truth, mics, pi, pj, td_true, c,
+                               sigma_td=sigma_td)
+    cov_inv = np.linalg.inv(unc["covariance"])
+    err = fixes - truth[None, :]
+    nees = np.einsum("ki,ij,kj->k", err, cov_inv, err)
+    assert 2.25 < nees.mean() < 3.8, nees.mean()
+
+
+def test_mc_consistency_residual_estimated_and_weighted():
+    """Heteroscedastic noise (half the pairs 3x noisier) solved with the
+    matching inverse-scale weights: the residual-estimated covariance's
+    mean diagonal must track the sample covariance of the fixes."""
+    mics, pi, pj = _geometry(seed=3)
+    truth = np.array([0.3, 0.7, 0.45])
+    c, sigma_td = 343.0, 2e-5
+    w = np.where(np.arange(len(pi)) % 2 == 0, 1.0, 3.0)  # sigma_p = s/w_p
+    fixes, td_true = _mc_fixes(mics, pi, pj, truth, c, sigma_td, w, 256, 2)
+    di = np.linalg.norm(truth[None, :] - mics, axis=1)
+    preds = []
+    r = np.random.default_rng(2)
+    noise = r.standard_normal((256, len(pi))) * (sigma_td / w)
+    for k in range(256):
+        unc = position_uncertainty(fixes[k], mics, pi, pj,
+                                   td_true + noise[k], c, weights=w)
+        preds.append(np.diag(unc["covariance"]))
+    pred = np.mean(preds, axis=0)
+    samp = np.var(fixes, axis=0)
+    ratio = pred / samp
+    assert np.all(ratio > 0.7) and np.all(ratio < 1.4), ratio
+
+
+def test_known_sigma_quadratic_scaling():
+    mics, pi, pj = _geometry(num_mics=5, seed=4)
+    truth = np.array([0.5, 0.5, 0.5])
+    di = np.linalg.norm(truth[None, :] - mics, axis=1)
+    td = (di[np.asarray(pj)] - di[np.asarray(pi)]) / 343.0
+    u1 = position_uncertainty(truth, mics, pi, pj, td, 343.0, sigma_td=1e-5)
+    u2 = position_uncertainty(truth, mics, pi, pj, td, 343.0, sigma_td=2e-5)
+    np.testing.assert_allclose(u2["covariance"], 4.0 * u1["covariance"],
+                               rtol=1e-12)
+    # Ellipsoid radii scale linearly and axes columns stay unit.
+    np.testing.assert_allclose(u2["ellipsoid_radii"],
+                               2.0 * u1["ellipsoid_radii"], rtol=1e-12)
+    np.testing.assert_allclose(
+        np.linalg.norm(u1["ellipsoid_axes"], axis=0), 1.0, rtol=1e-12)
+
+
+def test_too_few_pairs_returns_none():
+    mics, _, _ = _geometry(num_mics=3, seed=5)
+    pi, pj = (0, 0, 1), (1, 2, 2)
+    td = np.zeros(3)
+    assert position_uncertainty(np.ones(3) * 0.5, mics, pi, pj, td,
+                                343.0) is None
+    # ... but works with an explicit sigma.
+    unc = position_uncertainty(np.ones(3) * 0.5, mics, pi, pj, td, 343.0,
+                               sigma_td=1e-5)
+    assert unc is not None and unc["dof"] == 0
+
+
+def test_jacobian_matches_solver_rows():
+    """tdoa_jacobian must equal the unweighted rows models/solver.py:45
+    feeds LM (that is the geometry the covariance claims to invert)."""
+    mics, pi, pj = _geometry(num_mics=5, seed=6)
+    x = np.array([0.4, 0.2, 0.8])
+    jac_np = tdoa_jacobian(x, mics, pi, pj)
+    _, jac_jax = solver_ops.tdoa_residuals_and_jac(
+        jnp.asarray(x), jnp.asarray(mics), np.asarray(pi, np.int32),
+        np.asarray(pj, np.int32), jnp.zeros(len(pi)), 343.0,
+        jnp.ones(len(pi)))
+    np.testing.assert_allclose(jac_np, np.asarray(jac_jax), atol=1e-12)
+
+
+def test_weights_from_snr_matches_device_helper():
+    from pyaudiolocalization_tpu.models import tdoa as tdoa_ops
+    snr = np.array([3.0, 1.0, 2.0, 6.0])
+    np.testing.assert_allclose(
+        weights_from_snr(snr),
+        np.asarray(tdoa_ops.compute_weights(jnp.asarray(snr))), rtol=1e-6)
+    assert weights_from_snr(np.zeros(3)).tolist() == [0.0, 0.0, 0.0]
+
+
+def _small_config(**loc_overrides):
+    cfg = copy.deepcopy(pal.DEFAULT_CONFIG)
+    cfg["fs"] = 8000
+    cfg["duration"] = 0.25
+    loc = cfg["localization"]
+    loc["analyze_correlation"] = False
+    loc["visualize_correlation"] = False
+    loc.update(loc_overrides)
+    return cfg
+
+
+def test_api_reports_uncertainty():
+    cfg = _small_config(lag_mode="physical", sync_mode="none",
+                        filter_method="wiener", max_expected_delay=0.05)
+    cfg["source_position"] = [0.2, 0.7, 0.4]
+    cfg["signal_type"] = "noise"
+    res = pal.localize_sound_source(cfg, use_simulation=True,
+                                    show_plots=False,
+                                    key=jax.random.PRNGKey(7))
+    unc = res["uncertainty"]
+    assert unc is not None
+    cov = unc["covariance"]
+    np.testing.assert_allclose(cov, cov.T, atol=0)
+    assert np.all(np.linalg.eigvalsh(cov) >= 0)
+    assert unc["dof"] == len(res["tdoas"]) - 3
+    assert np.all(np.isfinite(unc["std"])) and np.all(unc["std"] > 0)
+    # Near-field scene with clean noise excitation: sub-meter 1-sigma.
+    assert np.all(unc["std"] < 1.0)
+
+
+def test_api_narrowband_solver_skips_uncertainty():
+    cfg = _small_config(lag_mode="physical", sync_mode="none",
+                        solver="music", max_expected_delay=0.05)
+    cfg["source_position"] = [0.5, 0.5, 0.5]
+    res = pal.localize_sound_source(cfg, use_simulation=True,
+                                    show_plots=False,
+                                    key=jax.random.PRNGKey(9))
+    assert res["uncertainty"] is None
