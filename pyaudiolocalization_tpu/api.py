@@ -773,6 +773,7 @@ def localize_sound_source(config,
         de = solver_ops.differential_evolution(
             objective, lower, upper, k_de, polish_fn=polish,
             tol=0.01 if loc.lag_mode == "reference" else 1e-6)
+        fallback_used = True
         if np.isfinite(float(de.energy)):
             estimated = np.asarray(de.x)
             logger.info("Estimated source (differential evolution): %s", estimated)
@@ -781,6 +782,7 @@ def localize_sound_source(config,
                          "first initial guess.")
             estimated = np.asarray(core["initial_guesses"])[0]
     else:
+        fallback_used = False
         logger.info("Estimated source: (%.3f, %.3f, %.3f) m", *estimated)
 
     # Rebuild extension: Gauss-Markov position uncertainty from the TDOA
@@ -798,6 +800,16 @@ def localize_sound_source(config,
             estimated, mic_positions, pairs_i, pairs_j, td_np, c,
             weights=w_np)
         if uncertainty is not None:
+            # The Gauss-Markov expansion assumes ``estimated`` is a
+            # stationary point of the weighted TDOA least-squares cost.
+            # Flag the fixes that are not: pure-grid SRP cells, an
+            # srp+lm whose LM polish was rejected (cost stayed at the
+            # negative -srp.power sentinel), and the DE/first-guess
+            # fallbacks — there the reported sigma is an approximation.
+            uncertainty["heuristic"] = bool(
+                loc.solver == "srp"
+                or (loc.solver == "srp+lm" and cost < 0.0)
+                or fallback_used)
             logger.info("Position 1-sigma (x,y,z): (%.4f, %.4f, %.4f) m",
                         *uncertainty["std"])
 

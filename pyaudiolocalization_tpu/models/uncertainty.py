@@ -98,11 +98,18 @@ def position_uncertainty(x_hat: np.ndarray,
       (chi-square with 3 dof; supported levels 0.68/0.90/0.95/0.99).
     * ``dof`` — residual degrees of freedom ``P - 3`` (0 when
       ``sigma_td`` was supplied and residuals were not consulted).
+    * ``unobservable_axes`` — (3, k) orthonormal columns spanning the
+      null space of ``J^T W^2 J`` (k=0 for a well-conditioned geometry).
 
-    A geometrically degenerate array (coplanar/collinear mics) makes
-    ``J^T W^2 J`` singular; the pseudo-inverse then reports (correctly)
-    enormous variance along the unobservable direction rather than
-    failing.
+    A geometrically degenerate array (coplanar mics with an in-plane
+    source, or a collinear array) makes ``J^T W^2 J`` singular: the TDOA
+    data carry NO information along the null direction(s).  Eigenvalues
+    below ``1e-8`` of the largest are treated as exactly zero; the
+    returned ``std`` is ``inf`` on every axis with a null-space
+    component, the matching ``ellipsoid_radii`` are ``inf``, and
+    ``covariance`` holds the observable-subspace covariance only (its
+    finite entries must not be read as certainty along
+    ``unobservable_axes`` — consult ``std``/``unobservable_axes``).
     """
     if confidence not in _CHI2_3:
         raise ValueError(f"confidence must be one of {sorted(_CHI2_3)}")
@@ -114,7 +121,17 @@ def position_uncertainty(x_hat: np.ndarray,
     jac = tdoa_jacobian(x_hat, mic_positions, pairs_i, pairs_j)
     w2 = w * w
     normal = jac.T @ (w2[:, None] * jac)          # J^T W^2 J
-    a_inv = np.linalg.pinv(normal, hermitian=True)
+    # Null-space aware inverse: np.linalg.pinv would ZERO the variance
+    # along an unobservable eigendirection (reporting perfect certainty
+    # exactly where the data say nothing — e.g. the out-of-plane axis of
+    # a coplanar array).  Detect near-zero eigenvalues explicitly and
+    # report infinite variance there instead.
+    n_evals, n_evecs = np.linalg.eigh(normal)
+    observable = n_evals > max(float(n_evals[-1]), 0.0) * 1e-8
+    null_basis = n_evecs[:, ~observable]          # (3, k)
+    inv_evals = np.where(observable,
+                         1.0 / np.where(observable, n_evals, 1.0), 0.0)
+    a_inv = (n_evecs * inv_evals) @ n_evecs.T
 
     if sigma_td is not None:
         # Homoscedastic known noise: full sandwich (exact even when the
@@ -144,12 +161,22 @@ def position_uncertainty(x_hat: np.ndarray,
     evals, evecs = np.linalg.eigh(cov)
     evals = np.maximum(evals, 0.0)
     radii = np.sqrt(evals * _CHI2_3[confidence])
+    std = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    if null_basis.shape[1]:
+        # Infinite variance along unobservable directions: every axis
+        # with a null-space component, and every covariance eigenvector
+        # lying in the null space (cov annihilates it, so eigh returns
+        # the null directions as zero-eigenvalue eigenvectors).
+        std = np.where((null_basis ** 2).sum(axis=1) > 1e-12, np.inf, std)
+        in_null = (null_basis.T @ evecs) ** 2   # (k, 3)
+        radii = np.where(in_null.sum(axis=0) > 0.5, np.inf, radii)
     return {
         "covariance": cov,
-        "std": np.sqrt(np.maximum(np.diag(cov), 0.0)),
+        "std": std,
         "sigma_td": sigma_used,
         "ellipsoid_radii": radii,
         "ellipsoid_axes": evecs,
         "confidence": confidence,
         "dof": dof,
+        "unobservable_axes": null_basis,
     }

@@ -304,7 +304,11 @@ def test_solver_srp_through_public_api(solver):
     assert set(res.keys()) == {
         "estimated_position", "actual_position", "mic_positions",
         "correlation_metrics", "correlation_matrix", "calibration_data",
-        "tdoas", "cost"}
+        "tdoas", "cost", "uncertainty"}
+    # Pure-grid SRP fixes are not stationary points of the TDOA LS cost;
+    # the attached sigma must carry the heuristic flag (srp+lm clears it
+    # when the LM polish is accepted).
+    assert res["uncertainty"]["heuristic"] == (solver == "srp")
 
 
 _CUBE_MICS = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],

@@ -42,7 +42,8 @@ def _mc_fixes(mics, pi, pj, truth, c, sigma_td, weights, n_draws, seed):
     td_true = (di[pj_a] - di[pi_a]) / c
     # WLS noise model: sigma_p = sigma / w_p per pair.
     noise = r.standard_normal((n_draws, len(pi))) * (sigma_td / weights)
-    td = jnp.asarray(td_true[None, :] + noise)
+    td_noisy = td_true[None, :] + noise
+    td = jnp.asarray(td_noisy)
     lower = jnp.full(3, -10.0)
     upper = jnp.full(3, 10.0)
 
@@ -54,7 +55,7 @@ def _mc_fixes(mics, pi, pj, truth, c, sigma_td, weights, n_draws, seed):
                 np.asarray(pi, np.int32), np.asarray(pj, np.int32), t, c,
                 jnp.asarray(weights), lower, upper).x)(tds)
 
-    return np.asarray(solve_all(td)), td_true
+    return np.asarray(solve_all(td)), td_true, td_noisy
 
 
 def test_mc_consistency_known_sigma():
@@ -64,7 +65,7 @@ def test_mc_consistency_known_sigma():
     truth = np.array([0.6, 0.4, 0.5])
     c, sigma_td = 343.0, 2e-5
     w = np.ones(len(pi))
-    fixes, td_true = _mc_fixes(mics, pi, pj, truth, c, sigma_td, w, 256, 1)
+    fixes, td_true, _ = _mc_fixes(mics, pi, pj, truth, c, sigma_td, w, 256, 1)
     unc = position_uncertainty(truth, mics, pi, pj, td_true, c,
                                sigma_td=sigma_td)
     cov_inv = np.linalg.inv(unc["covariance"])
@@ -81,14 +82,15 @@ def test_mc_consistency_residual_estimated_and_weighted():
     truth = np.array([0.3, 0.7, 0.45])
     c, sigma_td = 343.0, 2e-5
     w = np.where(np.arange(len(pi)) % 2 == 0, 1.0, 3.0)  # sigma_p = s/w_p
-    fixes, td_true = _mc_fixes(mics, pi, pj, truth, c, sigma_td, w, 256, 2)
-    di = np.linalg.norm(truth[None, :] - mics, axis=1)
+    # _mc_fixes returns the exact noisy draws its solves consumed — never
+    # re-derive them from a shared seed (a draw-order change inside the
+    # helper would silently decouple the TDOAs from the fixes).
+    fixes, td_true, td_noisy = _mc_fixes(mics, pi, pj, truth, c, sigma_td,
+                                         w, 256, 2)
     preds = []
-    r = np.random.default_rng(2)
-    noise = r.standard_normal((256, len(pi))) * (sigma_td / w)
     for k in range(256):
         unc = position_uncertainty(fixes[k], mics, pi, pj,
-                                   td_true + noise[k], c, weights=w)
+                                   td_noisy[k], c, weights=w)
         preds.append(np.diag(unc["covariance"]))
     pred = np.mean(preds, axis=0)
     samp = np.var(fixes, axis=0)
@@ -110,6 +112,38 @@ def test_known_sigma_quadratic_scaling():
                                2.0 * u1["ellipsoid_radii"], rtol=1e-12)
     np.testing.assert_allclose(
         np.linalg.norm(u1["ellipsoid_axes"], axis=0), 1.0, rtol=1e-12)
+
+
+def test_singular_geometry_reports_infinite_variance():
+    """Coplanar array + in-plane source: the out-of-plane direction is
+    unobservable (every Jacobian row lies in the plane).  The report must
+    say inf there — NOT the pinv's 0.0 ('perfect certainty')."""
+    r = np.random.default_rng(11)
+    mics = np.c_[r.uniform(0, 1, (6, 2)), np.zeros(6)]   # z = 0 plane
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    pi = tuple(p[0] for p in pairs)
+    pj = tuple(p[1] for p in pairs)
+    truth = np.array([0.4, 0.6, 0.0])                    # in-plane source
+    di = np.linalg.norm(truth[None, :] - mics, axis=1)
+    td = (di[np.asarray(pj)] - di[np.asarray(pi)]) / 343.0
+    for kwargs in ({"sigma_td": 1e-5}, {}):             # both noise paths
+        unc = position_uncertainty(truth, mics, pi, pj,
+                                   td + 1e-6 * r.standard_normal(td.shape),
+                                   343.0, **kwargs)
+        assert unc["std"][2] == np.inf, kwargs
+        assert np.all(np.isfinite(unc["std"][:2])), kwargs
+        assert unc["unobservable_axes"].shape == (3, 1)
+        np.testing.assert_allclose(
+            np.abs(unc["unobservable_axes"][:, 0]), [0, 0, 1], atol=1e-9)
+        assert np.sum(np.isinf(unc["ellipsoid_radii"])) == 1
+    # A full-rank geometry reports an empty null basis and finite stds.
+    mics3d, pi3, pj3 = _geometry(num_mics=5, seed=12)
+    di = np.linalg.norm(truth[None, :] - mics3d, axis=1)
+    td3 = (di[np.asarray(pj3)] - di[np.asarray(pi3)]) / 343.0
+    unc = position_uncertainty(truth, mics3d, pi3, pj3, td3, 343.0,
+                               sigma_td=1e-5)
+    assert unc["unobservable_axes"].shape == (3, 0)
+    assert np.all(np.isfinite(unc["std"]))
 
 
 def test_too_few_pairs_returns_none():
@@ -174,6 +208,8 @@ def test_api_reports_uncertainty():
     assert np.all(np.isfinite(unc["std"])) and np.all(unc["std"] > 0)
     # Near-field scene with clean noise excitation: sub-meter 1-sigma.
     assert np.all(unc["std"] < 1.0)
+    # LM converged: the fix is a stationary point, not a heuristic sigma.
+    assert unc["heuristic"] is False
 
 
 def test_api_narrowband_solver_skips_uncertainty():
