@@ -32,15 +32,19 @@ models are supported:
   ``sigma_hat^2 * A`` with ``sigma_hat^2 = sum (w_p r_p)^2 / (P - 3)``.
   Needs ``P > 3`` pairs (4 mics give P=6, dof=3).
 
-Everything here is host-side NumPy on (P, 3)-sized arrays: the API calls
-it after its single packed device fetch, so it adds no tunnel round
-trips to the warm single-scene path (CLAUDE.md: each fetch ~27 ms).
+``position_uncertainty`` is host-side NumPy on (P, 3)-sized arrays: the
+API calls it after its single packed device fetch, so it adds no tunnel
+round trips to the warm single-scene path (CLAUDE.md: each fetch
+~27 ms).  ``position_covariance`` is the jittable/vmappable core of the
+same expansion for the batched sweep path (parallel/sweep.py SceneResult
+covariance).
 """
 from __future__ import annotations
 
 import logging
 from typing import Dict, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
@@ -70,6 +74,72 @@ def tdoa_jacobian(x: np.ndarray, mic_positions: np.ndarray,
     pi = np.asarray(pairs_i, np.intp)
     pj = np.asarray(pairs_j, np.intp)
     return unit[pj] - unit[pi]
+
+
+def _inv3(a: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse via the adjugate, fully elementwise (same
+    rationale as models/solver._solve3: tiny batched LU lowers poorly on
+    TPU).  A singular input divides by ~0 and returns inf/NaN entries —
+    the batched covariance path documents that, unlike the host-side
+    ``position_uncertainty``, it performs no null-space analysis."""
+    a00, a01, a02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+    a10, a11, a12 = a[..., 1, 0], a[..., 1, 1], a[..., 1, 2]
+    a20, a21, a22 = a[..., 2, 0], a[..., 2, 1], a[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    adj = jnp.stack([
+        jnp.stack([c00, a02 * a21 - a01 * a22, a01 * a12 - a02 * a11], -1),
+        jnp.stack([c01, a00 * a22 - a02 * a20, a02 * a10 - a00 * a12], -1),
+        jnp.stack([c02, a01 * a20 - a00 * a21, a00 * a11 - a01 * a10], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def position_covariance(x_hat: jnp.ndarray,
+                        mic_positions: jnp.ndarray,
+                        pairs_i: np.ndarray,
+                        pairs_j: np.ndarray,
+                        tdoas: jnp.ndarray,
+                        c,
+                        weights: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
+    """Jittable residual-estimated Gauss-Markov covariance of a TDOA fix.
+
+    The batched core of ``position_uncertainty``'s default
+    (``sigma_td=None``) path: ``sigma_hat^2 (J^T W^2 J)^{-1}`` with
+    ``sigma_hat^2 = sum (w_p r_p)^2 / (P - 3)`` — pure (P, 3) linear
+    algebra, vmappable over scenes (parallel/sweep.py attaches it to
+    every TDOA-solver SceneResult).  Differences vs the host version:
+
+    * no null-space analysis — a degenerate (coplanar/collinear) array
+      yields inf/NaN entries from the closed-form 3x3 inverse instead of
+      the explicit ``unobservable_axes`` report;
+    * ``P <= 3`` (no residual dof) returns an all-NaN matrix instead of
+      ``None`` (static shape under jit).
+
+    ``pairs_i``/``pairs_j`` must be static (NumPy) index arrays so the
+    gathers constant-fold (CLAUDE.md: data-dependent gathers are the
+    TPU hot-path trap).
+    """
+    P = int(np.asarray(pairs_i).shape[0])
+    dtype = tdoas.dtype
+    if P - 3 < 1:
+        return jnp.full((3, 3), jnp.nan, dtype)
+    pi = np.asarray(pairs_i, np.int32)
+    pj = np.asarray(pairs_j, np.int32)
+    diff = x_hat[None, :] - mic_positions                  # (M, 3)
+    dist = jnp.linalg.norm(diff, axis=-1)
+    unit = diff / jnp.maximum(dist, 1e-12)[:, None]
+    jac = unit[pj] - unit[pi]                              # (P, 3)
+    w = jnp.ones(P, dtype) if weights is None else weights
+    w2 = w * w
+    normal = jac.T @ (w2[:, None] * jac)                   # J^T W^2 J
+    r = (dist[pj] - dist[pi]) - jnp.asarray(c, dtype) * tdoas
+    sigma2_hat = jnp.sum((w * r) ** 2) / (P - 3)
+    cov = sigma2_hat * _inv3(normal)
+    return 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
 
 
 def position_uncertainty(x_hat: np.ndarray,

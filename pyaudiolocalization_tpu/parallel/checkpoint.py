@@ -20,7 +20,7 @@ import numpy as np
 
 from .sweep import SweepSpec, SceneResult, SweepSummary, monte_carlo_sweep
 
-_FIELDS = ("estimate", "source", "error", "cost", "tdoas")
+_FIELDS = ("estimate", "source", "error", "cost", "tdoas", "covariance")
 
 
 def save_checkpoint(path: str, spec: SweepSpec, seed: int,
@@ -50,6 +50,10 @@ def load_checkpoint(path: str):
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
+        if any(f not in z for f in _FIELDS):
+            # Checkpoint from an older SceneResult layout: incompatible —
+            # treat like a spec mismatch (restart) rather than KeyError.
+            return None
         results = SceneResult(*(z[f] for f in _FIELDS))
         return (int(z["completed_chunks"]), int(z["chunk_scenes"]),
                 int(z["seed"]), str(z["spec_repr"]), results)

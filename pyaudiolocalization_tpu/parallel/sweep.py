@@ -39,6 +39,7 @@ from ..models import music as music_ops
 from ..models import solver as solver_ops
 from ..models import srp as srp_ops
 from ..models import tdoa as tdoa_ops
+from ..models import uncertainty as uncertainty_ops
 from ..models.simulator import scene_paths, render_scene
 from ..ops import gccphat
 from ..ops import filters as filter_ops
@@ -226,13 +227,25 @@ class SweepSpec:
 
 class SceneResult(NamedTuple):
     """Per-scene result.  With ``SweepSpec.num_sources > 1`` every field but
-    ``tdoas`` gains a source axis K before its trailing dims (estimates
-    assignment-matched to ground truth; cost = -SRP power)."""
+    ``tdoas``/``covariance`` gains a source axis K before its trailing dims
+    (estimates assignment-matched to ground truth; cost = -SRP power).
+
+    ``covariance`` is the residual-estimated Gauss-Markov position
+    covariance at the fix (models/uncertainty.position_covariance) for the
+    single-source TDOA solvers ('lm'/'lm-robust'/'de'/'srp'/'srp+lm');
+    all-NaN for the narrowband solvers (no per-pair TDOAs) and for
+    multi-source sweeps.  Same caveat as the public API's heuristic flag:
+    a pure-grid 'srp' cell (or a rejected 'srp+lm' polish) is not a
+    stationary point of the TDOA least-squares cost, so its covariance is
+    an approximation.  No null-space analysis here — a degenerate array
+    spec yields inf/NaN entries (use position_uncertainty host-side for
+    the unobservable-axes report)."""
     estimate: jnp.ndarray   # (..., 3) / (..., K, 3)
     source: jnp.ndarray     # (..., 3) / (..., K, 3) ground truth
     error: jnp.ndarray      # (...,) / (..., K) Euclidean error in meters
     cost: jnp.ndarray       # (...,) / (..., K) final solver cost
     tdoas: jnp.ndarray      # (..., P)
+    covariance: jnp.ndarray  # (..., 3, 3) position covariance (m^2)
 
 
 class SweepSummary(NamedTuple):
@@ -748,13 +761,20 @@ def run_scene(spec: SweepSpec, key: jax.Array, dtype=jnp.float32) -> SceneResult
     if spec.num_sources == 1:
         source = sources[0]
         error = jnp.linalg.norm(estimate - source)
-        return SceneResult(estimate, source, error, cost, td)
+        if spec.solver in ("lm", "lm-robust", "de", "srp", "srp+lm"):
+            cov = uncertainty_ops.position_covariance(
+                estimate, mics, np.asarray(spec.pairs[0], np.int32),
+                np.asarray(spec.pairs[1], np.int32), td, c)
+        else:
+            cov = jnp.full((3, 3), jnp.nan, dtype)
+        return SceneResult(estimate, source, error, cost, td, cov)
     perms = jnp.asarray(_permutations(spec.num_sources))           # (K!, K)
     d = jnp.linalg.norm(estimate[perms] - sources[None, :, :],
                         axis=-1)                                    # (K!, K)
     best = jnp.argmin(jnp.mean(d, -1))
     order = perms[best]
-    return SceneResult(estimate[order], sources, d[best], cost[order], td)
+    return SceneResult(estimate[order], sources, d[best], cost[order], td,
+                       jnp.full((3, 3), jnp.nan, dtype))
 
 
 def _summary(results: SceneResult, hit_threshold: float,
@@ -809,7 +829,7 @@ def monte_carlo_sweep(spec: SweepSpec,
         in_specs=P(axis_name),
         out_specs=SweepSummary(P(), P(), P(), SceneResult(
             P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-            P(axis_name))),
+            P(axis_name), P(axis_name))),
         # Scan carries inside the solver start replicated and become
         # device-varying; skip the static varying-axis check.
         check_vma=False)

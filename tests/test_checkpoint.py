@@ -66,6 +66,17 @@ def test_checkpoint_mismatched_params_restart(tmp_path):
     assert not any("resuming" in m for m in logs2)
 
 
+def test_checkpoint_old_layout_restarts(tmp_path):
+    """A pre-covariance checkpoint (older SceneResult layout) is treated
+    as incompatible — load returns None instead of KeyError mid-resume."""
+    path = str(tmp_path / "old.npz")
+    np.savez(path, estimate=np.zeros((4, 3)), source=np.zeros((4, 3)),
+             error=np.zeros(4), cost=np.zeros(4), tdoas=np.zeros((4, 6)),
+             completed_chunks=np.asarray(1), chunk_scenes=np.asarray(4),
+             seed=np.asarray(1), spec_repr=np.asarray("x"))
+    assert load_checkpoint(path) is None
+
+
 def test_checkpoint_validation(tmp_path):
     with pytest.raises(ValueError, match="multiple"):
         run_sweep_checkpointed(SPEC, seed=0, num_scenes=5, chunk_scenes=4,

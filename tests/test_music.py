@@ -115,6 +115,8 @@ def test_music_sweep_solver_on_sine_scenes():
     s = monte_carlo_sweep(spec, jax.random.PRNGKey(5), 8)
     assert float(s.rmse) < 0.05
     assert float(s.hit_rate) == 1.0
+    # Narrowband solvers have no per-pair TDOAs: covariance is all-NaN.
+    assert np.all(np.isnan(np.asarray(s.results.covariance)))
 
 
 def test_music_sweep_mesh_matches_single_device():

