@@ -211,6 +211,31 @@ _TILE8_MODE = "bcast"
 # and on the windowed kernels (0.97-1.05x scatter centered on 1.00).
 _RADIX4_SLICED = True
 
+# ILP chain stacking (VERDICT r4 #2 A/B): the fused GCC kernel saturates
+# neither unit (36% MXU / 17% VPU measured) — the hypothesis was
+# dependency/issue stalls between the ops of ONE transform chain.  With
+# _ILP_FWD / _ILP_INV = 2 the kernel stacks TWO independent transforms
+# (two mic forwards / two pair couples) along the leading block axis and
+# runs the stage cascade ONCE on the doubled view: every stage op carries
+# twice the independent vregs, the lane-DFT matmul doubles its M dim, and
+# per-op fixed overheads amortize.  Outputs are BIT-IDENTICAL to the
+# unstacked schedule (elementwise ops are positionwise; matmul rows are
+# independent; confirmed err 0.0 on-chip).  Requires the sliced+tile8
+# schedule (the full-plane roll form would roll across the chain
+# boundary).
+#
+# MEASURED AND REJECTED — dead end (e), v5e 2026-08-20
+# (tools/stage_ab_bench.py ilp): 0.84-0.99x on the big full-GCC shapes
+# (131072: 0.84x, 65536: 0.89x), neutral at 8-mic 32768, and its one win
+# (8192 windowed, 1.26x) is matched by bf16x3 alone (1.33x) — stacking
+# doubles the live stage temporaries, and the already-128-vreg stage ops
+# gain nothing from wider bodies.  The stalls the utilization counters
+# show are NOT intra-chain dependency stalls.  Kept at 1; the chains
+# machinery stays for the record (interpret-mode equivalence pinned by
+# tests/test_pallas_fft.py::test_ilp_chains_match_unstacked).
+_ILP_FWD = 1
+_ILP_INV = 1
+
 # Exact W8 powers: e^{-2*pi*i*p/8} as (re, im) Python floats (cos(pi/2)
 # via np.exp is 6e-17, not 0 — build from the integer exponent instead so
 # zero/±1 coefficients specialize away at trace time).
@@ -308,7 +333,8 @@ def _tile8_bcast(x3r, x3i, inverse: bool):
     return yr, yi
 
 
-def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
+def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False,
+                chains: int = 1):
     """Forward radix-2 DIF stages along axis 0; bit-reversed output order.
 
     ``xi=None`` marks a real input: the first sliced stage elides all
@@ -319,6 +345,12 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
     shrink the input block — half the input HBM traffic) and the first
     stage prunes to a = u, b = u * tw.  Requires a real input and n2 >= 16
     (the first stage must be a sliced stage).
+
+    ``chains=C`` stacks C independent transforms: input is the FLAT
+    vertical concatenation (C*rows, 128) and the output planes are
+    (C*n2, 128) — bit-identical per chain to C separate calls (sliced
+    stage ops are positionwise on the leading-dim view).  Requires the
+    sliced+tile8 schedule (the full-plane roll form would mix chains).
     """
     stages = int(np.log2(n2))
     h = n2 // 2
@@ -326,13 +358,14 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
     tile8 = (_TILE8_MODE in ("slice", "bcast") and _SLICED_STAGES
              and stages >= 3)
     min_h = 1 if (_TILE8_MODE == "subslice" and _SLICED_STAGES) else 8
+    assert chains == 1 or (tile8 and (zero_top or h >= min_h or h == 4))
     if zero_top:
         assert xi is None and _SLICED_STAGES and h >= 8
-        x3r = xr.reshape(1, n2 // 2, _N1)
+        x3r = xr.reshape(chains, n2 // 2, _N1)
         x3i = None
     elif (_SLICED_STAGES and h >= min_h) or (tile8 and h == 4):
-        x3r = xr.reshape(1, n2, _N1)
-        x3i = None if xi is None else xi.reshape(1, n2, _N1)
+        x3r = xr.reshape(chains, n2, _N1)
+        x3i = None if xi is None else xi.reshape(chains, n2, _N1)
     if (_SLICED_STAGES and h >= min_h) or (tile8 and h == 4):
         while h >= min_h:
             if zero_top and s == 0:
@@ -346,9 +379,11 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
                 ai = jnp.zeros_like(ar)
                 br = dr * twr
                 bi = dr * twi
-                g = 1
-                x3r = jnp.concatenate([ar, br], axis=1).reshape(2, h, _N1)
-                x3i = jnp.concatenate([ai, bi], axis=1).reshape(2, h, _N1)
+                g = x3r.shape[0]
+                x3r = jnp.concatenate([ar, br], axis=1).reshape(2 * g, h,
+                                                                _N1)
+                x3i = jnp.concatenate([ai, bi], axis=1).reshape(2 * g, h,
+                                                                _N1)
                 s += 1
                 h //= 2
                 continue
@@ -424,7 +459,8 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
             h //= 2
         if tile8:  # the remaining h = 4, 2, 1 stages as one 8x8 transform
             x3r, x3i = _tile8(x3r, x3i, inverse=False)
-            return x3r.reshape(n2, _N1), x3i.reshape(n2, _N1)
+            return (x3r.reshape(chains * n2, _N1),
+                    x3i.reshape(chains * n2, _N1))
         xr = x3r.reshape(n2, _N1)
         xi = x3i.reshape(n2, _N1)
     elif xi is None:
@@ -445,19 +481,24 @@ def _dif_stages(xr, xi, mask_u, stw_r, stw_i, n2, zero_top: bool = False):
     return xr, xi
 
 
-def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
-    """Inverse (conjugate) DIT stages consuming bit-reversed order."""
+def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2, chains: int = 1):
+    """Inverse (conjugate) DIT stages consuming bit-reversed order.
+
+    ``chains=C`` stacks C independent transforms along axis 0 (flat
+    (C*n2, 128) input/output planes) — see ``_dif_stages``.  Requires the
+    sliced+tile8 schedule."""
     stages = int(np.log2(n2))
     tile8 = (_TILE8_MODE in ("slice", "bcast") and _SLICED_STAGES
              and stages >= 3)
+    assert chains == 1 or tile8
     if tile8:
         # First three stages (h = 1, 2, 4) as the composed 8x8 transform
         # on each 8-sublane tile, then hand off to the sliced loop at h=8.
-        g8 = n2 // 8
+        g8 = chains * n2 // 8
         x3r, x3i = _tile8(xr.reshape(g8, 8, _N1), xi.reshape(g8, 8, _N1),
                           inverse=True)
-        xr = x3r.reshape(n2, _N1)
-        xi = x3i.reshape(n2, _N1)
+        xr = x3r.reshape(chains * n2, _N1)
+        xi = x3i.reshape(chains * n2, _N1)
         if stages == 3:
             return xr, xi
         n_roll = 3  # consumed by tile8; the sliced loop below continues
@@ -493,7 +534,7 @@ def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
                 #   c3 = z3*conj(W_{4h}^{3j});  out = [e0+f0, e1+i*f1,
                 #   e0-f0, e1-i*f1] with e = z0 -+ c1, f = c2 -+ c3.
                 m4 = 4 * h
-                g = n2 // m4
+                g = chains * n2 // m4
                 x3r = xr.reshape(g, m4, _N1)
                 x3i = xi.reshape(g, m4, _N1)
                 w1r, w1i = stw_r[s, h:2 * h], -stw_i[s, h:2 * h]
@@ -518,14 +559,14 @@ def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
                 # i*f1 = (-f1_i, f1_r)
                 xr = jnp.concatenate(
                     [e0r + f0r, e1r - f1i, e0r - f0r, e1r + f1i],
-                    axis=1).reshape(n2, _N1)
+                    axis=1).reshape(chains * n2, _N1)
                 xi = jnp.concatenate(
                     [e0i + f0i, e1i + f1r, e0i - f0i, e1i - f1r],
-                    axis=1).reshape(n2, _N1)
+                    axis=1).reshape(chains * n2, _N1)
                 h *= 4
                 s -= 2
             else:
-                g = n2 // (2 * h)
+                g = chains * n2 // (2 * h)
                 x3r = xr.reshape(g, 2 * h, _N1)
                 x3i = xi.reshape(g, 2 * h, _N1)
                 twr = stw_r[s, h:2 * h]
@@ -535,9 +576,9 @@ def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
                 tr = vr * twr - vi * twi
                 ti = vr * twi + vi * twr
                 xr = jnp.concatenate([ur + tr, ur - tr],
-                                     axis=1).reshape(n2, _N1)
+                                     axis=1).reshape(chains * n2, _N1)
                 xi = jnp.concatenate([ui + ti, ui - ti],
-                                     axis=1).reshape(n2, _N1)
+                                     axis=1).reshape(chains * n2, _N1)
                 h *= 2
                 s -= 1
     return xr, xi
@@ -545,9 +586,44 @@ def _dit_stages(xr, xi, mask_u, stw_r, stw_i, n2):
 
 _MXU_PREC = jax.lax.Precision.HIGHEST
 
+# Manual bf16x3 lane-DFT matmuls: split each f32 operand into a bf16 head
+# + bf16 residual and accumulate hi@hi + hi@lo + lo@hi in f32 — 3 native
+# MXU passes per real matmul vs HIGHEST's 6 (jax.lax.Precision.HIGH does
+# not lower in Mosaic).  ~1e-6 relative vs HIGHEST on the 128-point DFT.
+# Round-1 measured this a wash when the VPU stages dominated; re-probed
+# (VERDICT r4 #2, v5e 2026-08-20, tools/stage_ab_bench.py ilp) now that
+# sliced/tile8/radix-4 cut the VPU share: WINS EVERY production shape —
+# full GCC 1.24x at nfft=131072 (the headline bench shape), 1.14x at
+# 65536, 1.16x at 8-mic 32768, 1.07x at 8192; windowed kernels
+# 1.18-1.33x.  On-chip output deltas 5e-7..2.7e-6 relative (full
+# correlations) and <=2.5e-8 on windowed stats — inside the path-fuzz
+# tolerances.  IN PRODUCTION since round 5.
+_LANE_BF16X3 = True
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16x3(a_split, b_split):
+    (ah, al), (bh, bl) = a_split, b_split
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
 
 def _lane_dft(cr, ci, w1r, w1i, conj: bool):
     wi = -w1i if conj else w1i
+    if _LANE_BF16X3:
+        crs, cis = _split_bf16(cr), _split_bf16(ci)
+        w1rs, wis = _split_bf16(w1r), _split_bf16(wi)
+        yr = _dot_bf16x3(crs, w1rs) - _dot_bf16x3(cis, wis)
+        yi = _dot_bf16x3(crs, wis) + _dot_bf16x3(cis, w1rs)
+        return yr, yi
     yr = (jnp.dot(cr, w1r, precision=_MXU_PREC,
                   preferred_element_type=jnp.float32)
           - jnp.dot(ci, wi, precision=_MXU_PREC,
@@ -668,41 +744,64 @@ def bfly_band_plane(n: int, band, fs: float) -> np.ndarray:
     return ((freq >= low) & (freq <= high)).astype(np.float32)
 
 
-def _fwd_one(xr, mask_ref, str_ref, sti_ref, twr_ref, twi_ref, w1r_ref,
-             w1i_ref, n2, zero_top: bool = False):
-    """Forward butterfly transform of one real (N2, 128) plane (lower
-    (N2/2, 128) half-plane when ``zero_top``)."""
-    xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2,
-                         zero_top=zero_top)
-    twr = twr_ref[:]
-    twi = twi_ref[:]
+def _long_twiddle(xr, xi, twr, twi, n2, chains: int):
+    """(xr + i*xi) * (twr + i*twi) with the (N2, 128) twiddle plane
+    broadcast over ``chains`` stacked flat transforms."""
+    if chains > 1:
+        xr = xr.reshape(chains, n2, _N1)
+        xi = xi.reshape(chains, n2, _N1)
+        twr = twr[None]
+        twi = twi[None]
     cr = xr * twr - xi * twi
     ci = xr * twi + xi * twr
+    if chains > 1:
+        cr = cr.reshape(chains * n2, _N1)
+        ci = ci.reshape(chains * n2, _N1)
+    return cr, ci
+
+
+def _fwd_one(xr, mask_ref, str_ref, sti_ref, twr_ref, twi_ref, w1r_ref,
+             w1i_ref, n2, zero_top: bool = False, chains: int = 1):
+    """Forward butterfly transform of one real (N2, 128) plane (lower
+    (N2/2, 128) half-plane when ``zero_top``; ``chains`` stacked planes
+    flat along axis 0 — see ``_dif_stages``)."""
+    xr, xi = _dif_stages(xr, None, mask_ref, str_ref, sti_ref, n2,
+                         zero_top=zero_top, chains=chains)
+    cr, ci = _long_twiddle(xr, xi, twr_ref[:], twi_ref[:], n2, chains)
     return _lane_dft(cr, ci, w1r_ref[:], w1i_ref[:], conj=False)
 
 
 def _inv_packed(dr, di, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
-                w1r_ref, w1i_ref, n2):
+                w1r_ref, w1i_ref, n2, chains: int = 1):
     """Inverse chain of a PACKED pair of Hermitian spectra (Z = R0 + i*R1):
     returns (ifft(R0), ifft(R1)) as the real/imag output planes
-    (unnormalized — callers scale by 1/n)."""
+    (unnormalized — callers scale by 1/n).  ``chains`` stacked couples run
+    the cascade once on the flat (chains*N2, 128) view."""
     cr, ci = _lane_dft(dr, di, w1r_ref[:], w1i_ref[:], conj=True)
-    twr = twr_ref[:]
-    twi = -twi_ref[:]
-    er = cr * twr - ci * twi
-    ei = cr * twi + ci * twr
-    return _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
+    er, ei = _long_twiddle(cr, ci, twr_ref[:], -twi_ref[:], n2, chains)
+    return _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2,
+                       chains=chains)
 
 
 def _fwd_spectra(get_mic, m, mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
                  w1r_ref, w1i_ref, sr_ref, si_ref, n2,
-                 zero_top: bool = False):
-    """Forward-transform every mic row into the spectra scratch planes."""
-    for mm in range(m):
-        yr, yi = _fwd_one(get_mic(mm), mask_ref, str_ref, sti_ref, twr_ref,
-                          twi_ref, w1r_ref, w1i_ref, n2, zero_top=zero_top)
-        sr_ref[mm] = yr
-        si_ref[mm] = yi
+                 zero_top: bool = False, chains: int = 1):
+    """Forward-transform every mic row into the spectra scratch planes
+    (``chains`` mics stacked per cascade when the schedule allows)."""
+    mm = 0
+    while mm < m:
+        c = min(chains, m - mm)
+        if c > 1:
+            x = jnp.concatenate([get_mic(mm + k) for k in range(c)], axis=0)
+        else:
+            x = get_mic(mm)
+        yr, yi = _fwd_one(x, mask_ref, str_ref, sti_ref, twr_ref,
+                          twi_ref, w1r_ref, w1i_ref, n2, zero_top=zero_top,
+                          chains=c)
+        for k in range(c):
+            sr_ref[mm + k] = yr[k * n2:(k + 1) * n2]
+            si_ref[mm + k] = yi[k * n2:(k + 1) * n2]
+        mm += c
 
 
 def _bfly_gcc_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
@@ -749,7 +848,7 @@ def _bfly_gcc_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
                 return x_ref[0, mm]
         _fwd_spectra(get_mic, m, mask_ref, str_ref, sti_ref,
                      twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2,
-                     zero_top=zero_top)
+                     zero_top=zero_top, chains=1 if hbm_input else _ILP_FWD)
 
     b = band_ref[:]
 
@@ -765,32 +864,39 @@ def _bfly_gcc_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
 
     # Two Hermitian spectra share ONE inverse transform: the whole inverse
     # chain is linear and ifft(R0 + i*R1) = corr0 + i*corr1 for real
-    # correlations, so each grid step resolves a PAIR COUPLE.
+    # correlations, so each grid step resolves a PAIR COUPLE (or _ILP_INV
+    # stacked couples — one cascade on the flat stacked view).
     num_pairs = pi_ref.shape[0]
-    r0r, r0i = whitened(2 * p)
-    r1r, r1i = whitened(jnp.minimum(2 * p + 1, num_pairs - 1))
-    dr = r0r - r1i
-    di = r0i + r1r
-    cr, ci = _lane_dft(dr, di, w1r_ref[:], w1i_ref[:], conj=True)
-    twr = twr_ref[:]
-    twi = -twi_ref[:]
-    er = cr * twr - ci * twi
-    ei = cr * twi + ci * twr
-    yr, yi = _dit_stages(er, ei, mask_ref, str_ref, sti_ref, n2)
-    out_ref[0, 0] = yr * scale
-    out_ref[0, 1] = yi * scale
+    cc = _ILP_INV
+    drs, dis = [], []
+    for k in range(cc):
+        base = 2 * (cc * p + k)
+        i0 = jnp.minimum(base, num_pairs - 1) if k else base
+        r0r, r0i = whitened(i0)
+        r1r, r1i = whitened(jnp.minimum(base + 1, num_pairs - 1))
+        drs.append(r0r - r1i)
+        dis.append(r0i + r1r)
+    dr = jnp.concatenate(drs, axis=0) if cc > 1 else drs[0]
+    di = jnp.concatenate(dis, axis=0) if cc > 1 else dis[0]
+    yr, yi = _inv_packed(dr, di, mask_ref, str_ref, sti_ref, twr_ref,
+                         twi_ref, w1r_ref, w1i_ref, n2, chains=cc)
+    for k in range(cc):
+        out_ref[0, 2 * k] = yr[k * n2:(k + 1) * n2] * scale
+        out_ref[0, 2 * k + 1] = yi[k * n2:(k + 1) * n2] * scale
 
 
 def _bfly_gcc_vmem(nfft: int, num_mics: int, hbm_input: bool) -> int:
     """Measured VMEM model (v5e): in blocks (pipelined whole-scene block, or
     2 single-mic DMA slots in hbm_input mode) + double-buffered pair-couple
-    output + spectra scratch + const planes + ~8 live stage temporaries."""
+    output + spectra scratch + const planes + ~8 live stage temporaries
+    (scaled by the stacked ILP chain count)."""
     in_bytes = 2 * nfft * 4 if hbm_input else 2 * num_mics * nfft * 4
+    chains = max(_ILP_FWD, _ILP_INV)
     return (in_bytes
-            + 2 * 2 * nfft * 4           # couple output block, d-buffered
+            + 2 * 2 * _ILP_INV * nfft * 4  # couple output block, d-buffered
             + 2 * num_mics * nfft * 4    # spectra scratch planes
             + 3 * nfft * 4               # band + long twiddle planes
-            + 8 * nfft * 4)              # stage temporaries (peak)
+            + 8 * chains * nfft * 4)     # stage temporaries (peak)
 
 
 def _bfly_gcc_hbm_input(nfft: int, num_mics: int) -> bool:
@@ -866,9 +972,10 @@ def bfly_gcc_all_pairs(signals: jnp.ndarray,
     # Grid (scene, pair couple): spectra are built once at couple step 0
     # into scratch (persists across steps); the input block's index map
     # ignores the couple index, so it is fetched once per scene.  Each step
-    # writes TWO pairs (packed inverse); odd P duplicates the last pair and
-    # the host slice drops it.
-    ph = (p + 1) // 2
+    # writes TWO pairs per stacked couple (packed inverse); trailing
+    # duplicate pairs are dropped by the host slice.
+    cc = _ILP_INV
+    ph = (p + 2 * cc - 1) // (2 * cc)
     out = pl.pallas_call(
         kernel,
         grid=(b, ph),
@@ -877,9 +984,11 @@ def bfly_gcc_all_pairs(signals: jnp.ndarray,
                   x_spec,
                   cspec2(band_plane.shape)] +
                  [cspec2(c.shape) for c in consts],
-        out_specs=pl.BlockSpec((1, 2, n2, _N1), lambda i, q: (i, q, 0, 0),
+        out_specs=pl.BlockSpec((1, 2 * cc, n2, _N1),
+                               lambda i, q: (i, q, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2 * ph, n2, _N1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * cc * ph, n2, _N1),
+                                       jnp.float32),
         scratch_shapes=[pltpu.VMEM((m, n2, _N1), jnp.float32),
                         pltpu.VMEM((m, n2, _N1), jnp.float32)] + dma_scratch,
         compiler_params=_BFLY_PARAMS,
@@ -912,20 +1021,21 @@ def _bfly_gcc_win_kernel(pi_ref, pj_ref, x_ref, band_ref, mask_ref, str_ref,
     def _():
         _fwd_spectra(lambda mm: x_ref[0, mm], m, mask_ref, str_ref, sti_ref,
                      twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2,
-                     zero_top=zero_top)
+                     zero_top=zero_top, chains=_ILP_FWD)
 
     _couple_window_stats(p, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
                          mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
                          w1r_ref, w1i_ref, win_ref, stat_ref, n2, wq, eps,
-                         scale)
+                         scale, chains=_ILP_INV)
 
 
 def _couple_window_stats(p, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
                          mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
                          w1r_ref, w1i_ref, win_ref, stat_ref, n2, wq, eps,
-                         scale):
+                         scale, chains: int = 1):
     """Whiten + packed windowed inverse + stats for pair couple ``p``
-    (shared by the windowed GCC kernel and the whole-scene kernel)."""
+    (``chains`` stacked couples per grid step — couples chains*p+k;
+    shared by the windowed GCC kernel and the whole-scene kernel)."""
     b = band_ref[:]
 
     def whitened(idx):
@@ -941,10 +1051,19 @@ def _couple_window_stats(p, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
     # Packed inverse: ifft(R0 + i*R1) = corr0 + i*corr1 (both real), so one
     # inverse chain resolves a pair couple per grid step.
     num_pairs = pi_ref.shape[0]
-    r0r, r0i = whitened(2 * p)
-    r1r, r1i = whitened(jnp.minimum(2 * p + 1, num_pairs - 1))
-    y0, y1 = _inv_packed(r0r - r1i, r0i + r1r, mask_ref, str_ref, sti_ref,
-                         twr_ref, twi_ref, w1r_ref, w1i_ref, n2)
+    drs, dis = [], []
+    for k in range(chains):
+        base = 2 * (chains * p + k)
+        i0 = jnp.minimum(base, num_pairs - 1) if k else base
+        r0r, r0i = whitened(i0)
+        r1r, r1i = whitened(jnp.minimum(base + 1, num_pairs - 1))
+        drs.append(r0r - r1i)
+        dis.append(r0i + r1r)
+    dr = jnp.concatenate(drs, axis=0) if chains > 1 else drs[0]
+    di = jnp.concatenate(dis, axis=0) if chains > 1 else dis[0]
+    yf0, yf1 = _inv_packed(dr, di, mask_ref, str_ref, sti_ref,
+                           twr_ref, twi_ref, w1r_ref, w1i_ref, n2,
+                           chains=chains)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n2, _N1), 1)
@@ -953,21 +1072,24 @@ def _couple_window_stats(p, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
     c8 = jax.lax.broadcasted_iota(jnp.int32, (8, _N1), 1)
     slot = jnp.where(r8 == 0, c8, -1)
 
-    for k, yr in enumerate((y0, y1)):
-        yr = yr * scale
-        win_ref[0, k, wq:, :] = yr[:wq]
-        win_ref[0, k, :wq, :] = yr[n2 - wq:]
-        amean = jnp.mean(jnp.abs(yr))
-        gmax = jnp.max(yr)
-        gidx = jnp.min(jnp.where(yr >= gmax, nat, n2 * _N1))
-        # Scatter is not lowerable in Mosaic — place the three scalars with
-        # masked selects over an index plane instead.
-        stats = jnp.where(slot == 0, amean,
-                          jnp.where(slot == 1, gmax,
-                                    jnp.where(slot == 2,
-                                              gidx.astype(jnp.float32),
-                                              0.0)))
-        stat_ref[0, k] = stats
+    for cpl in range(chains):
+        y0 = yf0[cpl * n2:(cpl + 1) * n2]
+        y1 = yf1[cpl * n2:(cpl + 1) * n2]
+        for k, yr in enumerate((y0, y1)):
+            yr = yr * scale
+            win_ref[0, 2 * cpl + k, wq:, :] = yr[:wq]
+            win_ref[0, 2 * cpl + k, :wq, :] = yr[n2 - wq:]
+            amean = jnp.mean(jnp.abs(yr))
+            gmax = jnp.max(yr)
+            gidx = jnp.min(jnp.where(yr >= gmax, nat, n2 * _N1))
+            # Scatter is not lowerable in Mosaic — place the three scalars
+            # with masked selects over an index plane instead.
+            stats = jnp.where(slot == 0, amean,
+                              jnp.where(slot == 1, gmax,
+                                        jnp.where(slot == 2,
+                                                  gidx.astype(jnp.float32),
+                                                  0.0)))
+            stat_ref[0, 2 * cpl + k] = stats
 
 
 def bfly_gcc_windowed(signals: jnp.ndarray,
@@ -1009,7 +1131,8 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
         return pl.BlockSpec(shape, lambda i, q: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    ph = (p + 1) // 2
+    cc = _ILP_INV
+    ph = (p + 2 * cc - 1) // (2 * cc)
     win, stats = pl.pallas_call(
         kernel,
         grid=(b, ph),
@@ -1019,14 +1142,16 @@ def bfly_gcc_windowed(signals: jnp.ndarray,
                                memory_space=pltpu.VMEM),
                   cspec2(band_plane.shape)] +
                  [cspec2(c.shape) for c in consts],
-        out_specs=(pl.BlockSpec((1, 2, 2 * wq, _N1),
+        out_specs=(pl.BlockSpec((1, 2 * cc, 2 * wq, _N1),
                                 lambda i, q: (i, q, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 2, 8, _N1), lambda i, q: (i, q, 0, 0),
+                   pl.BlockSpec((1, 2 * cc, 8, _N1),
+                                lambda i, q: (i, q, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((b, 2 * ph, 2 * wq, _N1),
+        out_shape=(jax.ShapeDtypeStruct((b, 2 * cc * ph, 2 * wq, _N1),
                                         jnp.float32),
-                   jax.ShapeDtypeStruct((b, 2 * ph, 8, _N1), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, 2 * cc * ph, 8, _N1),
+                                        jnp.float32)),
         scratch_shapes=[pltpu.VMEM((m, n2, _N1), jnp.float32),
                         pltpu.VMEM((m, n2, _N1), jnp.float32)],
         compiler_params=_BFLY_PARAMS,
@@ -1439,13 +1564,13 @@ def _bfly_scene_kernel(pi_ref, pj_ref, d_ref, g_ref, seed_ref, snr_ref,
                    else (lambda mm: sig_ref[mm]))
         _fwd_spectra(get_sig, m, mask_ref, str_ref, sti_ref,
                      twr_ref, twi_ref, w1r_ref, w1i_ref, sr_ref, si_ref, n2,
-                     zero_top=sig_zt)
+                     zero_top=sig_zt, chains=_ILP_FWD)
 
     # Phase 3 (every couple step): whiten + windowed inverse + stats.
     _couple_window_stats(q, pi_ref, pj_ref, band_ref, sr_ref, si_ref,
                          mask_ref, str_ref, sti_ref, twr_ref, twi_ref,
                          w1r_ref, w1i_ref, win_ref, stat_ref, n2, wq, eps,
-                         corr_scale)
+                         corr_scale, chains=_ILP_INV)
 
 
 def bfly_scene_eligible(nfft: int, num_mics: int, num_paths: int,
@@ -1532,7 +1657,7 @@ def bfly_scene_windowed(base: jnp.ndarray,
                           if fade is None else fade.astype(jnp.float32)
                           ).reshape(n2_out, _N1)
     p = pi.shape[0]
-    ph = (p + 1) // 2
+    ph = (p + 2 * _ILP_INV - 1) // (2 * _ILP_INV)
     kernel = functools.partial(_bfly_scene_kernel, n2=n2, n2_out=n2_out,
                                wq=wq, num_paths=num_paths,
                                out_samples=out_samples, eps=eps,
@@ -1564,14 +1689,16 @@ def bfly_scene_windowed(base: jnp.ndarray,
                   cspec2(tnat.shape),
                   cspec2(band_plane.shape)] +
                  [cspec2(c.shape) for c in consts],
-        out_specs=(pl.BlockSpec((1, 2, 2 * wq, _N1),
+        out_specs=(pl.BlockSpec((1, 2 * _ILP_INV, 2 * wq, _N1),
                                 lambda i, qq: (i, qq, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 2, 8, _N1), lambda i, qq: (i, qq, 0, 0),
+                   pl.BlockSpec((1, 2 * _ILP_INV, 8, _N1),
+                                lambda i, qq: (i, qq, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((b, 2 * ph, 2 * wq, _N1),
+        out_shape=(jax.ShapeDtypeStruct((b, 2 * _ILP_INV * ph, 2 * wq, _N1),
                                         jnp.float32),
-                   jax.ShapeDtypeStruct((b, 2 * ph, 8, _N1), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, 2 * _ILP_INV * ph, 8, _N1),
+                                        jnp.float32)),
         scratch_shapes=[pltpu.VMEM((m, n2, _N1), jnp.float32),
                         pltpu.VMEM((m, n2, _N1), jnp.float32),
                         pltpu.VMEM((m, n2, _N1), jnp.float32)],

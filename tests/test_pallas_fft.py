@@ -119,6 +119,59 @@ def test_bfly_band_plane_layout():
     np.testing.assert_array_equal(plane.astype(bool), natural[k])
 
 
+def test_ilp_chains_match_unstacked(rng):
+    """Stacked-chain cascades (_ILP_FWD/_ILP_INV = 2; measured dead end
+    (e) — kept for the record) match the unstacked schedule on the full
+    and windowed GCC kernels, including odd pair counts and odd mic
+    counts (partial final chain)."""
+    orig = (pf._ILP_FWD, pf._ILP_INV)
+    cases = [(4, 6, 300, 1024), (4, 5, 900, 2048), (3, 3, 500, 1024)]
+    try:
+        for m, p, n, nfft in cases:
+            sigs = rng.standard_normal((2, m, n)).astype(np.float32)
+            pairs = np.array([(i, j) for i in range(m)
+                              for j in range(i + 1, m)], np.int32)[:p]
+            pi, pj = pairs[:, 0], pairs[:, 1]
+            outs = {}
+            for chains in (1, 2):
+                pf._ILP_FWD = pf._ILP_INV = chains
+                full = np.asarray(pf.bfly_gcc_all_pairs(
+                    jnp.asarray(sigs), pi, pj, nfft, interpret=True))
+                w, st = pf.bfly_gcc_windowed(jnp.asarray(sigs), pi, pj,
+                                             nfft, 2, interpret=True)
+                outs[chains] = (full, np.asarray(w), np.asarray(st))
+            for a, b in zip(outs[1], outs[2]):
+                scale = max(np.max(np.abs(a)), 1e-30)
+                assert np.max(np.abs(a - b)) / scale < 1e-6
+    finally:
+        pf._ILP_FWD, pf._ILP_INV = orig
+
+
+def test_lane_bf16x3_matches_highest(rng):
+    """The production bf16x3 lane-DFT (3 MXU passes; 1.07-1.33x measured
+    on-chip) stays within 1e-5 relative of the HIGHEST-precision matmul
+    on the full GCC chain and the bare forward transform."""
+    orig = pf._LANE_BF16X3
+    sigs = rng.standard_normal((1, 2, 1500)).astype(np.float32)
+    pi = np.array([0], np.int32)
+    pj = np.array([1], np.int32)
+    try:
+        outs = {}
+        for flag in (False, True):
+            pf._LANE_BF16X3 = flag
+            full = np.asarray(pf.bfly_gcc_all_pairs(
+                jnp.asarray(sigs), pi, pj, 4096, interpret=True))
+            fr, fi = pf.bfly_fft_real(jnp.asarray(
+                np.pad(sigs[:, 0], ((0, 0), (0, 4096 - 1500)))),
+                interpret=True)
+            outs[flag] = (full, np.asarray(fr), np.asarray(fi))
+        for a, b in zip(outs[False], outs[True]):
+            scale = max(np.max(np.abs(a)), 1e-30)
+            assert np.max(np.abs(a - b)) / scale < 1e-5
+    finally:
+        pf._LANE_BF16X3 = orig
+
+
 def test_bfly_eligibility_rules():
     on_tpu = pf.available()
     # dtype/shape gates (vacuously False on CPU; real gates on TPU)

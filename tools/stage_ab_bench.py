@@ -29,6 +29,9 @@ from pyaudiolocalization_tpu.ops import pallas_fft
 PAIRS_I = np.array([0, 0, 0, 1, 1, 2], np.int32)
 PAIRS_J = np.array([1, 2, 3, 2, 3, 3], np.int32)
 _PROD_RADIX4 = pallas_fft._RADIX4_SLICED
+_PROD_ILP_FWD = pallas_fft._ILP_FWD
+_PROD_ILP_INV = pallas_fft._ILP_INV
+_PROD_BF3 = pallas_fft._LANE_BF16X3
 
 
 def _time(fn, *args, iters=8, warmup=2):
@@ -41,17 +44,39 @@ def _time(fn, *args, iters=8, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-# (sliced-stages flag, within-tile mode) per named schedule.  'sliced' was
-# round 3's production schedule; 'sliced+tile8' replaces the h=4,2,1
-# roll+select stages with the composed 8x8 tile transform.
+# (sliced-stages flag, within-tile mode, radix4, ilp chains, bf16x3
+# lane-DFT flag) per named schedule.  'sliced' was round 3's production
+# schedule; 'sliced+tile8' replaces the h=4,2,1 roll+select stages with
+# the composed 8x8 tile transform; 'ilp2' stacks two independent
+# transforms per cascade (VERDICT r4 #2 — fill dependency/issue stalls
+# with independent work); 'bf3'/'ilp2+bf3' drop the lane-DFT matmul
+# from HIGHEST (bf16_6x) to a manual bf16x3 split (3 native MXU passes) — re-probe of the round-1
+# negative now that the sliced/tile8/radix-4 work shrank the VPU share.
 SCHEDULES = {
-    "all-roll": (False, "roll", False),
-    "sliced": (True, "roll", False),
-    "tile8": (True, "slice", False),
-    "bcast": (True, "bcast", False),
-    "subslice": (True, "subslice", False),
-    "radix4": (True, "bcast", True),
+    "all-roll": (False, "roll", False, 1, False),
+    "sliced": (True, "roll", False, 1, False),
+    "tile8": (True, "slice", False, 1, False),
+    "bcast": (True, "bcast", False, 1, False),
+    "subslice": (True, "subslice", False, 1, False),
+    "radix4": (True, "bcast", True, 1, False),
+    "prod": (True, "bcast", True, 1, False),
+    "ilp2": (True, "bcast", True, 2, False),
+    "ilpfwd": (True, "bcast", True, (2, 1), False),
+    "ilpinv": (True, "bcast", True, (1, 2), False),
+    "bf3": (True, "bcast", True, 1, True),
+    "ilp2+bf3": (True, "bcast", True, 2, True),
 }
+
+
+def _set_schedule(schedule):
+    sliced, tile8, radix4, ilp, bf3 = SCHEDULES[schedule]
+    pallas_fft._SLICED_STAGES = sliced
+    pallas_fft._TILE8_MODE = tile8
+    pallas_fft._RADIX4_SLICED = radix4
+    fwd, inv = ilp if isinstance(ilp, tuple) else (ilp, ilp)
+    pallas_fft._ILP_FWD = fwd
+    pallas_fft._ILP_INV = inv
+    pallas_fft._LANE_BF16X3 = bf3
 
 
 def ab(batch, m, n, nfft, wq=None,
@@ -66,8 +91,7 @@ def ab(batch, m, n, nfft, wq=None,
         pi, pj = pairs[:, 0], pairs[:, 1]
 
     def run(schedule, windowed):
-        (pallas_fft._SLICED_STAGES, pallas_fft._TILE8_MODE,
-         pallas_fft._RADIX4_SLICED) = SCHEDULES[schedule]
+        _set_schedule(schedule)
 
         # Reduce ON DEVICE: fetching the full (B, P, nfft) tensor through
         # the tunnel would dominate (and wildly vary) the measurement.
@@ -101,6 +125,9 @@ def ab(batch, m, n, nfft, wq=None,
     pallas_fft._SLICED_STAGES = True
     pallas_fft._TILE8_MODE = "bcast"
     pallas_fft._RADIX4_SLICED = _PROD_RADIX4
+    pallas_fft._ILP_FWD = _PROD_ILP_FWD
+    pallas_fft._ILP_INV = _PROD_ILP_INV
+    pallas_fft._LANE_BF16X3 = _PROD_BF3
 
 
 def render_abs(batch, m, paths, n, nfft):
@@ -168,7 +195,15 @@ def scene_mono_vs_split(batch, m, paths, n, nfft, wq=6):
 if __name__ == "__main__":
     import sys
     print("devices:", jax.devices(), flush=True)
-    if "radix4" in sys.argv:
+    if "ilp" in sys.argv:
+        # Focused A/B: production schedule vs stacked-chain ILP and the
+        # lane-DFT precision re-probe (VERDICT r4 #2).
+        S = ("prod", "ilp2", "ilpfwd", "ilpinv", "bf3", "ilp2+bf3")
+        ab(256, 4, 44100, 131072, schedules=S)
+        ab(192, 4, 44100, 65536, wq=6, schedules=S)
+        ab(256, 4, 4000, 8192, wq=6, schedules=S)
+        ab(128, 8, 16000, 32768, wq=6, schedules=S)
+    elif "radix4" in sys.argv:
         # Focused A/B: production bcast schedule vs radix-4 fused pairs.
         ab(256, 4, 44100, 131072, schedules=("bcast", "radix4"))
         ab(192, 4, 44100, 65536, wq=6, schedules=("bcast", "radix4"))
