@@ -261,20 +261,59 @@ def wola_synthesis(spectra: jnp.ndarray, frame: int, hop: int,
     return sig[..., pad_left:pad_left + n]
 
 
+def stack_taps(spectra: jnp.ndarray, taps: int,
+               valid: bool) -> jnp.ndarray:
+    """Stack ``taps`` delayed STFT frames per snapshot: (M, T, F) ->
+    (taps*M, T', F) with rows [x_t; x_{t-1}; ...; x_{t-taps+1}].
+
+    ``valid=True`` keeps only snapshots with a full history
+    (T' = T - taps + 1 — covariance estimation must not see fabricated
+    zeros); ``valid=False`` zero-pads the pre-capture history so every
+    frame has a stacked snapshot (T' = T — the synthesis path needs an
+    output per frame)."""
+    m, t, f = spectra.shape
+    if taps == 1:
+        return spectra
+    if valid:
+        blocks = [spectra[:, taps - 1 - l:t - l, :] for l in range(taps)]
+    else:
+        pad = jnp.zeros((m, taps - 1, f), spectra.dtype)
+        ext = jnp.concatenate([pad, spectra], axis=1)
+        blocks = [ext[:, taps - 1 - l:taps - 1 - l + t, :]
+                  for l in range(taps)]
+    return jnp.concatenate(blocks, axis=0)
+
+
 def mvdr_weights(spectra: jnp.ndarray, tau: jnp.ndarray, fs: float,
-                 frame: int, loading: float) -> Tuple[jnp.ndarray,
-                                                      jnp.ndarray]:
+                 frame: int, loading: float,
+                 taps: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-bin MVDR weights toward relative delays ``tau`` (seconds).
 
-    spectra: (M, T, F) complex STFT snapshots; returns (wr, wi): (M, F)
+    spectra: (taps*M, T, F) complex STFT snapshots (``stack_taps`` output
+    for taps > 1 — tap 0 rows first); returns (wr, wi): (taps*M, F)
     real/imag planes of w_k = R_k^-1 a_k / (a_k^H R_k^-1 a_k) with
     diagonally-loaded per-bin snapshot covariances R_k.  All linear
     algebra stays in the real 2Mx2M embedding (models/music.embed_planes)
     — the embedded inverse and quadratic form equal the complex ones
-    exactly, so no complex linalg reaches the TPU."""
+    exactly, so no complex linalg reaches the TPU.
+
+    For ``taps > 1`` (convolutive MVDR) the single distortionless
+    constraint is NOT enough: with overlapped STFT frames the delayed
+    frames are strongly target-correlated, and a tap-0-only constraint
+    lets the minimizer cancel the target THROUGH its own history
+    (measured: target gain 0.94 -> 0.20 at taps=2, hop=frame/4).  The
+    multi-tap weights are therefore LCMV with ``taps`` constraints —
+    unit response to the target direction on tap 0, ZERO response to the
+    target direction on every delayed tap:
+
+        w = R^-1 C (C^H R^-1 C)^-1 e_0,   C = I_taps (x) a_k
+
+    which removes the target subspace from the minimizer's reach while
+    leaving (taps-1)*M + (M-1) degrees of freedom for delay-spread
+    interferer nulls.  For taps=1 this reduces exactly to MVDR."""
     from .capon import loaded_inverse
     from .music import embed_planes
-    xr, xi = jnp.real(spectra), jnp.imag(spectra)           # (M, T, F)
+    xr, xi = jnp.real(spectra), jnp.imag(spectra)           # (L*M, T, F)
     t = spectra.shape[1]
     # C_k = (1/T) X X^H = A + iB per bin
     a_mat = (jnp.einsum("mtf,ntf->fmn", xr, xr)
@@ -282,17 +321,45 @@ def mvdr_weights(spectra: jnp.ndarray, tau: jnp.ndarray, fs: float,
     b_mat = (jnp.einsum("mtf,ntf->fmn", xi, xr)
              - jnp.einsum("mtf,ntf->fmn", xr, xi)) / t
     r_inv = loaded_inverse(embed_planes(a_mat, b_mat), loading)
-    m = spectra.shape[0]
+    lm = spectra.shape[0]
+    m = lm // taps
+    f_bins = frame // 2 + 1
     omega = (2.0 * jnp.pi * fs / frame) * jnp.arange(
-        frame // 2 + 1, dtype=xr.dtype)                     # (F,)
+        f_bins, dtype=xr.dtype)                             # (F,)
     theta = tau[:, None].astype(xr.dtype) * omega[None, :]  # (M, F)
-    # a = exp(-i omega tau) embeds as [cos; -sin]
-    a_emb = jnp.concatenate([jnp.cos(theta), -jnp.sin(theta)], axis=0)
-    n_emb = jnp.einsum("fmn,nf->mf", r_inv, a_emb)          # (2M, F)
-    denom = jnp.einsum("mf,mf->f", a_emb, n_emb)            # real > 0
-    denom = jnp.maximum(denom, jnp.asarray(1e-30, xr.dtype))
-    w_emb = n_emb / denom[None, :]
-    return w_emb[:m], w_emb[m:]
+    if taps == 1:
+        # a = exp(-i omega tau) embeds as [cos; -sin].
+        a_emb = jnp.concatenate([jnp.cos(theta), -jnp.sin(theta)], axis=0)
+        n_emb = jnp.einsum("fmn,nf->mf", r_inv, a_emb)      # (2M, F)
+        denom = jnp.einsum("mf,mf->f", a_emb, n_emb)        # real > 0
+        denom = jnp.maximum(denom, jnp.asarray(1e-30, xr.dtype))
+        w_emb = n_emb / denom[None, :]
+        return w_emb[:lm], w_emb[lm:]
+    # LCMV in the real embedding (a ring homomorphism, so the embedded
+    # Gram inverse equals the embedded complex inverse).  The complex
+    # constraint matrix C = I_taps (x) a_k embeds per bin as the
+    # (2LM, 2L) block matrix [[Cr, -Ci], [Ci, Cr]] with Cr/Ci the
+    # tap-block-diagonal cos/sin planes.
+    eye_t = jnp.eye(taps, dtype=xr.dtype)
+    # (F, LM, L): row l*M + m of column k holds a_m delta_{lk}
+    c_r = jnp.einsum("lk,mf->flmk", eye_t,
+                     jnp.cos(theta)).reshape(f_bins, lm, taps)
+    c_i = jnp.einsum("lk,mf->flmk", eye_t,
+                     -jnp.sin(theta)).reshape(f_bins, lm, taps)
+    c_emb = jnp.concatenate(
+        [jnp.concatenate([c_r, -c_i], axis=-1),
+         jnp.concatenate([c_i, c_r], axis=-1)], axis=-2)    # (F, 2LM, 2L)
+    n_c = jnp.einsum("fmn,fnl->fml", r_inv, c_emb)          # (F, 2LM, 2L)
+    gram = jnp.einsum("fml,fmk->flk", c_emb, n_c)           # (F, 2L, 2L)
+    # Response e_0: unit tap-0 target gain, zero delayed-tap target gain.
+    f_vec = jnp.zeros((2 * taps,), xr.dtype).at[0].set(1.0)
+    tr_g = jnp.trace(gram, axis1=-2, axis2=-1) / (2 * taps)
+    ridge = 1e-7 * jnp.maximum(tr_g, jnp.asarray(1e-30, xr.dtype))
+    gram = gram + ridge[:, None, None] * jnp.eye(2 * taps, dtype=xr.dtype)
+    sol = jnp.linalg.solve(gram, jnp.broadcast_to(
+        f_vec, gram.shape[:1] + (2 * taps,))[..., None])[..., 0]
+    w_emb = jnp.einsum("fml,fl->mf", n_c, sol)              # (2LM, F)
+    return w_emb[:lm], w_emb[lm:]
 
 
 def align_to_position(signals: jnp.ndarray, mic_positions: jnp.ndarray,
@@ -319,17 +386,21 @@ def align_to_position(signals: jnp.ndarray, mic_positions: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "frame", "hop",
-                                             "loading"))
+                                             "loading", "taps"))
 def _extract_mvdr_jit(signals, mics, position, c, *, fs, frame, hop,
-                      loading):
+                      loading, taps):
     n = signals.shape[-1]
     m = signals.shape[-2]
     aligned = align_to_position(signals, mics, position, fs, c)
     spectra = stft_analysis(aligned, frame, hop)            # (M, T, F)
     # Target is pre-aligned, so the steering vector is exactly ones.
     tau0 = jnp.zeros((m,), jnp.real(spectra).dtype)
-    wr, wi = mvdr_weights(spectra, tau0, fs, frame, loading)
-    xr, xi = jnp.real(spectra), jnp.imag(spectra)
+    # Covariance from full-history snapshots only; outputs for every
+    # frame (zero-padded pre-capture history).
+    wr, wi = mvdr_weights(stack_taps(spectra, taps, valid=True), tau0,
+                          fs, frame, loading, taps=taps)
+    stacked = stack_taps(spectra, taps, valid=False)
+    xr, xi = jnp.real(stacked), jnp.imag(stacked)
     # y = w^H x per frame/bin
     y_r = (jnp.einsum("mf,mtf->tf", wr, xr)
            + jnp.einsum("mf,mtf->tf", wi, xi))
@@ -346,7 +417,8 @@ def extract_source_mvdr(signals: jnp.ndarray,
                         c,
                         frame: int = 256,
                         hop: Optional[int] = None,
-                        loading: float = 0.3) -> jnp.ndarray:
+                        loading: float = 0.3,
+                        taps: int = 1) -> jnp.ndarray:
     """ADAPTIVE beamformed audio extraction: time-aligned per-bin MVDR
     toward ``position`` through an STFT/WOLA synthesis path (the adaptive
     counterpart of ``extract_source``; no reference counterpart — the
@@ -386,6 +458,23 @@ def extract_source_mvdr(signals: jnp.ndarray,
     snapshots (T ~ 4N/frame), which matters more than bin resolution at
     clip lengths of a fraction of a second.
 
+    ``taps > 1`` switches to CONVOLUTIVE (multi-tap) LCMV-MVDR: each
+    per-bin snapshot stacks the current and ``taps-1`` previous STFT
+    frames (``stack_taps``), with ``taps`` constraints protecting the
+    target (see ``mvdr_weights`` — a tap-0-only constraint measured
+    target gain 0.94 -> 0.20 from self-cancellation through the
+    overlapped frames).  MEASURED envelope (6-scene cube protocol,
+    EVALUATION.md): the free-field broadband half-win does NOT come from
+    delay spread — it is covariance adaptation time (taps=1 white-noise
+    SIR 14.8 dB at 0.25 s -> 18.3 dB at 1.0 s; taps never beat taps=1
+    there at either length).  Where taps DO help is a REVERBERANT
+    interferer (direct + image copies = a genuinely convolutive
+    transfer): 11.3 dB (taps=1) -> 12.5 dB (taps=3, loading 0.1) at
+    1.0 s, target gain 0.83; loading 0.3 keeps gain 0.93 at +0.6 dB.
+    Cost: the per-bin inverses grow to (2*taps*M)^2 and the snapshot
+    count drops by taps-1; keep taps*M well under T (~4N/frame
+    snapshots).
+
     signals: (M, N); position: (3,).  ``frame`` should stay a power of two
     on the TPU (non-pow2 rfft lowers to a dense DFT matmul).  Fully
     jitted; vmap over a leading scene axis for batches.
@@ -394,6 +483,8 @@ def extract_source_mvdr(signals: jnp.ndarray,
     mics = jnp.asarray(mic_positions, signals.dtype)
     p = jnp.asarray(position, signals.dtype)
     h = frame // 4 if hop is None else int(hop)
+    if taps < 1:
+        raise ValueError("taps must be >= 1")
     return _extract_mvdr_jit(signals, mics, p, c, fs=float(fs),
                              frame=int(frame), hop=h,
-                             loading=float(loading))
+                             loading=float(loading), taps=int(taps))

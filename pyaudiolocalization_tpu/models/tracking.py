@@ -24,6 +24,7 @@ filters are 2-state and the 2x2 algebra is closed-form.
 
 from __future__ import annotations
 
+import itertools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -43,6 +44,21 @@ class Track(NamedTuple):
     smoothed: jnp.ndarray    # (S, 3) smoothed track (EMA or Kalman/RTS)
     powers: jnp.ndarray      # (S,) SRP power per segment (confidence)
     velocities: Optional[jnp.ndarray] = None  # (S, 3) m/s, motion mode only
+
+
+class MultiTrack(NamedTuple):
+    """``track_multiple`` output: K identity-maintained tracks.
+
+    The detection axis of the per-segment multi-source fixes is in
+    EXTRACTION (power) order, which flips arbitrarily between segments;
+    here axis 1 is the TRACK axis — detection k of segment s belongs to
+    the same physical source for every s (data association)."""
+    times: jnp.ndarray       # (S,)
+    positions: jnp.ndarray   # (S, K, 3) associated raw detections
+    smoothed: jnp.ndarray    # (S, K, 3) per-track Kalman/RTS smoothing
+    powers: jnp.ndarray      # (S, K) fine-stage SRP power per detection
+    velocities: jnp.ndarray  # (S, K, 3) smoothed track velocities (m/s)
+    associated: jnp.ndarray  # (S, K) bool: detection passed the gate
 
 
 def kalman_rts_smooth(positions: jnp.ndarray,
@@ -402,3 +418,154 @@ def localize_trajectory(signals: jnp.ndarray,
 
     times = jnp.asarray((starts + segment / 2.0) / fs, positions.dtype)
     return Track(times, positions, smoothed, powers, velocities)
+
+
+def associate_detections(dets: jnp.ndarray,
+                         powers: jnp.ndarray,
+                         dt_s: float,
+                         gate: float) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+    """Associate per-segment detection sets (S, K, 3) to K tracks.
+
+    A ``lax.scan`` over segments: each track predicts forward with its
+    alpha-beta velocity estimate, and the best of the K! track→detection
+    assignments (minimum summed GATED squared distance — exact Hungarian
+    for small static K) updates the tracks.  Momentum is what maintains
+    identity through a crossing: plain nearest-neighbor association swaps
+    the tracks there (pinned by tests/test_track_multiple.py).  A
+    detection farther than ``gate`` meters from every prediction leaves
+    its track coasting for that segment.
+
+    Returns ``(positions (S, K, 3), powers (S, K), ok (S, K))`` with axis
+    1 reordered so each index follows one physical source; ``ok`` marks
+    detections that passed the gate (coasting segments keep the raw
+    detection value but a False flag)."""
+    num_sources = dets.shape[1]
+    dtype = dets.dtype
+    perms_j = jnp.asarray(np.array(
+        list(itertools.permutations(range(num_sources))), np.int32))
+    gate2 = jnp.asarray(gate * gate, dtype)
+    # Alpha-beta gains: moderately trusting (the RTS pass afterwards does
+    # the real smoothing — these only need predictions good enough to
+    # disambiguate the K! assignment at crossings).
+    alpha = jnp.asarray(0.7, dtype)
+    beta = jnp.asarray(0.4, dtype)
+
+    def assoc(carry, inp):
+        pos, vel = carry                            # (K, 3), (K, 3)
+        det, pw = inp                               # (K, 3), (K,)
+        pred = pos + vel * dt_s
+        d2 = jnp.sum((pred[:, None, :] - det[None, :, :]) ** 2,
+                     -1)                            # (tracks, dets)
+        # Gated assignment cost: a detection beyond the gate costs a
+        # constant (so permutations are compared on their gated members
+        # only) and leaves the track coasting.
+        d2g = jnp.minimum(d2, gate2)
+        costs = jnp.sum(
+            d2g[jnp.arange(num_sources)[None, :], perms_j], -1)  # (K!,)
+        best = perms_j[jnp.argmin(costs)]           # det index per track
+        z = det[best]
+        zp = pw[best]
+        innov = z - pred
+        ok = jnp.sum(innov * innov, -1) < gate2     # (K,)
+        pos_new = jnp.where(ok[:, None], pred + alpha * innov, pred)
+        vel_new = jnp.where(ok[:, None], vel + (beta / dt_s) * innov, vel)
+        return (pos_new, vel_new), (z, zp, ok)
+
+    init = (dets[0], jnp.zeros((num_sources, 3), dtype))
+    (_, _), out = jax.lax.scan(assoc, init, (dets, powers))
+    return out
+
+
+def track_multiple(signals: jnp.ndarray,
+                   mic_positions: jnp.ndarray,
+                   fs: float,
+                   c,
+                   lower: jnp.ndarray,
+                   upper: jnp.ndarray,
+                   num_sources: int,
+                   segment: int = 4096,
+                   hop: Optional[int] = None,
+                   band: Optional[Tuple[float, float]] = None,
+                   coarse_n: int = 24,
+                   fine_n: int = 12,
+                   min_separation: Optional[float] = None,
+                   weighting: str = "phat",
+                   accel_std: float = 0.5,
+                   gate: Optional[float] = None,
+                   max_speed: float = 5.0) -> MultiTrack:
+    """Track ``num_sources`` simultaneous movers with identity maintenance.
+
+    Beyond parity (the reference is single-source static, main.py:126);
+    closes the gap models/online.py documents ("associating tracks across
+    hops is the caller's business"): per segment the K-peak suppression
+    SRP fixes (srp_phat_locate_multi) arrive in EXTRACTION order — which
+    source is "first" flips between segments — so two crossing movers
+    cannot be followed without data association.
+
+    Pipeline (all jittable, K! static):
+      1. segment + GCC + K-source suppression SRP, vmapped over segments;
+      2. a ``lax.scan`` over segments associates detections to tracks:
+         each track predicts forward with its current velocity estimate
+         (an alpha-beta filter — crossing movers are disambiguated by
+         MOMENTUM, nearest-neighbor alone swaps them at the crossing),
+         and the best of the K! track->detection assignments (minimum
+         summed gated squared distance, exact Hungarian for small K)
+         updates the tracks.  Detections farther than ``gate`` (meters)
+         from every prediction leave their track coasting.
+      3. each associated detection sequence is smoothed by the
+         power-weighted constant-velocity Kalman/RTS smoother.
+
+    ``gate`` defaults to ``max_speed * dt + 0.3`` meters (dt = hop/fs).
+    Sources must be mutually low-correlated (independent talkers) for the
+    suppression SRP to separate them — same caveat as
+    ``srp_phat_locate_multi``.
+    """
+    if num_sources < 1:
+        raise ValueError("num_sources must be >= 1")
+    if num_sources > 5:
+        raise ValueError("track_multiple enumerates K! assignments; "
+                         "num_sources > 5 is unsupported")
+    if weighting not in ("phat", "scot", "roth", "cc"):
+        raise ValueError("weighting must be 'phat', 'scot', 'roth', or "
+                         "'cc' for segment tracking")
+    m, t = signals.shape
+    hop = segment // 2 if hop is None else hop
+    if t < segment:
+        raise ValueError("signal shorter than one segment")
+    num_seg = 1 + (t - segment) // hop
+    starts = np.arange(num_seg) * hop
+    pi, pj = np.triu_indices(m, 1)
+    pi = pi.astype(np.int32)
+    pj = pj.astype(np.int32)
+    nfft = next_pow2(segment)
+    dt_s = hop / float(fs)
+    gate = (max_speed * dt_s + 0.3) if gate is None else float(gate)
+
+    idx = starts[:, None] + np.arange(segment)[None, :]
+    segs = jnp.take(signals, jnp.asarray(idx), axis=-1)     # (M, S, L)
+    segs = jnp.swapaxes(segs, 0, 1)                         # (S, M, L)
+
+    def one(seg):
+        corr = gccphat.gcc_phat_all_pairs(seg, pi, pj, nfft=nfft,
+                                          band=band, fs=fs,
+                                          weighting=weighting)
+        out = srp_ops.srp_phat_locate_multi(
+            corr, mic_positions, pi, pj, fs, c, lower, upper,
+            num_sources=num_sources, coarse_n=coarse_n, fine_n=fine_n,
+            min_separation=min_separation)
+        return out.positions, out.powers
+
+    dets, powers = jax.vmap(one)(segs)              # (S, K, 3), (S, K)
+    assoc_pos, assoc_pow, assoc_ok = associate_detections(
+        dets, powers, dt_s, gate)
+    dtype = dets.dtype
+
+    smoothed, vels = jax.vmap(
+        lambda p, w: kalman_rts_smooth(p, dt_s, powers=w,
+                                       accel_std=accel_std),
+        in_axes=(1, 1), out_axes=1)(assoc_pos, assoc_pow)
+
+    times = jnp.asarray((starts + segment / 2.0) / fs, dtype)
+    return MultiTrack(times, assoc_pos, smoothed, assoc_pow, vels,
+                      assoc_ok)

@@ -1,0 +1,166 @@
+"""Multi-source trajectory tracking with data association (VERDICT r4 #4).
+
+models/online.py explicitly punts cross-hop association ("tracks across
+hops by nearest-neighbor on the caller's side") and localize_trajectory is
+single-track; track_multiple closes the gap: per-segment K-peak suppression
+SRP fixes arrive in EXTRACTION (power) order — which flips between
+segments — and two CROSSING movers additionally need momentum to keep
+their identities (nearest-neighbor alone swaps them at the crossing).
+
+The end-to-end capture is PIECEWISE-STATIC: each tracking segment renders
+both sources statically at their segment-centre positions and the blocks
+concatenate (segment == hop, so the tracker's windows align with the
+render blocks).  That keeps the per-segment detections honest (real GCC ->
+suppression-SRP audio pipeline) while isolating the ASSOCIATION problem
+this module solves from intra-segment motion smear, which track_multiple
+does not compensate (localize_trajectory's motion='compensated' machinery
+is single-source; a full moving-source WOLA render at 1.2 m/s measured
+0.3-0.6 m per-detection errors at every affordable segment length — the
+detections drown before association is exercised).  No reference
+counterpart (single static source, main.py:126).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyaudiolocalization_tpu.models import tracking
+from pyaudiolocalization_tpu.models.simulator import simulate_signals_fast
+
+FS = 16000.0
+C = 343.0
+MICS = np.array([[0.0, 0.0, 0.0],
+                 [3.0, 0.0, 0.0],
+                 [1.5, 3.0, 0.0],
+                 [1.5, 1.5, 2.0]])    # tetrahedral — no mirror ghost
+LOWER = np.array([0.0, 0.0, 0.0])
+UPPER = np.array([3.2, 3.2, 2.2])
+SEGMENT = 2048
+NUM_SEG = 12
+# Crossing geometry: opposite x-velocities, paths meet at t ~ 0.65 s
+# (segment 5 of 12), 0.5 m apart in z at the crossing so the suppression
+# SRP keeps resolving two peaks (default radius ~3 coarse cells).
+START_A = np.array([0.7, 1.0, 0.6])
+VEL_A = np.array([1.2, 0.3, 0.0])
+START_B = np.array([2.26, 1.0, 1.1])
+VEL_B = np.array([-1.2, 0.3, 0.0])
+
+
+def _centers():
+    return (np.arange(NUM_SEG) * SEGMENT + SEGMENT / 2.0) / FS
+
+
+def _render(pos, key):
+    return simulate_signals_fast(
+        pos, MICS, FS, C, SEGMENT / FS, "noise", 500.0, None, None,
+        jnp.asarray([0.01]), jnp.asarray([1e-6]), 0, 1e-4,
+        key=key)[:, :SEGMENT]
+
+
+def _mixed_capture():
+    blocks = []
+    for s, t in enumerate(_centers()):
+        ka, kb = jax.random.PRNGKey(2 * s + 1), jax.random.PRNGKey(2 * s + 2)
+        a = _render(START_A + t * VEL_A, ka)
+        b = _render(START_B + t * VEL_B, kb)
+        blocks.append(np.asarray(a) + np.asarray(b))
+    return np.concatenate(blocks, axis=-1)
+
+
+def _truth(start, vel, times):
+    return start[None, :] + np.asarray(times)[:, None] * vel[None, :]
+
+
+def test_crossing_movers_keep_identity():
+    sigs = _mixed_capture()
+    mt = tracking.track_multiple(
+        jnp.asarray(sigs), jnp.asarray(MICS), FS, C,
+        jnp.asarray(LOWER), jnp.asarray(UPPER), num_sources=2,
+        segment=SEGMENT, hop=SEGMENT, coarse_n=32, fine_n=12,
+        max_speed=3.0)
+    times = np.asarray(mt.times)
+    assert times.shape[0] == NUM_SEG
+    pos = np.asarray(mt.smoothed)                    # (S, 2, 3)
+    ta = _truth(START_A, VEL_A, times)
+    tb = _truth(START_B, VEL_B, times)
+    # Match track index to source by the FIRST segment, then require the
+    # whole track (crossing included) to stay with that source.  A swap
+    # at the crossing puts the last segment ~2 m off (the movers
+    # re-separate for ~0.8 s after crossing).
+    d0a = np.linalg.norm(pos[0, :, :] - ta[0][None, :], axis=-1)
+    ia = int(np.argmin(d0a))
+    ib = 1 - ia
+    err_a = np.linalg.norm(pos[:, ia, :] - ta, axis=-1)
+    err_b = np.linalg.norm(pos[:, ib, :] - tb, axis=-1)
+    assert np.mean(err_a) < 0.25, err_a
+    assert np.mean(err_b) < 0.25, err_b
+    assert err_a[-1] < 0.5 and err_b[-1] < 0.5, (err_a, err_b)
+    assert np.asarray(mt.associated).mean() > 0.5
+
+
+def test_associate_detections_momentum_beats_nearest_neighbor():
+    """Synthetic crossing where PLAIN nearest-neighbor must swap: two
+    tracks approach on the x-axis with an asymmetric meeting point, so in
+    the segment after they meet the swapped pairing has lower summed
+    distance to the previous detections — only the velocity-predicted
+    assignment keeps identity."""
+    t = np.arange(9, dtype=np.float64)[:, None]
+    a = np.concatenate([0.4 * t, np.full((9, 1), 0.5),
+                        np.full((9, 1), 0.5)], axis=1)      # x: 0 -> 3.2
+    b = np.concatenate([3.0 - 0.4 * t, np.full((9, 1), 0.6),
+                        np.full((9, 1), 0.5)], axis=1)      # x: 3.0 -> -0.2
+    dets = np.stack([a, b], axis=1)                         # (S, 2, 3)
+    # Flip the detection order on odd segments (extraction-order noise).
+    dets[1::2] = dets[1::2, ::-1]
+    powers = np.ones((9, 2))
+    pos, pw, ok = tracking.associate_detections(
+        jnp.asarray(dets), jnp.asarray(powers), dt_s=1.0, gate=1.0)
+    pos = np.asarray(pos)
+    np.testing.assert_allclose(pos[:, 0, :], a, atol=1e-6)
+    np.testing.assert_allclose(pos[:, 1, :], b, atol=1e-6)
+    assert np.asarray(ok).all()
+    # Nearest-neighbor-from-last-position WOULD swap after the meeting
+    # point: verify the ambiguity is real — at some step the GLOBAL
+    # position-only assignment (sum of squared distances to the previous
+    # detections) prefers the swapped pairing.
+    nn_swaps = False
+    for s in range(1, 9):
+        ident = (np.sum((a[s] - a[s - 1]) ** 2)
+                 + np.sum((b[s] - b[s - 1]) ** 2))
+        swap = (np.sum((b[s] - a[s - 1]) ** 2)
+                + np.sum((a[s] - b[s - 1]) ** 2))
+        if swap < ident:
+            nn_swaps = True
+    assert nn_swaps
+
+
+def test_associate_detections_gate_coasts():
+    """A wild detection outside the gate leaves its track coasting (ok
+    False) instead of yanking it."""
+    dets = np.tile(np.array([[0.5, 0.5, 0.5], [2.0, 2.0, 2.0]]),
+                   (6, 1, 1)).astype(np.float64)
+    dets[3, 0] = [9.0, 9.0, 9.0]                  # outlier for track 0
+    powers = np.ones((6, 2))
+    pos, pw, ok = tracking.associate_detections(
+        jnp.asarray(dets), jnp.asarray(powers), dt_s=1.0, gate=0.5)
+    ok = np.asarray(ok)
+    assert not ok[3, 0]
+    assert ok[:, 1].all()
+    assert ok[[0, 1, 2, 4, 5], 0].all()
+
+
+def test_track_multiple_validation():
+    sig = jnp.zeros((4, 8192))
+    args = (sig, jnp.asarray(MICS), FS, C, jnp.asarray(LOWER),
+            jnp.asarray(UPPER))
+    with pytest.raises(ValueError, match="num_sources"):
+        tracking.track_multiple(*args, num_sources=0)
+    with pytest.raises(ValueError, match="K!"):
+        tracking.track_multiple(*args, num_sources=6)
+    with pytest.raises(ValueError, match="weighting"):
+        tracking.track_multiple(*args, num_sources=2, weighting="ml")
+    with pytest.raises(ValueError, match="shorter"):
+        tracking.track_multiple(sig[:, :100], jnp.asarray(MICS), FS, C,
+                                jnp.asarray(LOWER), jnp.asarray(UPPER),
+                                num_sources=2)

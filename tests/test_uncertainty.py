@@ -212,11 +212,90 @@ def test_api_reports_uncertainty():
     assert unc["heuristic"] is False
 
 
-def test_api_narrowband_solver_skips_uncertainty():
+_CUBE = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+         [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]]
+
+
+def _nb_config(solver="capon"):
+    """Narrowband jackknife config: 16 kHz x 0.25 s leaves each of the 4
+    time chunks ~7 STFT snapshots at the default 256-sample frame; the
+    8-mic cube is the unambiguous narrowband array (test_pipeline.py)."""
     cfg = _small_config(lag_mode="physical", sync_mode="none",
-                        solver="music", max_expected_delay=0.05)
-    cfg["source_position"] = [0.5, 0.5, 0.5]
-    res = pal.localize_sound_source(cfg, use_simulation=True,
-                                    show_plots=False,
+                        solver=solver,
+                        search_box=((-0.2, -0.2, -0.2), (1.2, 1.2, 1.2)))
+    cfg["fs"] = 16000
+    cfg["mic_positions"] = _CUBE
+    cfg["signal_type"] = "sine"
+    cfg["freq"] = 1100.0
+    cfg["source_position"] = [0.35, 0.55, 0.45]
+    return cfg
+
+
+def test_api_narrowband_jackknife_uncertainty():
+    """Narrowband solvers report group-jackknife error bars (VERDICT r4
+    #6) — covariance PSD, std finite, no heuristic flag."""
+    res = pal.localize_sound_source(_nb_config("music"),
+                                    use_simulation=True, show_plots=False,
                                     key=jax.random.PRNGKey(9))
-    assert res["uncertainty"] is None
+    unc = res["uncertainty"]
+    assert unc is not None
+    cov = unc["covariance"]
+    np.testing.assert_allclose(cov, cov.T, atol=0)
+    assert np.all(np.linalg.eigvalsh(cov) >= -1e-18)
+    assert np.all(np.isfinite(unc["std"])) and np.all(unc["std"] >= 0)
+    assert unc["heuristic"] is False
+    assert unc["sigma_td"] is None
+    assert unc["dof"] == 3
+
+
+def test_narrowband_jackknife_mc_consistency():
+    """Monte-Carlo consistency at one narrowband config (VERDICT r4 #6
+    'done' criterion): per-axis z-scores e_i / std_i over independent
+    noise draws.
+
+    The api's own sine simulation is NOISELESS (reference parity), so a
+    sine scene is fully deterministic; inject noisy signals instead
+    (``signals=``): clean render + per-seed Gaussian noise.
+
+    Measured decomposition at this config (capon, 8-mic cube, 1.1 kHz,
+    16 kHz x 0.25 s): the fix error is the sum of a ~3 mm DETERMINISTIC
+    fine-grid interpolation bias (constant across noise draws — no
+    resampling can see it; covered by the api's resolution-floor term)
+    plus a noise scatter that only passes the bias around -5..0 dB and
+    rails into estimator breakdown below ~-12 dB (where the jackknife
+    box clips and the sigma understates — documented caveat).  At
+    10 dB SNR the reported sigma is therefore floor-dominated and the
+    total-error z-scores must sit near 1 within a generous band."""
+    import jax.numpy as jnp
+    from pyaudiolocalization_tpu.models.simulator import simulate_signals
+    from pyaudiolocalization_tpu.models.acoustics import speed_of_sound
+
+    truth = np.array([0.35, 0.55, 0.45])
+    cfg = _nb_config("capon")
+    fs = float(cfg["fs"])
+    c = float(speed_of_sound(cfg["celsius"], cfg["humidity"]))
+    clean = np.asarray(simulate_signals(
+        truth, np.asarray(_CUBE, float), fs, c, cfg["duration"], "sine",
+        1100.0, None, None, jnp.asarray([0.01]), jnp.asarray([1e-6]),
+        0, 1e-4, key=jax.random.PRNGKey(0)))
+    rms = float(np.sqrt(np.mean(clean ** 2)))
+    sigma_n = rms * 10.0 ** (-10.0 / 20.0)            # ~10 dB SNR
+    rng_n = np.random.default_rng(77)
+    zs, errs, stds = [], [], []
+    for seed in range(12):
+        noisy = clean + sigma_n * rng_n.standard_normal(clean.shape)
+        res = pal.localize_sound_source(cfg, use_simulation=False,
+                                        show_plots=False,
+                                        key=jax.random.PRNGKey(100 + seed),
+                                        signals=list(noisy))
+        e = np.asarray(res["estimated_position"]) - truth
+        std = np.asarray(res["uncertainty"]["std"])
+        assert np.all(std > 0)
+        zs.append(e / std)
+        errs.append(e)
+        stds.append(std)
+    med_z = float(np.median(np.abs(np.concatenate(zs))))
+    assert 0.15 < med_z < 4.0, med_z
+    rms_axis = float(np.sqrt(np.mean(np.concatenate(errs) ** 2)))
+    med_std = float(np.median(np.concatenate(stds)))
+    assert 0.1 < med_std / max(rms_axis, 1e-12) < 10.0, (med_std, rms_axis)
