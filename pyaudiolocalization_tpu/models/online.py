@@ -505,3 +505,92 @@ class StreamingLocalizer:
         positions, powers = self._run(self.init_state(), blocks)
         return (np.asarray(positions[warmup - 1:]),
                 np.asarray(powers[warmup - 1:]))
+
+
+class TrackedOutput(NamedTuple):
+    positions: jnp.ndarray    # (K, 3) identity-stable track positions
+    powers: jnp.ndarray       # (K,) detection powers, track order
+    associated: jnp.ndarray   # (K,) bool — detection passed the gate
+    velocities: jnp.ndarray   # (K, 3) alpha-beta velocity estimates (m/s)
+    state: tuple
+
+
+class OnlineTracker:
+    """Causal identity maintenance over a multi-talker StreamingLocalizer.
+
+    ``StreamingLocalizer(num_sources=K)`` emits per-hop fixes in
+    EXTRACTION (power) order, which flips between hops; this wrapper
+    applies the same momentum-gated exact K! assignment as the batch
+    ``models/tracking.track_multiple`` (``tracking.association_step``)
+    one hop at a time — O(1) state, fully causal, jittable via the
+    wrapped localizer's jitted step.  Crossing movers keep their
+    identities by MOMENTUM (each track predicts forward with its
+    alpha-beta velocity before assignment); detections farther than
+    ``gate`` meters from every prediction leave their track coasting.
+
+    During the localizer's warm-up (the first frame//hop hops, while the
+    EMA state is still filling) tracks re-initialize from the raw
+    detections each hop instead of updating — otherwise a garbage first
+    fix would strand the tracks outside the gate forever.
+    """
+
+    def __init__(self, localizer: StreamingLocalizer,
+                 gate: Optional[float] = None,
+                 max_speed: float = 5.0):
+        if localizer.num_sources < 2:
+            raise ValueError("OnlineTracker needs a multi-talker localizer "
+                             "(num_sources >= 2)")
+        if localizer.num_sources > 5:
+            raise ValueError("association enumerates K! assignments; "
+                             "num_sources > 5 is unsupported")
+        from . import tracking as tracking_ops
+        self._assoc = tracking_ops.association_step
+        self.loc = localizer
+        self.dt = localizer.hop / localizer.fs
+        self.gate = (max_speed * self.dt + 0.3) if gate is None else float(gate)
+        self.warmup = localizer.frame // localizer.hop
+
+    def init_state(self):
+        k = self.loc.num_sources
+        return (self.loc.init_state(),
+                jnp.zeros((k, 3), jnp.float32),
+                jnp.zeros((k, 3), jnp.float32),
+                jnp.asarray(0, jnp.int32))
+
+    def step(self, state, block) -> TrackedOutput:
+        """Absorb one (M, hop) block; localize + associate."""
+        loc_state, pos, vel, n = state
+        out = self.loc.step(loc_state, block)
+        det = out.position
+        pw = out.power
+        warm = n >= self.warmup
+        pos_eff = jnp.where(warm, pos, det)
+        vel_eff = jnp.where(warm, vel, jnp.zeros_like(vel))
+        (pos_new, vel_new), (z, zp, ok) = self._assoc(
+            pos_eff, vel_eff, det, pw, self.dt, self.gate)
+        return TrackedOutput(z, zp, ok & warm, vel_new,
+                             (out.state, pos_new, vel_new, n + 1))
+
+    def run(self, signals) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Stream a whole (M, T) capture; returns (positions (S, K, 3),
+        powers (S, K), associated (S, K)) for the S full hops after the
+        first full frame (identity-stable K axis)."""
+        signals = np.asarray(signals, np.float32)
+        m, t = signals.shape
+        hop = self.loc.hop
+        num_blocks = t // hop
+        k = self.loc.num_sources
+        if num_blocks < self.warmup:
+            return (np.zeros((0, k, 3), np.float32),
+                    np.zeros((0, k), np.float32), np.zeros((0, k), bool))
+        state = self.init_state()
+        ps, ws, oks = [], [], []
+        blocks = signals[:, :num_blocks * hop].reshape(m, num_blocks, hop)
+        for s in range(num_blocks):
+            outt = self.step(state, jnp.asarray(blocks[:, s]))
+            state = outt.state
+            if s >= self.warmup - 1:
+                ps.append(np.asarray(outt.positions))
+                ws.append(np.asarray(outt.powers))
+                oks.append(np.asarray(outt.associated))
+        return np.stack(ps), np.stack(ws), np.stack(oks)

@@ -442,39 +442,53 @@ def associate_detections(dets: jnp.ndarray,
     detection value but a False flag)."""
     num_sources = dets.shape[1]
     dtype = dets.dtype
-    perms_j = jnp.asarray(np.array(
-        list(itertools.permutations(range(num_sources))), np.int32))
-    gate2 = jnp.asarray(gate * gate, dtype)
-    # Alpha-beta gains: moderately trusting (the RTS pass afterwards does
-    # the real smoothing — these only need predictions good enough to
-    # disambiguate the K! assignment at crossings).
-    alpha = jnp.asarray(0.7, dtype)
-    beta = jnp.asarray(0.4, dtype)
 
     def assoc(carry, inp):
         pos, vel = carry                            # (K, 3), (K, 3)
         det, pw = inp                               # (K, 3), (K,)
-        pred = pos + vel * dt_s
-        d2 = jnp.sum((pred[:, None, :] - det[None, :, :]) ** 2,
-                     -1)                            # (tracks, dets)
-        # Gated assignment cost: a detection beyond the gate costs a
-        # constant (so permutations are compared on their gated members
-        # only) and leaves the track coasting.
-        d2g = jnp.minimum(d2, gate2)
-        costs = jnp.sum(
-            d2g[jnp.arange(num_sources)[None, :], perms_j], -1)  # (K!,)
-        best = perms_j[jnp.argmin(costs)]           # det index per track
-        z = det[best]
-        zp = pw[best]
-        innov = z - pred
-        ok = jnp.sum(innov * innov, -1) < gate2     # (K,)
-        pos_new = jnp.where(ok[:, None], pred + alpha * innov, pred)
-        vel_new = jnp.where(ok[:, None], vel + (beta / dt_s) * innov, vel)
-        return (pos_new, vel_new), (z, zp, ok)
+        return association_step(pos, vel, det, pw, dt_s, gate)
 
     init = (dets[0], jnp.zeros((num_sources, 3), dtype))
     (_, _), out = jax.lax.scan(assoc, init, (dets, powers))
     return out
+
+
+def association_step(pos, vel, det, pw, dt_s, gate,
+                     alpha: float = 0.7, beta: float = 0.4):
+    """One momentum-gated K! assignment + alpha-beta update step.
+
+    The scan body of ``associate_detections``, exposed so causal per-hop
+    callers (models/online.OnlineTracker) share the exact math.  Inputs:
+    track state (pos, vel) each (K, 3), this step's detections (K, 3) and
+    powers (K,); returns ``((pos_new, vel_new), (z, zp, ok))`` with z the
+    detections reordered to track identity.  Alpha-beta gains are
+    moderately trusting — downstream smoothing does the real filtering;
+    these only need predictions good enough to disambiguate the K!
+    assignment at crossings."""
+    num_sources = det.shape[0]
+    dtype = det.dtype
+    perms_j = jnp.asarray(np.array(
+        list(itertools.permutations(range(num_sources))), np.int32))
+    gate2 = jnp.asarray(gate * gate, dtype)
+    pred = pos + vel * dt_s
+    d2 = jnp.sum((pred[:, None, :] - det[None, :, :]) ** 2,
+                 -1)                                # (tracks, dets)
+    # Gated assignment cost: a detection beyond the gate costs a
+    # constant (so permutations are compared on their gated members
+    # only) and leaves the track coasting.
+    d2g = jnp.minimum(d2, gate2)
+    costs = jnp.sum(
+        d2g[jnp.arange(num_sources)[None, :], perms_j], -1)  # (K!,)
+    best = perms_j[jnp.argmin(costs)]               # det index per track
+    z = det[best]
+    zp = pw[best]
+    innov = z - pred
+    ok = jnp.sum(innov * innov, -1) < gate2         # (K,)
+    pos_new = jnp.where(ok[:, None], pred + jnp.asarray(alpha, dtype)
+                        * innov, pred)
+    vel_new = jnp.where(ok[:, None], vel + (jnp.asarray(beta, dtype)
+                                            / dt_s) * innov, vel)
+    return (pos_new, vel_new), (z, zp, ok)
 
 
 def track_multiple(signals: jnp.ndarray,

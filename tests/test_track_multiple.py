@@ -58,14 +58,21 @@ def _render(pos, key):
         key=key)[:, :SEGMENT]
 
 
+_CAPTURE = None
+
+
 def _mixed_capture():
-    blocks = []
-    for s, t in enumerate(_centers()):
-        ka, kb = jax.random.PRNGKey(2 * s + 1), jax.random.PRNGKey(2 * s + 2)
-        a = _render(START_A + t * VEL_A, ka)
-        b = _render(START_B + t * VEL_B, kb)
-        blocks.append(np.asarray(a) + np.asarray(b))
-    return np.concatenate(blocks, axis=-1)
+    global _CAPTURE
+    if _CAPTURE is None:
+        blocks = []
+        for s, t in enumerate(_centers()):
+            ka = jax.random.PRNGKey(2 * s + 1)
+            kb = jax.random.PRNGKey(2 * s + 2)
+            a = _render(START_A + t * VEL_A, ka)
+            b = _render(START_B + t * VEL_B, kb)
+            blocks.append(np.asarray(a) + np.asarray(b))
+        _CAPTURE = np.concatenate(blocks, axis=-1)
+    return _CAPTURE
 
 
 def _truth(start, vel, times):
@@ -148,6 +155,51 @@ def test_associate_detections_gate_coasts():
     assert not ok[3, 0]
     assert ok[:, 1].all()
     assert ok[[0, 1, 2, 4, 5], 0].all()
+
+
+def test_online_tracker_causal_identity():
+    """OnlineTracker: the CAUSAL per-hop version of the same association
+    (models/online.py — closes its documented 'association is the
+    caller's business' punt).  Same crossing capture streamed block by
+    block; identities must survive the crossing without any backward
+    smoothing."""
+    from pyaudiolocalization_tpu.models.online import (OnlineTracker,
+                                                       StreamingLocalizer)
+    sigs = _mixed_capture()
+    loc = StreamingLocalizer(MICS, FS, C, LOWER, UPPER, frame=2048,
+                             hop=1024, ema=0.4, num_sources=2,
+                             coarse_n=32, fine_n=12)
+    trk = OnlineTracker(loc, max_speed=3.0)
+    pos, pw, ok = trk.run(sigs)
+    assert pos.shape[1:] == (2, 3)
+    # Buffer-centre timestamps: after hop s the frame covers samples
+    # [(s+1)*hop - frame, (s+1)*hop), centred at s*hop for frame=2*hop.
+    times = np.arange(trk.warmup - 1,
+                      sigs.shape[-1] // 1024) * 1024 / FS
+    times = times[:pos.shape[0]]
+    ta = _truth(START_A, VEL_A, times)
+    tb = _truth(START_B, VEL_B, times)
+    d0a = np.linalg.norm(pos[0, :, :] - ta[0][None, :], axis=-1)
+    ia = int(np.argmin(d0a))
+    ib = 1 - ia
+    err_a = np.linalg.norm(pos[:, ia, :] - ta, axis=-1)
+    err_b = np.linalg.norm(pos[:, ib, :] - tb, axis=-1)
+    # Causal EMA lag + piecewise-static quantization: looser tolerances
+    # than the batch/RTS test; a swap at the crossing puts the last hops
+    # ~2 m off.
+    assert np.mean(err_a) < 0.4, err_a
+    assert np.mean(err_b) < 0.4, err_b
+    assert err_a[-1] < 0.6 and err_b[-1] < 0.6, (err_a, err_b)
+    assert ok.mean() > 0.5
+
+
+def test_online_tracker_validation():
+    from pyaudiolocalization_tpu.models.online import (OnlineTracker,
+                                                       StreamingLocalizer)
+    single = StreamingLocalizer(MICS, FS, C, LOWER, UPPER, frame=2048,
+                                hop=1024)
+    with pytest.raises(ValueError, match="num_sources"):
+        OnlineTracker(single)
 
 
 def test_track_multiple_validation():
