@@ -162,8 +162,10 @@ class StreamingLocalizer:
         coarse_n = self.coarse_n
         # num_sources > 1 localizes K simultaneous talkers per hop with
         # iterative-suppression SRP (models/srp.srp_phat_locate_multi);
-        # outputs gain a leading K axis in coarse extraction order — pair
-        # tracks across hops by nearest-neighbor on the caller's side.
+        # outputs gain a leading K axis in coarse extraction order —
+        # wrap with OnlineTracker (below) for identity-stable tracks
+        # (momentum-gated K! assignment), or run the batch
+        # models/tracking.track_multiple over a recorded capture.
         if num_sources < 1:
             raise ValueError("num_sources must be >= 1")
         if method == "music" and num_sources >= self.mics.shape[0]:
