@@ -350,6 +350,8 @@ def simulate_moving_source(start_pos,
                            key: Optional[jax.Array] = None,
                            snr_db=None,
                            finalize: bool = True,
+                           absorption: float = 0.01,
+                           freq_slope: float = 1e-6,
                            dtype=None) -> jnp.ndarray:
     """Render (M, duration*fs) mic signals for a source moving at constant
     velocity — the time-varying-delay counterpart of ``simulate_signals``
@@ -368,9 +370,19 @@ def simulate_moving_source(start_pos,
     moving source move along per-plane MIRRORED trajectories, so a
     reverberant mover is a sum of such renders — out of scope here.
 
-    Per-mic gains follow the same carrier-frequency log-attenuation law as
-    the static scene (geometric spreading + air absorption), referenced to
-    the strongest (mic, frame) so float32 cannot flush the render.
+    Per-mic gains follow the carrier-frequency log-attenuation law
+    (geometric spreading + ``absorption``·d + ``freq_slope``·freq·d air
+    loss per meter), referenced to the strongest (mic, frame) so float32
+    cannot flush the render.  The defaults are PHYSICAL air (the same
+    coefficients the physical-mode test scenes pass to
+    ``simulate_signals_fast``) — NOT the reference-parity material table:
+    its 'air' row carries the reference's defective freq coefficient 0.1
+    (SURVEY.md Q2 — e^{-0.1·f·d}), which under this render's GLOBAL gain
+    reference silences every mic ~0.2 m farther than the closest one
+    within a fraction of a second of motion (found 2026-08-20: two-mover
+    captures degenerated to single-mic-audible scenes and multi-source
+    detection 'drowned' at ~0.9 m error; the static parity path survives
+    the same table only because the reference normalizes PER MIC).
 
     Used by tests/test_tracking_motion.py to show segment-static tracking
     bias vs the motion-compensated tracker (models/tracking.py
@@ -428,11 +440,9 @@ def simulate_moving_source(start_pos,
     pos_k = start[None, :] + t_c[:, None] * vel[None, :]          # (K, 3)
     d_k = jnp.linalg.norm(pos_k[:, None, :] - mics[None, :, :],
                           axis=-1)                                # (K, M)
-    from ..utils.materials import default_table
-    table = default_table()
     la = acoustics.log_attenuation(
         d_k, AIR_ID, jnp.asarray(freq, dt),
-        jnp.asarray(table.absorption, dt), jnp.asarray(table.freq, dt))
+        jnp.asarray([absorption], dt), jnp.asarray([freq_slope], dt))
     gains = jnp.exp(la - jnp.max(la))                             # (K, M)
     delays = d_k / c
 
