@@ -7,10 +7,13 @@ the crossing a nearest-neighbor pairing would swap the tracks.
 assignment + per-track Kalman/RTS smoothing; ``OnlineTracker`` does the
 same causally, one hop at a time (streaming).
 
-The capture is piecewise-static (each segment renders the sources at
-their segment-centre positions) — see tests/test_track_multiple.py for
-why: the association layer assumes per-segment fixes; intra-segment
-motion smear is a per-segment detection problem, not an association one.
+The first capture is piecewise-static (each segment renders the sources
+at their segment-centre positions) to show the association layer on
+clean per-segment fixes.  The last section renders the same walkers with
+the genuinely MOVING WOLA render and runs ``motion='compensated'``:
+intra-segment smear drops static per-segment multi-source detections to
+~0.2-0.5 m, and the rate matched-filter bank + lag claiming +
+prediction-steered refinement restores ~2-3 cm.
 """
 
 import jax
@@ -70,3 +73,29 @@ print(f"{pos.shape[0]} hops; final tracks "
       f"{np.round(pos[-1, 0], 2)} / {np.round(pos[-1, 1], 2)} "
       f"(truth A ends ~{np.round(START_A + 1.47 * VEL_A, 2)}, "
       f"B ~{np.round(START_B + 1.47 * VEL_B, 2)})")
+
+print("\n== moving WOLA render: motion='compensated' vs 'static' ==")
+from pyaudiolocalization_tpu.models.simulator import simulate_moving_source
+
+dur = NUM_SEG * SEG / FS
+wa = simulate_moving_source(START_A, VEL_A, MICS, FS, C, dur, "noise",
+                            key=jax.random.PRNGKey(11))
+wb = simulate_moving_source(START_B, VEL_B, MICS, FS, C, dur, "noise",
+                            key=jax.random.PRNGKey(22))
+moving = np.asarray(wa) + np.asarray(wb)
+for motion in ("static", "compensated"):
+    mt = tracking.track_multiple(
+        jnp.asarray(moving), jnp.asarray(MICS), FS, C,
+        jnp.asarray(LOWER), jnp.asarray(UPPER), num_sources=2,
+        segment=SEG, hop=SEG, coarse_n=32, fine_n=12, max_speed=3.0,
+        motion=motion)
+    times = np.asarray(mt.times)
+    pos2 = np.asarray(mt.positions)
+    ta = START_A + times[:, None] * VEL_A
+    tb = START_B + times[:, None] * VEL_B
+    ia = int(np.argmin(np.linalg.norm(pos2[0] - ta[0][None], axis=-1)))
+    ea = np.linalg.norm(pos2[:, ia] - ta, axis=-1)
+    eb = np.linalg.norm(pos2[:, 1 - ia] - tb, axis=-1)
+    print(f"motion='{motion}': per-segment detection error "
+          f"A mean {ea.mean():.3f} m, B mean {eb.mean():.3f} m "
+          f"(final {ea[-1]:.3f} / {eb[-1]:.3f})")
