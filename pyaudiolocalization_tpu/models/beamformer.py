@@ -277,7 +277,11 @@ def stack_taps(spectra: jnp.ndarray, taps: int,
     if valid:
         blocks = [spectra[:, taps - 1 - l:t - l, :] for l in range(taps)]
     else:
-        pad = jnp.zeros((m, taps - 1, f), spectra.dtype)
+        # No complex jnp.zeros: a complex CONSTANT cannot cross the axon
+        # host->device tunnel (CLAUDE.md) — build the zero pad on-device
+        # from real planes.
+        zr = jnp.zeros((m, taps - 1, f), jnp.real(spectra).dtype)
+        pad = jax.lax.complex(zr, zr)
         ext = jnp.concatenate([pad, spectra], axis=1)
         blocks = [ext[:, taps - 1 - l:taps - 1 - l + t, :]
                   for l in range(taps)]

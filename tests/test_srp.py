@@ -110,3 +110,60 @@ def test_quadratic_peak_offset_recovers_subcell_peak():
     ke = jnp.argmax(vals_edge)
     off = quadratic_peak_offset(vals_edge, ke, n, spacing)
     assert float(jnp.abs(off[0])) == 0.0
+
+
+def test_srp_multi_lag_claiming_kills_combinatorial_ghost():
+    """suppression='claim' vs 'spatial' on a pinned ghost-prone scene.
+
+    With only 6 pairs (4-mic tetra), the intersections of MIXED pair
+    hyperbolae (pair p voting source 1's lag, pair q source 2's) form
+    combinatorial ghosts; in this scene (found by a seeded sweep,
+    2026-08-20) the spatial-ball mode's second extraction locks onto a
+    ghost ~0.2 m from source 1 (0.63 m summed-assignment error) because
+    the ball around peak 1 cannot remove peak 1's LAG contributions.
+    Claiming nulls ±4 lags around each extraction's per-pair lags and
+    recovers both talkers to ~3 mm.  A/B over 136 random scenes: claiming
+    never measured worse (see srp_phat_locate_multi's docstring)."""
+    from pyaudiolocalization_tpu.ops.fftutils import next_pow2
+    from pyaudiolocalization_tpu.models.simulator import simulate_signals_fast
+
+    tetra = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0],
+                      [1.5, 3.0, 0.0], [1.5, 1.5, 2.0]])
+    pi, pj = np.triu_indices(4, 1)
+    pi = pi.astype(np.int32)
+    pj = pj.astype(np.int32)
+    lo = jnp.asarray(tetra.min(0) - 0.1)
+    hi = jnp.asarray(tetra.max(0) + 0.1)
+    pa = np.array([2.051, 2.454, 1.48])
+    pb = np.array([1.027, 2.829, 1.07])
+    dur = 0.128
+    nfft = next_pow2(int(dur * FS))
+    sig = 0.0
+    for i, p in enumerate((pa, pb)):
+        x = simulate_signals_fast(p, tetra, FS, C, dur, "noise", 500.0,
+                                  None, None, jnp.asarray([0.01]),
+                                  jnp.asarray([1e-6]), 0, 1e-4,
+                                  key=jax.random.PRNGKey(2018 + i))
+        sig = sig + np.asarray(x)
+    rng = np.random.default_rng(77)   # private seeded RNG (CLAUDE.md rule)
+    rms = np.sqrt((sig ** 2).mean())
+    sig = (sig + rng.normal(size=sig.shape) * rms * 0.1)[:, :int(dur * FS)]
+    corr = gccphat.gcc_phat_all_pairs(jnp.asarray(sig), pi, pj, nfft=nfft,
+                                      fs=FS)
+
+    def err(sup):
+        out = srp.srp_phat_locate_multi(
+            corr, jnp.asarray(tetra), pi, pj, FS, C, lo, hi,
+            num_sources=2, coarse_n=28, fine_n=12, suppression=sup)
+        d = np.asarray(out.positions)
+        m = np.stack([np.linalg.norm(d - pa, axis=-1),
+                      np.linalg.norm(d - pb, axis=-1)])
+        return min(m[0, 0] + m[1, 1], m[0, 1] + m[1, 0]) / 2
+
+    e_claim = err("claim")
+    e_spatial = err("spatial")
+    assert e_claim < 0.05, e_claim          # measured 0.0025
+    assert e_spatial > 0.3, e_spatial       # measured 0.63 (the ghost)
+    with pytest.raises(ValueError, match="suppression"):
+        srp.srp_phat_locate_multi(corr, jnp.asarray(tetra), pi, pj, FS, C,
+                                  lo, hi, num_sources=2, suppression="nms")
