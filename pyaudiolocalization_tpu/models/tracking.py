@@ -24,6 +24,7 @@ filters are 2-state and the 2x2 algebra is closed-form.
 
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import NamedTuple, Optional, Tuple
 
@@ -159,6 +160,9 @@ def kalman_rts_smooth(positions: jnp.ndarray,
     return x_smooth[..., 0], x_smooth[..., 1]
 
 
+@functools.partial(jax.jit, static_argnames=("pi", "pj", "fs", "band",
+                                             "weighting", "nsub", "wn",
+                                             "nfft_f"))
 def _subframe_windows(segs: jnp.ndarray, pi, pj, fs: float, band,
                       weighting: str, nsub: int, wn: int,
                       nfft_f: int) -> jnp.ndarray:
@@ -169,7 +173,13 @@ def _subframe_windows(segs: jnp.ndarray, pi, pj, fs: float, band,
     cut out in linear lag order (index wn = lag 0).  Shared by the
     single-source rate FIT path (:func:`_motion_compensated_corr`) and the
     multi-track rate-STEERED refinement (:func:`_refine_tracks_compensated`).
+    Jitted at definition: on TPU the packed-pair transforms' EAGER complex
+    stacks/broadcasts dispatch unimplemented axon kernels (found on the
+    first TPU exercise of this path, 2026-08-20) — and eager per-op
+    dispatch is ~ms/op anyway (CLAUDE.md).
     """
+    pi = np.asarray(pi, np.int32)
+    pj = np.asarray(pj, np.int32)
     s_dim, m, seg_len = segs.shape
     lf = seg_len // nsub
     sub = segs[:, :, :nsub * lf].reshape(s_dim, m, nsub, lf)
@@ -179,6 +189,14 @@ def _subframe_windows(segs: jnp.ndarray, pi, pj, fs: float, band,
     return jnp.concatenate([corr[..., -wn:], corr[..., :wn + 1]], -1)
 
 
+@functools.partial(jax.jit, static_argnames=("npad",))
+def _rfft_pad(win: jnp.ndarray, npad: int) -> jnp.ndarray:
+    return jnp.fft.rfft(win, n=npad, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("pi", "pj", "fs", "band",
+                                             "weighting", "nsub", "w_half",
+                                             "s_max", "nfft_f"))
 def _motion_compensated_corr(segs: jnp.ndarray, pi, pj, fs: float, band,
                              weighting: str, nsub: int, w_half: int,
                              s_max: int, nfft_f: int):
@@ -377,8 +395,8 @@ def localize_trajectory(signals: jnp.ndarray,
                 f"subframe transform {nfft_f}: use a longer segment, "
                 "fewer motion_subframes, or a smaller max_speed")
         circ, tau_dot, wts = _motion_compensated_corr(
-            segs, pi, pj, fs, band, weighting, motion_subframes, w_half,
-            s_max, nfft_f)
+            segs, tuple(pi.tolist()), tuple(pj.tolist()), float(fs), band,
+            weighting, motion_subframes, w_half, s_max, nfft_f)
 
         def locate_one(corr_s):
             out = srp_ops.srp_phat_locate(corr_s, mic_positions, pi, pj,
@@ -443,6 +461,9 @@ def localize_trajectory(signals: jnp.ndarray,
 _CLAIM_LAGS = 6.0
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "pi", "pj", "fs", "num_sources", "npad", "wlen", "w_half", "s_max",
+    "nfft_f", "coarse_n", "fine_n", "min_separation"))
 def _detect_rate_envelope(spec, mics_dev, pi, pj, fs, c, lower, upper,
                           num_sources, dt_f, npad, wlen, w_half, s_max,
                           nfft_f, coarse_n, fine_n, min_separation):
@@ -482,7 +503,12 @@ def _detect_rate_envelope(spec, mics_dev, pi, pj, fs, c, lower, upper,
 
     spec: (S, nsub, P, NB) rfft of the subframe windows.  Returns
     detections (S, K, 3) and powers (S, K) in extraction order.
+    Jitted at definition (``pi``/``pj`` are static tuples): eagerly, the
+    complex alignment ops dispatch unimplemented axon kernels on TPU and
+    pay ~ms/op through the tunnel.
     """
+    pi = np.asarray(pi, np.int32)
+    pj = np.asarray(pj, np.int32)
     dtype = dt_f.dtype
     dtf_max = jnp.maximum(dt_f[-1], 1.0)
     n_r = 2 * s_max + 1
@@ -520,6 +546,9 @@ def _detect_rate_envelope(spec, mics_dev, pi, pj, fs, c, lower, upper,
     return jax.vmap(one)(spec)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "pi", "pj", "fs", "npad", "wlen", "w_half", "s_max", "box",
+    "box_coarse_n", "fine_n", "pool_w"))
 def _refine_tracks_compensated(spec, smoothed, vels, mics_dev, pi, pj, fs,
                                c, lower, upper, dt_f, npad, wlen, w_half,
                                s_max, box, box_coarse_n, fine_n, pool_w):
@@ -538,7 +567,11 @@ def _refine_tracks_compensated(spec, smoothed, vels, mics_dev, pi, pj, fs,
     accurate enough that prediction beats measurement (see
     ``track_multiple``).  spec: (S, nsub, P, NB) rfft of the subframe
     windows.  Returns refined (S, K, 3) positions and (S, K) powers.
+    Jitted at definition (``pi``/``pj`` static tuples) — see
+    :func:`_detect_rate_envelope`.
     """
+    pi = np.asarray(pi, np.int32)
+    pj = np.asarray(pj, np.int32)
     dtf_max = jnp.maximum(dt_f[-1], 1.0)
     k_bins = jnp.arange(npad // 2 + 1, dtype=smoothed.dtype)
     box_v = jnp.asarray(box, smoothed.dtype)
@@ -802,18 +835,20 @@ def track_multiple(signals: jnp.ndarray,
                 f"{w_half} + drift margin {s_max} lags) exceeds the "
                 f"subframe transform {nfft_f}: use a longer segment, "
                 "fewer motion_subframes, or a smaller max_speed")
-        win = _subframe_windows(segs, pi, pj, fs, band, weighting,
-                                motion_subframes, wn, nfft_f)
+        pi_t = tuple(pi.tolist())
+        pj_t = tuple(pj.tolist())
+        win = _subframe_windows(segs, pi_t, pj_t, float(fs), band,
+                                weighting, motion_subframes, wn, nfft_f)
         dtype = win.dtype
         npad = int(2 ** np.ceil(np.log2(wlen)))
-        spec = jnp.fft.rfft(win, n=npad, axis=-1)
+        spec = _rfft_pad(win, npad)
         mics_dev = jnp.asarray(mic_positions, dtype)
         dt_f = jnp.asarray((np.arange(motion_subframes) + 0.5) * lf
                            - (motion_subframes * lf) / 2.0, dtype)
         dets, powers = _detect_rate_envelope(
-            spec, mics_dev, pi, pj, fs, c, lower, upper, num_sources,
-            dt_f, npad, wlen, w_half, s_max, nfft_f, coarse_n, fine_n,
-            min_separation)
+            spec, mics_dev, pi_t, pj_t, float(fs), c, lower, upper,
+            num_sources, dt_f, npad, wlen, w_half, s_max, nfft_f,
+            coarse_n, fine_n, min_separation)
     else:
         def one(seg):
             corr = gccphat.gcc_phat_all_pairs(seg, pi, pj, nfft=nfft,
@@ -847,8 +882,8 @@ def track_multiple(signals: jnp.ndarray,
                                     * float(fs) / float(c))))
         for _ in range(max(int(motion_iterations), 0)):
             assoc_pos, assoc_pow = _refine_tracks_compensated(
-                spec, smoothed, vels, mics_dev, pi, pj, fs, c, lo_d, hi_d,
-                dt_f, npad, wlen, w_half, s_max, gate,
+                spec, smoothed, vels, mics_dev, pi_t, pj_t, float(fs), c,
+                lo_d, hi_d, dt_f, npad, wlen, w_half, s_max, float(gate),
                 box_coarse_n=box_coarse_n, fine_n=fine_n, pool_w=pool_w)
             smoothed, vels = smooth(assoc_pos, assoc_pow)
 
