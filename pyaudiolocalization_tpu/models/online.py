@@ -115,7 +115,8 @@ class StreamingLocalizer:
                  num_bins: int = 8,
                  loading: float = 1e-3,
                  nb_frame: int = 256,
-                 weighting: str = "phat"):
+                 weighting: str = "phat",
+                 suppression: str = "spatial"):
         if frame & (frame - 1):
             raise ValueError("frame must be a power of two")
         if frame % hop:
@@ -171,8 +172,16 @@ class StreamingLocalizer:
         if method == "music" and num_sources >= self.mics.shape[0]:
             raise ValueError("music needs num_sources < num_mics (noise "
                              "subspace must be non-empty)")
+        if suppression not in ("spatial", "claim"):
+            raise ValueError("suppression must be 'spatial' or 'claim'")
         self.num_sources = num_sources
         self.min_separation = min_separation
+        # Multi-source broadband extraction mode: 'claim' nulls each
+        # extracted source's per-pair lags before the next search (kills
+        # the mixed-pair SRP ghosts that outbid a weaker talker on sparse
+        # arrays — see srp_phat_locate_multi); the narrowband methods
+        # have their own bin claiming (_claimed_multi_search).
+        self.suppression = suppression
         self.method = method
         self.num_bins = int(num_bins)
         self.loading = float(loading)
@@ -458,7 +467,8 @@ class StreamingLocalizer:
                 corr, self.mics, self.pi, self.pj, self.fs, self.c,
                 self.lower, self.upper, num_sources=self.num_sources,
                 coarse_n=self.coarse_n, fine_n=self.fine_n,
-                min_separation=self.min_separation, pool_samples=self.pool)
+                min_separation=self.min_separation, pool_samples=self.pool,
+                suppression=self.suppression)
             return StreamOutput(multi.positions, multi.powers, new_state)
         out = srp_ops.srp_phat_locate(
             corr, self.mics, self.pi, self.pj, self.fs, self.c,

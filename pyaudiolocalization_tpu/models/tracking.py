@@ -729,7 +729,8 @@ def track_multiple(signals: jnp.ndarray,
                    max_speed: float = 5.0,
                    motion: str = "static",
                    motion_subframes: int = 8,
-                   motion_iterations: int = 2) -> MultiTrack:
+                   motion_iterations: int = 2,
+                   suppression: str = "spatial") -> MultiTrack:
     """Track ``num_sources`` simultaneous movers with identity maintenance.
 
     Beyond parity (the reference is single-source static, main.py:126);
@@ -755,7 +756,10 @@ def track_multiple(signals: jnp.ndarray,
     ``gate`` defaults to ``max_speed * dt + 0.3`` meters (dt = hop/fs).
     Sources must be mutually low-correlated (independent talkers) for the
     suppression SRP to separate them — same caveat as
-    ``srp_phat_locate_multi``.
+    ``srp_phat_locate_multi``.  ``suppression`` selects the static-mode
+    extraction ('spatial' ball or per-pair lag 'claim' — prefer 'claim'
+    on sparse arrays, see ``srp_phat_locate_multi``); the compensated
+    mode below always claims.
 
     ``motion='compensated'`` handles sources that move WITHIN a segment.
     A mover drifts each pair delay by up to 2·speed/c·segment samples,
@@ -857,7 +861,7 @@ def track_multiple(signals: jnp.ndarray,
             out = srp_ops.srp_phat_locate_multi(
                 corr, mic_positions, pi, pj, fs, c, lower, upper,
                 num_sources=num_sources, coarse_n=coarse_n, fine_n=fine_n,
-                min_separation=min_separation)
+                min_separation=min_separation, suppression=suppression)
             return out.positions, out.powers
 
         dets, powers = jax.vmap(one)(segs)          # (S, K, 3), (S, K)

@@ -220,3 +220,26 @@ def test_stream_method_validation():
     with pytest.raises(ValueError, match="noise"):
         # 4 mics cannot protect a 4-source MUSIC subspace.
         _localizer(method="music", num_sources=4)
+
+
+def test_streaming_multi_claim_suppression():
+    """suppression='claim' pass-through: the broadband multi hop uses
+    lag-claiming extraction (srp_phat_locate_multi); invalid values raise."""
+    mics = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0],
+                     [1.5, 3.0, 0.0], [1.5, 1.5, 2.0]])
+    lower = np.zeros(3)
+    upper = np.array([3.2, 3.2, 2.2])
+    with pytest.raises(ValueError, match="suppression"):
+        StreamingLocalizer(mics, 16000.0, 343.0, lower, upper,
+                           num_sources=2, suppression="nms")
+    loc = StreamingLocalizer(mics, 16000.0, 343.0, lower, upper,
+                             frame=2048, hop=1024, num_sources=2,
+                             coarse_n=24, fine_n=10, suppression="claim")
+    rng = np.random.default_rng(123)   # private seeded RNG (CLAUDE.md)
+    sigs = rng.standard_normal((4, 4096)).astype(np.float64)
+    state = loc.init_state()
+    for k in range(sigs.shape[-1] // 1024):
+        out = loc.step(state, sigs[:, k * 1024:(k + 1) * 1024])
+        state = out.state
+    assert np.asarray(out.position).shape == (2, 3)
+    assert np.isfinite(np.asarray(out.position)).all()

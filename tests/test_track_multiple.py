@@ -277,3 +277,11 @@ def test_track_multiple_validation():
         tracking.track_multiple(sig[:, :100], jnp.asarray(MICS), FS, C,
                                 jnp.asarray(LOWER), jnp.asarray(UPPER),
                                 num_sources=2)
+
+
+def test_track_multiple_suppression_validation():
+    sig = jnp.zeros((4, 8192))
+    with pytest.raises(ValueError, match="suppression"):
+        tracking.track_multiple(sig, jnp.asarray(MICS), FS, C,
+                                jnp.asarray(LOWER), jnp.asarray(UPPER),
+                                num_sources=2, suppression="nms")
