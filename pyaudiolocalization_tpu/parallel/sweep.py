@@ -135,6 +135,10 @@ class SweepSpec:
     # Optional per-source frequency override for deterministic signal types
     # (two same-frequency sines are fully coherent and cannot be separated).
     source_freqs: Optional[tuple] = None
+    # Multi-source extraction mode: 'spatial' suppression ball, or 'claim'
+    # (per-pair lag claiming between extractions — prefer on sparse arrays,
+    # see models/srp.srp_phat_locate_multi).
+    suppression: str = "spatial"
     filter_method: str = "butterworth"
     lowcut: float = 300.0
     highcut: float = 3400.0
@@ -273,6 +277,8 @@ def _check_spec(spec: SweepSpec) -> None:
             f"unknown gcc_weighting {spec.gcc_weighting!r}; sweeps support "
             "'phat', 'scot', 'roth', 'cc' ('ml' needs Welch-averaged "
             "spectra — single-snapshot scene coherence is degenerate)")
+    if spec.suppression not in ("spatial", "claim"):
+        raise ValueError("suppression must be 'spatial' or 'claim'")
     if spec.num_sources > 1:
         if spec.solver not in ("srp", "music", "capon"):
             raise ValueError(
@@ -347,7 +353,8 @@ def _estimate_multi(spec: SweepSpec, signals: jnp.ndarray, mics: jnp.ndarray,
         jnp.asarray(blo, signals.dtype), jnp.asarray(bhi, signals.dtype),
         num_sources=spec.num_sources, coarse_n=coarse_n,
         min_separation=sep, pool_samples=pool,
-        max_lag_samples=int(np.ceil(spec.max_tdoa * spec.fs)))
+        max_lag_samples=int(np.ceil(spec.max_tdoa * spec.fs)),
+        suppression=spec.suppression)
     # Negated SRP power, matching the single-source 'srp' branch's cost
     # convention (lower = better) across both localize_batch shapes.
     return out.positions, -out.powers, td

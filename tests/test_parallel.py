@@ -261,3 +261,25 @@ def test_multi_source_spec_validation():
     with pytest.raises(ValueError, match="num_sources entries"):
         run_scene(dataclasses.replace(MULTI_SPEC, source_freqs=(500.0,)),
                   jax.random.PRNGKey(0))
+
+
+def test_sweep_multi_source_claim_suppression():
+    """SweepSpec.suppression='claim' routes the multi-source scenes through
+    lag-claiming extraction; accuracy on the easy 8-mic cube must match the
+    spatial mode (the claim A/B's win case is sparse arrays — see
+    models/srp.srp_phat_locate_multi)."""
+    from pyaudiolocalization_tpu.parallel import SweepSpec, monte_carlo_sweep
+    cube8 = ((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+             (0.0, 0.0, 1.0), (1.0, 1.0, 0.0), (1.0, 0.0, 1.0),
+             (0.0, 1.0, 1.0), (1.0, 1.0, 1.0))
+    base = dict(fs=16000.0, duration=0.1, signal_type="noise",
+                mic_positions=cube8, solver="srp", num_sources=2,
+                source_min_separation=0.4, source_box_lo=(0.15,) * 3,
+                source_box_hi=(0.85,) * 3, snr_db=(25.0, 35.0))
+    s_claim = monte_carlo_sweep(SweepSpec(suppression="claim", **base),
+                                jax.random.PRNGKey(31), 8)
+    assert float(s_claim.rmse) < 0.05, float(s_claim.rmse)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="suppression"):
+        monte_carlo_sweep(SweepSpec(suppression="nms", **base),
+                          jax.random.PRNGKey(31), 8)
