@@ -116,7 +116,10 @@ class StreamingLocalizer:
                  loading: float = 1e-3,
                  nb_frame: int = 256,
                  weighting: str = "phat",
-                 suppression: str = "spatial"):
+                 suppression: str = "spatial",
+                 motion: str = "static",
+                 motion_subframes: int = 8,
+                 max_speed: float = 5.0):
         if frame & (frame - 1):
             raise ValueError("frame must be a power of two")
         if frame % hop:
@@ -174,6 +177,14 @@ class StreamingLocalizer:
                              "subspace must be non-empty)")
         if suppression not in ("spatial", "claim"):
             raise ValueError("suppression must be 'spatial' or 'claim'")
+        if motion not in ("static", "compensated"):
+            raise ValueError("motion must be 'static' or 'compensated'")
+        if motion == "compensated" and method != "srp":
+            raise ValueError("motion='compensated' requires method='srp'")
+        if motion == "compensated" and weighting == "ml":
+            raise ValueError("motion='compensated' uses single-snapshot "
+                             "subframe GCCs — 'ml' needs Welch-averaged "
+                             "coherence")
         self.num_sources = num_sources
         self.min_separation = min_separation
         # Multi-source broadband extraction mode: 'claim' nulls each
@@ -203,6 +214,39 @@ class StreamingLocalizer:
         else:
             self._mask = None
             self._mask_nb = None
+        self.motion = motion
+        if motion == "compensated":
+            # Per-hop rate matched-filter-bank detection on the CURRENT
+            # frame (models/tracking._detect_rate_envelope): the EMA'd
+            # cross-spectra smear a mover across hops on top of the
+            # intra-frame drift, so compensated mode detects on the live
+            # frame's subframe GCCs instead.  Sizing mirrors
+            # track_multiple's (host-side, concrete mics).
+            lf = frame // motion_subframes
+            if lf < 64:
+                raise ValueError("frame // motion_subframes must be >= 64")
+            mics_np = np.asarray(mic_positions, float)
+            diam = float(np.max(np.linalg.norm(
+                mics_np[:, None, :] - mics_np[None, :, :], axis=-1)))
+            self._mc_nsub = int(motion_subframes)
+            self._mc_nfft = int(2 ** int(np.ceil(np.log2(2 * lf))))
+            self._mc_whalf = int(np.ceil(diam * float(fs) / float(c))) + 12
+            self._mc_smax = int(np.ceil(2.0 * float(max_speed) / float(c)
+                                        * frame / 2.0)) + 2
+            wn = self._mc_whalf + self._mc_smax
+            self._mc_wlen = 2 * wn + 1
+            if self._mc_wlen > self._mc_nfft:
+                raise ValueError(
+                    "motion='compensated' alignment window (mic diameter "
+                    f"{self._mc_whalf} + drift margin {self._mc_smax} "
+                    f"lags) exceeds the subframe transform "
+                    f"{self._mc_nfft}: use a longer frame, fewer "
+                    "motion_subframes, or a smaller max_speed")
+            self._mc_npad = int(2 ** int(np.ceil(np.log2(self._mc_wlen))))
+            self._mc_dtf = jnp.asarray(
+                ((np.arange(motion_subframes) + 0.5) * lf
+                 - (motion_subframes * lf) / 2.0).astype(np.float32))
+            self._band = band
         self._step = jax.jit(self._step_impl)
         self._run = jax.jit(self._run_impl)
 
@@ -460,8 +504,26 @@ class StreamingLocalizer:
             self.weighting, gccphat.PHAT_EPS)
         if self._mask is not None:
             white = white * self._mask
-        corr = jnp.fft.irfft(white, n=self.frame)
         new_state = StreamState(buf, cr, ci, auto, state.count + 1)
+        if self.motion == "compensated":
+            from . import tracking as tracking_ops
+            pi_t = tuple(self.pi.tolist())
+            pj_t = tuple(self.pj.tolist())
+            wn = self._mc_whalf + self._mc_smax
+            win = tracking_ops._subframe_windows(
+                buf[None], pi_t, pj_t, self.fs, self._band, self.weighting,
+                self._mc_nsub, wn, self._mc_nfft)
+            spec_w = jnp.fft.rfft(win, n=self._mc_npad, axis=-1)
+            dets, powers = tracking_ops._detect_rate_envelope(
+                spec_w, self.mics, pi_t, pj_t, self.fs, self.c,
+                self.lower, self.upper, self.num_sources, self._mc_dtf,
+                self._mc_npad, self._mc_wlen, self._mc_whalf,
+                self._mc_smax, self._mc_nfft, self.coarse_n, self.fine_n,
+                None)
+            if self.num_sources > 1:
+                return StreamOutput(dets[0], powers[0], new_state)
+            return StreamOutput(dets[0, 0], powers[0, 0], new_state)
+        corr = jnp.fft.irfft(white, n=self.frame)
         if self.num_sources > 1:
             multi = srp_ops.srp_phat_locate_multi(
                 corr, self.mics, self.pi, self.pj, self.fs, self.c,
@@ -580,7 +642,15 @@ class OnlineTracker:
         vel_eff = jnp.where(warm, vel, jnp.zeros_like(vel))
         (pos_new, vel_new), (z, zp, ok) = self._assoc(
             pos_eff, vel_eff, det, pw, self.dt, self.gate)
-        return TrackedOutput(z, zp, ok & warm, vel_new,
+        # Emit the raw (reordered) detection when it passed the gate, the
+        # coasting prediction otherwise — a gated-out detection is by
+        # definition a wild fix (ghost / dropout) and emitting it raw
+        # hands the consumer a ~1 m outlier with only a False flag to
+        # catch it.
+        ok_eff = ok & warm
+        pred = pos_eff + vel_eff * self.dt
+        emit = jnp.where(ok_eff[:, None], z, pred)
+        return TrackedOutput(emit, zp, ok_eff, vel_new,
                              (out.state, pos_new, vel_new, n + 1))
 
     def run(self, signals) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -108,6 +108,26 @@ def test_crossing_movers_keep_identity():
     assert np.asarray(mt.associated).mean() > 0.5
 
 
+_WOLA_CAPTURE = None
+_WOLA_SEGS = 10
+
+
+def _wola_capture():
+    """Shared genuinely-moving capture (WOLA render, both walkers summed)
+    for the batch and streaming compensated tests."""
+    global _WOLA_CAPTURE
+    if _WOLA_CAPTURE is None:
+        from pyaudiolocalization_tpu.models.simulator import (
+            simulate_moving_source)
+        dur = _WOLA_SEGS * SEGMENT / FS
+        a = simulate_moving_source(START_A, VEL_A, MICS, FS, C, dur,
+                                   "noise", key=jax.random.PRNGKey(11))
+        b = simulate_moving_source(START_B, VEL_B, MICS, FS, C, dur,
+                                   "noise", key=jax.random.PRNGKey(22))
+        _WOLA_CAPTURE = np.asarray(a) + np.asarray(b)
+    return _WOLA_CAPTURE
+
+
 def test_crossing_movers_wola_motion_compensated():
     """Full WOLA moving render (the hard case the piecewise-static capture
     above deliberately avoids): at 1.2 m/s, intra-segment smear drops the
@@ -117,15 +137,7 @@ def test_crossing_movers_wola_motion_compensated():
     ~2-3 cm with identities held through the crossing (measured
     2026-08-20: compensated means 0.029/0.022 m vs static 0.23/0.47 m on
     the 12-segment version of this scene)."""
-    from pyaudiolocalization_tpu.models.simulator import (
-        simulate_moving_source)
-    n_seg = 10
-    dur = n_seg * SEGMENT / FS
-    a = simulate_moving_source(START_A, VEL_A, MICS, FS, C, dur, "noise",
-                               key=jax.random.PRNGKey(11))
-    b = simulate_moving_source(START_B, VEL_B, MICS, FS, C, dur, "noise",
-                               key=jax.random.PRNGKey(22))
-    sigs = np.asarray(a) + np.asarray(b)
+    sigs = _wola_capture()
 
     def run(motion):
         mt = tracking.track_multiple(
@@ -154,6 +166,47 @@ def test_crossing_movers_wola_motion_compensated():
     assert (np.mean(st_a) + np.mean(st_b)) > 2.0 * (np.mean(err_a)
                                                     + np.mean(err_b)), \
         (st_a, st_b, err_a, err_b)
+
+
+def test_online_tracker_wola_motion_compensated():
+    """CAUSAL crossing-walkers tracking on the genuinely moving render:
+    StreamingLocalizer(motion='compensated') detects each hop with the
+    rate matched-filter bank + lag claiming on the LIVE frame (the EMA'd
+    cross-spectra smear movers across hops on top of intra-frame drift),
+    and OnlineTracker's momentum association holds identity through the
+    crossing with no backward smoothing.  Gated-out hops emit the
+    coasting prediction, not the wild detection.  Measured 2026-08-21:
+    compensated means 0.018/0.044 m (ok 0.85) vs static 0.029/0.367 m
+    with track B lost after the crossing (12-segment scene)."""
+    from pyaudiolocalization_tpu.models.online import (OnlineTracker,
+                                                       StreamingLocalizer)
+    sigs = _wola_capture()
+    loc = StreamingLocalizer(MICS, FS, C, LOWER, UPPER, frame=2048,
+                             hop=1024, ema=0.4, num_sources=2,
+                             coarse_n=32, fine_n=12, motion="compensated",
+                             max_speed=3.0)
+    trk = OnlineTracker(loc, max_speed=3.0)
+    pos, pw, ok = trk.run(sigs)
+    times = np.arange(trk.warmup - 1, sigs.shape[-1] // 1024) * 1024 / FS
+    times = times[:pos.shape[0]]
+    ta = _truth(START_A, VEL_A, times)
+    tb = _truth(START_B, VEL_B, times)
+    ia = int(np.argmin(np.linalg.norm(pos[0] - ta[0][None], axis=-1)))
+    ea = np.linalg.norm(pos[:, ia] - ta, axis=-1)
+    eb = np.linalg.norm(pos[:, 1 - ia] - tb, axis=-1)
+    assert np.mean(ea) < 0.2, ea
+    assert np.mean(eb) < 0.2, eb
+    assert ea[-1] < 0.45 and eb[-1] < 0.45, (ea, eb)
+    assert ok.mean() > 0.6
+
+
+def test_streaming_motion_validation():
+    from pyaudiolocalization_tpu.models.online import StreamingLocalizer
+    with pytest.raises(ValueError, match="motion"):
+        StreamingLocalizer(MICS, FS, C, LOWER, UPPER, motion="warp")
+    with pytest.raises(ValueError, match="compensated"):
+        StreamingLocalizer(MICS, FS, C, LOWER, UPPER, method="music",
+                           motion="compensated")
 
 
 def test_track_multiple_motion_validation():
