@@ -395,21 +395,35 @@ def section_tracking(scale):
     print("| mode | mean err A (m) | mean err B (m) | final err A | "
           "final err B |")
     print("|---|---|---|---|---|")
+    def report(name, pos, times):
+        ta = sa + times[:, None] * va
+        tb = sb + times[:, None] * vb
+        ia = int(np.argmin(np.linalg.norm(pos[0] - ta[0][None], axis=-1)))
+        ea = np.linalg.norm(pos[:, ia] - ta, axis=-1)
+        eb = np.linalg.norm(pos[:, 1 - ia] - tb, axis=-1)
+        print(f"| {name} | {ea.mean():.3f} | {eb.mean():.3f} | "
+              f"{ea[-1]:.3f} | {eb[-1]:.3f} |")
+
     for motion in ("static", "compensated"):
         mt = tracking.track_multiple(
             jnp.asarray(mix), jnp.asarray(mics), fs, c,
             jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([3.2, 3.2, 2.2]),
             num_sources=2, segment=seg, hop=seg, coarse_n=32, fine_n=12,
             max_speed=3.0, motion=motion)
-        times = np.asarray(mt.times)
-        pos = np.asarray(mt.positions)
-        ta = sa + times[:, None] * va
-        tb = sb + times[:, None] * vb
-        ia = int(np.argmin(np.linalg.norm(pos[0] - ta[0][None], axis=-1)))
-        ea = np.linalg.norm(pos[:, ia] - ta, axis=-1)
-        eb = np.linalg.norm(pos[:, 1 - ia] - tb, axis=-1)
-        print(f"| {motion} | {ea.mean():.3f} | {eb.mean():.3f} | "
-              f"{ea[-1]:.3f} | {eb[-1]:.3f} |")
+        report(motion, np.asarray(mt.positions), np.asarray(mt.times))
+
+    from pyaudiolocalization_tpu.models.online import (OnlineTracker,
+                                                       StreamingLocalizer)
+    loc = StreamingLocalizer(mics, fs, c, np.zeros(3),
+                             np.array([3.2, 3.2, 2.2]), frame=2048,
+                             hop=1024, ema=0.4, num_sources=2, coarse_n=32,
+                             fine_n=12, motion="compensated", max_speed=3.0)
+    trk = OnlineTracker(loc, max_speed=3.0)
+    pos, _, ok = trk.run(mix)
+    times = (np.arange(trk.warmup - 1, mix.shape[-1] // 1024)
+             * 1024 / fs)[:pos.shape[0]]
+    report(f"causal compensated (OnlineTracker, ok {ok.mean():.0%})",
+           pos, times)
 
 
 SECTIONS = {"snr": section_snr, "weighting": section_weighting,
