@@ -52,9 +52,11 @@ def _cpu_cache_dir() -> str:
 _cache_dir = _cpu_cache_dir()
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-# 0.3 s: the suite compiles dozens of mid-size (0.3-2 s) graphs per run;
-# caching them is worth far more than the ~ms spent serializing each.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# 0.1 s: the suite compiles dozens of mid-size graphs per run; caching them
+# is worth far more than the ~ms spent serializing each.  Lowered from 0.3
+# (2026-08-21) so the 0.1-0.3 s compiles ALSO become disk loads — the
+# module-boundary jax.clear_caches() below re-pays them otherwise.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np
 import pytest
@@ -110,18 +112,24 @@ def _gc_freeze_between_modules():
     the permanent generation, so gen-2 scans only ever cover the current
     module's allocations.
 
-    Also the fallback half of the mmap-exhaustion guard (see
-    _raise_map_count_limit): when the limit could not be raised and the
-    map count nears the default wall, drop jax's executable caches —
-    recompiles cost minutes, so only then."""
-    if not _MAPS_RAISED:
-        try:
-            with open("/proc/self/maps") as f:
-                n_maps = sum(1 for _ in f)
-        except OSError:
-            n_maps = 0
-        if n_maps > 48_000:
-            jax.clear_caches()
+    Also drop jax's executable caches once the process carries too many
+    LIVE compiled executables — measured 2026-08-21: XLA:CPU per-compile
+    cost GROWS with the live-executable count (165 -> 313 ms/compile from
+    0 to 1200 live in a minimal loop; in the full suite the late modules'
+    compile-heavy tests inflated 3-7x, 82 s -> 257 s for the worst), and
+    jax.clear_caches() restores it.  The map count is the proxy (each
+    executable costs ~10 maps); 25k maps ~ 2k live executables, the point
+    where inflation passes ~+50%.  Re-compiles after a clear are mostly
+    persistent-cache disk loads (min_compile_time lowered to 0.1 s).  The
+    same check at the old 48k wall doubles as the mmap-exhaustion guard
+    when the limit could not be raised (_raise_map_count_limit)."""
+    try:
+        with open("/proc/self/maps") as f:
+            n_maps = sum(1 for _ in f)
+    except OSError:
+        n_maps = 0
+    if n_maps > 25_000:
+        jax.clear_caches()
     gc.collect()
     gc.freeze()
     yield
